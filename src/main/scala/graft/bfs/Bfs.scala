@@ -1,0 +1,126 @@
+package graft.bfs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Direction-optimizing BFS as an iterative DataFrame job — the core query of
+ * the reference (mpi/bfs.hpp:2651-2940), re-expressed relationally:
+ *
+ *   top-down:   frontier ⋈ edges ON vertex = src → anti-join visited
+ *               (reference J1/J2, bfs.hpp:962-1364)
+ *   bottom-up:  unvisited ⋈ edges ON vertex = dst → semi-join frontier
+ *               (reference J3/J4, bfs.hpp:1839-2157)
+ *
+ * Both produce the same rows (min parent among frontier neighbors of each
+ * newly reached vertex); the Beamer-style switch (reference C1,
+ * bfs.hpp:2799-2829) picks the formulation whose small side can be
+ * BROADCAST. The edge table is shuffled ONCE up front (hash-partitioned by
+ * src) and every top-down level reuses that layout; in the bottom-up phase
+ * the unvisited set is small by construction, so it broadcasts and the edge
+ * scan stays narrow. This mirrors the reference's bitmap-frontier switch:
+ * what it bought with bitmaps we buy by never reshuffling the big table.
+ *
+ * Parent selection is min(parent) — deterministic, canonical, oracle-
+ * checkable. The reference's tree is any-parent (CAS race, bfs.hpp:1232);
+ * a min-parent tree is also a valid any-parent tree, so spec validation
+ * (graft.validate.Validator) accepts it.
+ *
+ * Scale design: per-level results are localCheckpoint()ed to cut lineage
+ * (otherwise plans grow superlinearly with depth); the previous visited
+ * cache is dropped eagerly. Visited stays a compact (vertex, pred, depth)
+ * table — at 100 TB the edge table dominates and is touched once per level
+ * through a co-partitioned or broadcast join.
+ */
+object Bfs {
+
+  /** Max rows we are willing to broadcast (frontier or unvisited side). */
+  val BroadcastLimit = 4000000L
+
+  /** Switch to bottom-up when |frontier| > |unvisited| / Beta — the
+    * reference's DEMON_BOTTOMUP_TO_TOPDOWN-style ratio (parameters.h:88). */
+  val Beta = 8L
+
+  final case class Result(tree: DataFrame, levelSizes: Seq[(Int, Long)])
+
+  /**
+   * BFS from `root` over `clean` (symmetric, deduped, loop-free edges).
+   * Returns (vertex, pred, depth BIGINT) for every vertex appearing in
+   * `clean`; unreached vertices have pred = -1, depth = NULL — the
+   * reference's convention (pred initialized to -1, mpi/bfs.hpp:241-276).
+   */
+  def bfsMinParent(spark: SparkSession, clean: DataFrame, root: Long): Result = {
+    import spark.implicits._
+
+    // One shuffle of the big table, reused by every level's join.
+    val edges = clean.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val all = clean.select(col("src").as("vertex")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totalVerts = all.count()
+
+    var visited = Seq((root, root, 0)).toDF("vertex", "pred", "depth")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visitedCount = 1L
+    var frontier = visited.select("vertex")
+    var frontierSize = 1L
+    var level = 0
+    val sizes = scala.collection.mutable.ArrayBuffer((0, 1L))
+
+    while (frontierSize > 0) {
+      level += 1
+      val unvisitedCount = totalVerts - visitedCount
+      val bottomUp =
+        frontierSize * Beta > unvisitedCount && unvisitedCount <= BroadcastLimit
+
+      val discovered =
+        if (bottomUp) {
+          // Small unvisited side: broadcast it, scan edges once, keep only
+          // parents that are in the current frontier.
+          val unvisited = all.join(visited.select("vertex"), Seq("vertex"), "left_anti")
+          edges
+            .join(broadcast(unvisited), edges("dst") === unvisited("vertex"))
+            .select(edges("dst").as("vertex"), edges("src").as("pred"))
+            .join(frontier.select(col("vertex").as("f")), col("pred") === col("f"), "left_semi")
+        } else {
+          val frontierSide =
+            if (frontierSize <= BroadcastLimit) broadcast(frontier) else frontier
+          edges
+            .join(frontierSide, edges("src") === frontierSide("vertex"))
+            .select(edges("dst").as("vertex"), edges("src").as("pred"))
+            .join(visited.select(col("vertex").as("v")), col("vertex") === col("v"), "left_anti")
+        }
+
+      val next = discovered
+        .groupBy("vertex").agg(min("pred").as("pred"))
+        .withColumn("depth", lit(level))
+        .localCheckpoint(eager = true)
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        sizes += ((level, frontierSize))
+        visitedCount += frontierSize
+        val newVisited = visited.union(next)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        newVisited.count()
+        visited.unpersist(blocking = false)
+        visited = newVisited
+        frontier = next.select("vertex")
+      }
+    }
+
+    val tree = all.join(visited, Seq("vertex"), "left_outer")
+      .select(
+        col("vertex"),
+        coalesce(col("pred"), lit(-1L)).as("pred"),
+        col("depth").cast("long").as("depth"))
+    edges.unpersist(blocking = false)
+    all.unpersist(blocking = false)
+    Result(tree, sizes.toSeq)
+  }
+
+  /** Per-level frontier sizes (reference Q10 — the per-level NQ telemetry,
+    * mpi/bfs.hpp:2836-2882) as a DataFrame, computed from a finished tree. */
+  def levelSizes(tree: DataFrame): DataFrame =
+    tree.filter(col("depth").isNotNull)
+      .groupBy(col("depth").as("level")).agg(count(lit(1)).as("frontier_size"))
+}

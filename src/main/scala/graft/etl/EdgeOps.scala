@@ -1,0 +1,81 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Edge-list ETL — the construction-phase operators of the reference
+ * (mpi/graph_constructor.hpp): self-loop removal, symmetrization, duplicate
+ * merge, degree analytics, vertex reordering, graph summary counts.
+ *
+ * All are declarative DataFrame transforms so Catalyst gets pushdown /
+ * partial aggregation / AQE skew handling for free. The reference's 2D edge
+ * partitioning + alltoallv (graph_constructor.hpp:1183-1280, utils.hpp:2054+)
+ * is exactly Spark's shuffle; we only choose the keys.
+ */
+object EdgeOps {
+
+  /** Deterministic bipartite test graph derived from `lineitem` (FIXTURES.md
+    * §2): order-node = 2*l_orderkey, part-node = 2*l_partkey+1 — disjoint id
+    * spaces, so the graph operators run on oracle-checkable data. */
+  def edgesFromLineitem(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(
+        (col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+
+  /** Drop self-loops, symmetrize, dedup → canonical undirected edge set with
+    * both directions materialized (reference P1/P2/O1:
+    * graph_constructor.hpp:697-699, 1390-1408). One shuffle (the distinct);
+    * the union is narrow. */
+  def cleanEdges(raw: DataFrame): DataFrame = {
+    val noLoops = raw.filter(col("src") =!= col("dst"))
+    noLoops
+      .union(noLoops.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Per-vertex degree over cleaned (symmetric) edges — reference A1
+    * (graph_constructor.hpp:296-311). Partial+final hash agg, single
+    * shuffle. */
+  def degrees(clean: DataFrame): DataFrame =
+    clean.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
+
+  /**
+   * Vertex→dense-id reorder map (reference O2, graph_constructor.hpp:288-352;
+   * modes per mpi/parameters.h:38-41):
+   *   0 = identity order (by vertex id),
+   *   1 = isolated vertices last (here: all vertices in `clean` have edges,
+   *       so ordering is by vertex id among non-isolated),
+   *   2 = degree descending.
+   * Ties broken by vertex id for a canonical, oracle-checkable map (the
+   * reference's sort is unstable; any tie order is spec-valid).
+   *
+   * Scale note: the global row_number is a single total order — fine for the
+   * vertex table (|V| ≪ |E|), and equivalent to the reference's global sort
+   * of the same size. Uses a range-partitioned sort underneath (no single-
+   * partition bottleneck).
+   */
+  def reorderMap(clean: DataFrame, mode: Int): DataFrame = {
+    val deg = degrees(clean)
+    val order: Seq[Column] = mode match {
+      case 0 => Seq(col("vertex").asc)
+      case 1 => Seq((col("degree") === 0).asc, col("vertex").asc)
+      case 2 => Seq(col("degree").desc, col("vertex").asc)
+      case _ => throw new IllegalArgumentException(s"reorder mode $mode")
+    }
+    deg.select(
+      col("vertex"),
+      (row_number().over(Window.orderBy(order: _*)) - 1).cast("long").as("new_id"))
+  }
+
+  /** Graph summary: non-isolated vertex count, max used vertex, undirected
+    * edge count (reference A2/A6 + construction totals:
+    * graph_constructor.hpp:1436-1464, benchmark_helper.hpp:510-528). */
+  def graphCounts(clean: DataFrame): DataFrame =
+    clean.agg(
+      countDistinct(col("src")).as("non_isolated_vertices"),
+      max(greatest(col("src"), col("dst"))).as("max_used_vertex"),
+      (count(lit(1)) / 2).cast("long").as("undirected_edge_count"))
+}

@@ -1,0 +1,101 @@
+package graft.validate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph500 spec validation as relational queries — the five checks of the
+ * reference validator (mpi/validate.hpp:507-802), each a join/aggregation
+ * over the BFS tree and the RAW edge list (duplicates and self-loops
+ * retained, exactly as the reference validates against the unfiltered list).
+ *
+ *   1. range:       pred ∈ [-1, nglobalverts)            (validate.hpp:822-839)
+ *   2. root:        pred(root) = root, depth(root) = 0   (validate.hpp:530-537)
+ *   3. self-parent: no non-root vertex has pred = itself (validate.hpp:541-570)
+ *   4. depth:       reached ⇔ depth set; depth(v) = depth(pred(v)) + 1
+ *                                                        (validate.hpp:920-995)
+ *   5. edges:       |depth(u) − depth(v)| ≤ 1 on every raw edge; both ends of
+ *      every edge reached-or-both-unreached (connected component property);
+ *      a raw edge (v, pred(v)) exists for every reached non-root v; traversed
+ *      edge count = raw edges (self-loops and duplicates INCLUDED, per the
+ *      reference's counting loop) whose endpoints are both reached at valid
+ *      depths                                 (validate.hpp:584-797, 703-721)
+ *
+ * Designed as a separate batch job, not part of the BFS loop — at target
+ * scale the raw-edge scan dominates exactly as in the reference (SURVEY §7.4).
+ * Both tree joins are plain equi-joins on vertex id: Catalyst broadcasts the
+ * tree when it is small, otherwise shuffles both sides once.
+ */
+object Validator {
+
+  /**
+   * Returns a single-row DataFrame of error counters (all BIGINT, 0 = pass)
+   * plus the traversed-edge count:
+   * (range_errors, root_errors, self_parent_errors, depth_errors,
+   *  pred_edge_missing, edge_depth_errors, edge_visit_count).
+   */
+  def validate(spark: SparkSession, rawEdges: DataFrame, tree: DataFrame,
+               root: Long, nGlobalVerts: Long): DataFrame = {
+    val t = tree.select("vertex", "pred", "depth")
+
+    // 1-4: single pass over the tree.
+    val treeChecks = t.agg(
+      sum(when(col("pred") < -1 || col("pred") >= nGlobalVerts, 1L).otherwise(0L))
+        .as("range_errors"),
+      sum(when(col("vertex") === root &&
+               (col("pred") =!= root || col("depth") =!= 0L), 1L).otherwise(0L))
+        .as("root_errors"),
+      sum(when(col("vertex") =!= root && col("pred") === col("vertex"), 1L)
+        .otherwise(0L)).as("self_parent_errors"),
+      sum(when((col("pred") === -1L) =!= col("depth").isNull, 1L).otherwise(0L))
+        .as("depth_presence_errors"))
+
+    // 4b: depth(v) = depth(pred(v)) + 1 for every reached non-root v
+    // (self-join tree↔tree on pred = vertex; reference pred-pred gather J7).
+    val parentDepth = t.select(col("vertex").as("p_vertex"), col("depth").as("p_depth"))
+    val depthErrors = t
+      .filter(col("pred") =!= -1L && col("vertex") =!= root)
+      .join(parentDepth, col("pred") === col("p_vertex"), "left_outer")
+      .agg(sum(when(col("p_depth").isNull ||
+                    col("depth") =!= col("p_depth") + 1L, 1L).otherwise(0L))
+        .as("depth_chain_errors"))
+
+    // 4c: a raw edge (v, pred(v)) must exist for every reached non-root v
+    // (reference pred_valid sweep, validate.hpp:780-792).
+    // Canonicalize both sides to (lo, hi) so the anti-join is a plain
+    // two-key equi-join (hash-joinable) instead of an OR-of-conjunctions
+    // nested loop.
+    val undirectedRaw = rawEdges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+    val predPairs = t.filter(col("pred") =!= -1L && col("vertex") =!= root)
+      .select(least(col("vertex"), col("pred")).as("lo"),
+        greatest(col("vertex"), col("pred")).as("hi"))
+    val predEdgeMissing = predPairs
+      .join(undirectedRaw, Seq("lo", "hi"), "left_anti")
+      .agg(count(lit(1)).as("pred_edge_missing"))
+
+    // 5: per-raw-edge depth checks + traversed-edge count w/ multiplicity
+    // (two hash joins against the tree; reference J6 two-sided gather).
+    val du = t.select(col("vertex").as("u"), col("depth").as("du"))
+    val dv = t.select(col("vertex").as("v"), col("depth").as("dv"))
+    val edgeChecks = rawEdges
+      .join(du, col("src") === col("u"), "left_outer")
+      .join(dv, col("dst") === col("v"), "left_outer")
+      .agg(
+        sum(when(
+          (col("du").isNotNull && col("dv").isNotNull &&
+            abs(col("du") - col("dv")) > 1L) ||
+            (col("du").isNull =!= col("dv").isNull), 1L).otherwise(0L))
+          .as("edge_depth_errors"),
+        sum(when(col("du").isNotNull && col("dv").isNotNull &&
+                 abs(col("du") - col("dv")) <= 1L, 1L).otherwise(0L))
+          .as("edge_visit_count"))
+
+    treeChecks
+      .crossJoin(depthErrors)
+      .crossJoin(predEdgeMissing)
+      .crossJoin(edgeChecks)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.bfs.Bfs
+import graft.validate.Validator
+import org.apache.spark.sql.functions._
+
+class EdgeOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  /** triangle 1-2-3 with a duplicate edge, a self-loop, and isolated pair 8-9 */
+  def tiny: DataFrame = {
+    val implicits = spark.implicits
+    import implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L), (4L, 4L), (8L, 9L))
+      .toDF("src", "dst")
+  }
+
+  test("cleanEdges drops loops, symmetrizes, dedups; idempotent") {
+    val clean = EdgeOps.cleanEdges(tiny).cache()
+    val rows = clean.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 3L), (8L, 9L), (9L, 8L)))
+    assert(EdgeOps.cleanEdges(clean).count() === clean.count())
+    clean.unpersist()
+  }
+
+  test("degrees and graphCounts") {
+    val clean = EdgeOps.cleanEdges(tiny)
+    val deg = EdgeOps.degrees(clean).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg === Map(1L -> 2, 2L -> 2, 3L -> 2, 8L -> 1, 9L -> 1))
+    val counts = EdgeOps.graphCounts(clean).head()
+    assert(counts.getAs[Long]("non_isolated_vertices") === 5L)
+    assert(counts.getAs[Long]("max_used_vertex") === 9L)
+    assert(counts.getAs[Long]("undirected_edge_count") === 4L)
+  }
+
+  test("reorderMap modes produce dense ids; mode 2 is degree-descending") {
+    val clean = EdgeOps.cleanEdges(tiny)
+    for (mode <- Seq(0, 1, 2)) {
+      val m = EdgeOps.reorderMap(clean, mode).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m.values.toSet === (0L until 5L).toSet, s"mode $mode dense ids")
+    }
+    val m2 = EdgeOps.reorderMap(clean, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // degree-2 vertices (1,2,3) before degree-1 (8,9); ties by vertex id
+    assert(m2 === Map(1L -> 0, 2L -> 1, 3L -> 2, 8L -> 3, 9L -> 4))
+  }
+
+  test("BFS on two components: unreached get pred=-1, depth NULL; validator passes") {
+    val clean = EdgeOps.cleanEdges(tiny)
+    val result = Bfs.bfsMinParent(spark, clean, 1L)
+    val byVertex = result.tree.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(byVertex(1L) === ((1L, 0L)))
+    assert(byVertex(2L) === ((1L, 1L)))
+    assert(byVertex(3L) === ((1L, 1L)))
+    assert(byVertex(8L) === ((-1L, -1L)))
+    assert(byVertex(9L) === ((-1L, -1L)))
+
+    val checks = Validator.validate(spark, tiny, result.tree, 1L, 10L).head()
+    for (c <- Seq("range_errors", "root_errors", "self_parent_errors",
+      "depth_presence_errors", "depth_chain_errors", "pred_edge_missing",
+      "edge_depth_errors"))
+      assert(checks.getAs[Long](c) === 0L, c)
+    // triangle counted with the duplicate (1,2) plus the self-loop (4,4)?
+    // No: 4 is unreached (isolated by loop removal), so loops at unreached
+    // vertices are excluded, edges in reached component: (1,2)x2,(2,3),(3,1)
+    assert(checks.getAs[Long]("edge_visit_count") === 4L)
+  }
+
+  test("validator flags a corrupted tree") {
+    val implicits = spark.implicits
+    import implicits._
+    val clean = EdgeOps.cleanEdges(tiny)
+    val result = Bfs.bfsMinParent(spark, clean, 1L)
+    // Corrupt: claim vertex 3 hangs off vertex 8 (no such edge, wrong depth).
+    val bad = result.tree.filter(col("vertex") =!= 3L)
+      .union(Seq((3L, 8L, 5L)).toDF("vertex", "pred", "depth")
+        .select(col("vertex"), col("pred"), col("depth").cast("long")))
+    val checks = Validator.validate(spark, tiny, bad, 1L, 10L).head()
+    assert(checks.getAs[Long]("depth_chain_errors") > 0L)
+    assert(checks.getAs[Long]("pred_edge_missing") > 0L)
+    assert(checks.getAs[Long]("edge_depth_errors") > 0L)
+  }
+}
