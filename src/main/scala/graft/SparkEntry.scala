@@ -130,8 +130,74 @@ object SparkEntry {
     "q9_teps" -> ((s, dir) => Teps.statBlock(runStats(s, dir))),
 
     // Q10 — per-level frontier sizes.
-    "q10_level_sizes" -> ((s, dir) => Bfs.levelSizes(tree(s, dir)))
+    "q10_level_sizes" -> ((s, dir) => Bfs.levelSizes(tree(s, dir))),
+
+    // ---- training-data pipeline ops over documents/embeddings ----
+
+    // Exact dedup: canonical id per content digest.
+    "dd_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    "dd_minhash" -> ((s, dir) => ops.Dedup.minhashDedup(docs(s, dir), 0.5)),
+
+    // SimHash fingerprints (full hash check of the 60-bit signatures).
+    "dd_simhash_sig" -> ((s, dir) => ops.Dedup.simhash(docs(s, dir))),
+
+    // SimHash banded near-dup pairs, Hamming ≤ 3.
+    "dd_simhash" -> ((s, dir) => ops.Dedup.simhashDedup(docs(s, dir), 3)),
+
+    // Exact n-gram Jaccard near-dup pairs (inverted-index path).
+    "dd_ngram" -> ((s, dir) => ops.Dedup.ngramJaccardDedup(docs(s, dir), 0.5)),
+
+    // Embedding cosine near-dup pairs.
+    "dd_embedding" -> ((s, dir) => ops.Dedup.embeddingDedup(emb(s, dir), 0.3)),
+
+    // Brute-force cosine top-5 for queries vec_id<10 (exact baseline).
+    "sim_brute" -> ((s, dir) => ops.Similarity.bruteForceTopK(emb(s, dir), 5, 10)),
+
+    // IVF-bucketed approximate top-5 (the scale path).
+    "sim_ivf" -> ((s, dir) => ops.Similarity.ivfTopK(emb(s, dir), 5, 10, 16, 4)),
+
+    // Language-ID marker scores + argmax prediction.
+    "tx_langid" -> ((s, dir) => ops.TextOps.langId(docs(s, dir))),
+
+    // Quality signals + composite score.
+    "tx_quality" -> ((s, dir) => ops.TextOps.quality(docs(s, dir))),
+
+    // Whitespace + BPE-ish token counts.
+    "tx_tokens" -> ((s, dir) => ops.TextOps.tokenCounts(docs(s, dir))),
+
+    // Rolling-hash document fingerprint.
+    "tx_fingerprint" -> ((s, dir) => ops.TextOps.fingerprint(docs(s, dir))),
+
+    // Multimodal: stub decode metadata via batched mapPartitions.
+    "mm_decode" -> ((s, dir) =>
+      ops.Multimodal.decodeMeta(s, ops.Multimodal.mediaFromDocuments(docs(s, dir)))),
+
+    // Multimodal: resize metadata contract.
+    "mm_resize" -> ((s, dir) =>
+      ops.Multimodal.resize(
+        ops.Multimodal.decodeMeta(s, ops.Multimodal.mediaFromDocuments(docs(s, dir))))),
+
+    // Multimodal: video frame sampling (every 4th 256-byte frame).
+    "mm_frames" -> ((s, dir) =>
+      ops.Multimodal.frameSample(ops.Multimodal.mediaFromDocuments(docs(s, dir)))),
+
+    // Multimodal: stub featurize (8 byte-chunk sums) via mapPartitions.
+    "mm_features" -> ((s, dir) => {
+      val f = ops.Multimodal.featurize(
+        s, ops.Multimodal.mediaFromDocuments(docs(s, dir)))
+      f.select(col("media_id") +: col("n_bytes") +:
+        (0 until ops.Multimodal.FeatureChunks)
+          .map(j => element_at(col("feature"), j + 1).as(s"f$j")): _*)
+    })
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Deterministic pseudo run-stats: 64 smallest orders; bfs_time from
     * totalprice, nedge from orderkey (see q9 oracle). */
@@ -222,6 +288,263 @@ object SparkEntry {
 
     "q10_level_sizes" -> (GraphCte +
       """SELECT CAST(depth AS BIGINT) AS level, count(*) AS frontier_size
-        |FROM d GROUP BY depth""".stripMargin)
+        |FROM d GROUP BY depth""".stripMargin),
+
+    // ---- training-data pipeline oracles ----
+
+    "dd_exact" ->
+      """SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |       md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+
+    "dd_minhash" -> (ShingleCte +
+      """, hx AS (SELECT doc_id,
+        |           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS xv
+        |         FROM sh),
+        |sigidx AS (SELECT doc_id, xv, unnest(generate_series(0, 31)) AS i FROM hx),
+        |msig AS (SELECT doc_id, i, min(((2*i+1)*xv + i*104729) % 2147483647) AS m
+        |         FROM sigidx GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, CAST(i/4 AS INT) AS band,
+        |            string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
+        |          FROM msig GROUP BY doc_id, CAST(i/4 AS INT)),
+        |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b
+        |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        |SELECT j.doc_a, j.doc_b, j.jaccard
+        |FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        |WHERE j.jaccard >= 0.5""".stripMargin),
+
+    "dd_simhash_sig" -> (SimhashCte + "SELECT doc_id, simhash FROM ssig"),
+
+    "dd_simhash" -> (SimhashCte +
+      """, chunks AS (SELECT doc_id, simhash, c,
+        |               (simhash >> (c*15)) % 32768 AS chunk
+        |             FROM (SELECT doc_id, simhash,
+        |                     CAST(unnest(generate_series(0, 3)) AS INT) AS c
+        |                   FROM ssig)),
+        |cp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |       FROM chunks a JOIN chunks b
+        |         ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cp WHERE hamming <= 3""".stripMargin),
+
+    "dd_ngram" -> (ShingleCte +
+      "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5"),
+
+    "dd_embedding" -> (EmbCte +
+      """SELECT * FROM (
+        |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        |         round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS cosine
+        |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.3""".stripMargin),
+
+    "sim_brute" -> (EmbCte +
+      """, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.qv, c.v)/(q.qn*c.nrm), 6) AS cosine
+        |  FROM q JOIN nv c ON q.query_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin),
+
+    "sim_ivf" -> (EmbCte +
+      """, cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM nv WHERE vec_id < 16),
+        |ac AS (SELECT nv.vec_id, cent.centroid_id,
+        |         round(list_dot_product(nv.v, cent.cv)/(nv.nrm*cent.cn), 6) AS cc
+        |       FROM nv CROSS JOIN cent),
+        |assign AS (SELECT vec_id, centroid_id FROM (
+        |             SELECT vec_id, centroid_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY cc DESC, centroid_id) AS rn
+        |             FROM ac) WHERE rn = 1),
+        |probes AS (SELECT query_id, centroid_id FROM (
+        |             SELECT vec_id AS query_id, centroid_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY cc DESC, centroid_id) AS rn
+        |             FROM ac WHERE vec_id < 10) WHERE rn <= 4),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.qv, c.v)/(q.qn*c.nrm), 6) AS cosine
+        |  FROM nv c JOIN assign a ON c.vec_id = a.vec_id
+        |  JOIN probes p ON a.centroid_id = p.centroid_id
+        |  JOIN q ON q.query_id = p.query_id
+        |  WHERE p.query_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin),
+
+    "tx_langid" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is)\b')) AS BIGINT) AS s_en,
+        |  CAST(len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS BIGINT) AS s_es,
+        |  CAST(len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')) AS BIGINT) AS s_fr,
+        |  CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN len(regexp_extract_all(text, '\b(the|and|of|to|is)\b')) >=
+        |            greatest(len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')),
+        |                     len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')),
+        |                     len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))) THEN 'en'
+        |       WHEN len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) >=
+        |            greatest(len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')),
+        |                     len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))) THEN 'es'
+        |       WHEN len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')) >=
+        |            len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) THEN 'fr'
+        |       ELSE 'de' END AS lang_pred
+        |FROM documents""".stripMargin,
+
+    "tx_quality" -> (TokCte +
+      """SELECT d.doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  round(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0)*1.0
+        |        / greatest(len(tk), 1), 6) AS avg_token_len,
+        |  round(len(regexp_extract_all(text, '[.,;:!?]'))*1.0
+        |        / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b'))*1.0
+        |        / greatest(len(tk), 1), 6) AS stopword_ratio,
+        |  round(CASE WHEN len(tk) >= 10
+        |    THEN round(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b'))*1.0
+        |               / greatest(len(tk), 1), 6) * 2.0
+        |         - round(len(regexp_extract_all(text, '[.,;:!?]'))*1.0
+        |                 / greatest(length(text), 1), 6)
+        |    ELSE -1.0 END, 6) AS quality_score
+        |FROM toks JOIN documents d USING (doc_id)""".stripMargin),
+
+    "tx_tokens" -> (TokCte +
+      """SELECT d.doc_id,
+        |  CAST(len(tk) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS bpe_ish_tokens
+        |FROM toks JOIN documents d USING (doc_id)""".stripMargin),
+
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (h, cp) -> (h * 31 + cp) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "mm_decode" -> (MmDecodeCte + "SELECT * FROM dec"),
+
+    "mm_resize" -> (MmDecodeCte +
+      """SELECT media_id,
+        |  CAST(greatest(floor(width/2.0), 1) AS INT) AS width,
+        |  CAST(greatest(floor(height/2.0), 1) AS INT) AS height,
+        |  channels,
+        |  CAST(floor((n_bytes + 1)/2.0) AS BIGINT) AS n_bytes
+        |FROM dec""".stripMargin),
+
+    "mm_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+        |             CAST(length(text) AS BIGINT) AS n_bytes,
+        |             CAST(ceil(length(text)/256.0) AS BIGINT) AS n_frames
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, n_bytes,
+        |        unnest(generate_series(0, n_frames - 1, 4)) AS frame_no
+        |      FROM v)
+        |SELECT media_id, frame_no,
+        |  frame_no*256 AS frame_offset,
+        |  least(256, n_bytes - frame_no*256) AS frame_len
+        |FROM f""".stripMargin,
+
+    "mm_features" -> {
+      val fcols = (0 until 8).map { j =>
+        s"""  CAST(COALESCE(CASE WHEN $j*cs < n THEN
+           |    list_sum(list_transform(string_split(substr(text, $j*cs + 1, CAST(cs AS INT)), ''),
+           |                            c -> ord(c))) END, 0) AS BIGINT) AS f$j""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m AS (SELECT doc_id AS media_id, text,
+         |             CAST(length(text) AS BIGINT) AS n,
+         |             greatest(CAST(1 AS BIGINT),
+         |                      CAST(floor((length(text) + 7)/8.0) AS BIGINT)) AS cs
+         |           FROM documents)
+         |SELECT media_id, n AS n_bytes,
+         |$fcols
+         |FROM m""".stripMargin
+    }
   )
+
+  /** Shared DuckDB prelude: whitespace tokens per document. */
+  private val TokCte =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                     t -> t <> '') AS tk
+      |  FROM documents
+      |)
+      |""".stripMargin
+
+  /** Tokens → distinct 3-shingles → exact pairwise Jaccard via the
+    * inverted shingle index (mirrors Dedup.jaccardPairs). */
+  private val ShingleCte = TokCte.stripSuffix("\n") +
+    """,
+      |shidx AS (SELECT doc_id, tk,
+      |            unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+      |          FROM toks),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+      |       FROM shidx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS c
+      |           FROM sh l JOIN sh r
+      |             ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      |           GROUP BY 1, 2),
+      |jac AS (SELECT doc_a, doc_b,
+      |          round(c*1.0/(na.n + nb.n - c), 6) AS jaccard
+      |        FROM common
+      |        JOIN sizes na ON na.doc_id = doc_a
+      |        JOIN sizes nb ON nb.doc_id = doc_b)
+      |""".stripMargin
+
+  /** Tokens → 60-bit SimHash signatures (mirrors Dedup.simhash). */
+  private val SimhashCte = TokCte.stripSuffix("\n") +
+    """,
+      |tok AS (SELECT DISTINCT doc_id, unnest(tk) AS t FROM toks),
+      |th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+      |       FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |           sum(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      |         FROM (SELECT doc_id, h, unnest(generate_series(0, 59)) AS j FROM th)
+      |         GROUP BY doc_id, j),
+      |ssig AS (SELECT doc_id,
+      |           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+      |                    ELSE 0 END) AS BIGINT) AS simhash
+      |         FROM bits GROUP BY doc_id)
+      |""".stripMargin
+
+  /** Normalized double vectors (mirrors Similarity.withNorm). */
+  private val EmbCte =
+    """WITH nv AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |)
+      |""".stripMargin
+
+  /** Stub media decode from document text bytes (mirrors
+    * Multimodal.mediaFromDocuments + decodeMeta; text is ASCII). */
+  private val MmDecodeCte =
+    """WITH dec AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(length(text) AS BIGINT) AS n_bytes,
+      |    CAST(16 + ord(substr(text, 1, 1)) % 64 AS INT) AS width,
+      |    CAST(16 + CASE WHEN length(text) > 1
+      |         THEN ord(substr(text, 2, 1)) % 64 ELSE 0 END AS INT) AS height,
+      |    CAST(1 + length(text) % 3 AS INT) AS channels
+      |  FROM documents
+      |)
+      |""".stripMargin
 }

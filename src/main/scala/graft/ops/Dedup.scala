@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deduplication operators for training-data pipelines, each designed around
+ * one shuffle pattern that survives 100 TB:
+ *
+ *  - exact:      hash-groupBy on content digest (one shuffle, no compare)
+ *  - minhash:    shingle → k-minhash signature → banded LSH bucket join →
+ *                exact-Jaccard verification of candidates only. The
+ *                all-pairs comparison never happens; cost is
+ *                O(docs · shingles · k) map-side + a bucket-key shuffle.
+ *  - simhash:    64-bit fingerprint; near-dups by Hamming distance
+ *  - n-gram Jaccard: exact pairwise via inverted shingle index (the
+ *                verification path of minhash, usable standalone; the
+ *                shingle join only pairs documents that SHARE a shingle)
+ *  - embedding:  cosine near-dup pairs over normalized vectors
+ *
+ * All hashing goes through md5 (available and bit-identical in every SQL
+ * engine) so results are portable and oracle-checkable; no engine-specific
+ * hash functions.
+ */
+object Dedup {
+
+  /** First 15 hex chars of md5 as a 60-bit non-negative Long column. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  val MinhashK = 32
+  val BandRows = 4
+  val HashMod = 2147483647L // 2^31-1: keeps (2k+1)*x + c*k inside Long
+
+  /** Exact dedup: every doc mapped to the smallest doc_id sharing its
+    * content digest. (doc_id, canonical_id, content_hash). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      .select(col("doc_id"), col("canonical_id"), col("content_hash"))
+
+  /** k minhash values per doc over its distinct shingles:
+    * m_i = min over shingles of ((2i+1)·h(s) + 104729·i) mod (2^31−1).
+    * (doc_id, i, m) */
+  def minhashSignatures(shingleDf: DataFrame, k: Int = MinhashK): DataFrame =
+    shingleDf
+      .select(col("doc_id"), (hash64(col("shingle")) % HashMod).as("xv"))
+      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
+      .groupBy("doc_id", "i")
+      .agg(min(((col("i") * 2 + 1) * col("xv") + col("i") * 104729L) % HashMod)
+        .as("m"))
+
+  /** LSH candidate pairs: docs agreeing on ALL rows of any band. */
+  def lshCandidates(signatures: DataFrame, bandRows: Int = BandRows): DataFrame = {
+    val bands = signatures
+      .groupBy(col("doc_id"), (col("i") / bandRows).cast("int").as("band"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m"))).as("sig"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard for every document pair sharing ≥1 shingle, via an
+    * inverted index (never all-pairs). (doc_a, doc_b, jaccard). */
+  def jaccardPairs(shingleDf: DataFrame): DataFrame = {
+    val sizes = shingleDf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val l = shingleDf.select(col("doc_id").as("doc_a"), col("shingle"))
+    val r = shingleDf.select(col("doc_id").as("doc_b"), col("shingle"))
+    l.join(r, "shingle").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs, verified by exact Jaccard ≥ threshold.
+    * The jaccard join is restricted to LSH candidates (semi-join), so the
+    * expensive exact check touches only the candidate set. */
+  def minhashDedup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = TextOps.shingles(docs, 3)
+    val cands = lshCandidates(minhashSignatures(sh))
+    jaccardPairs(sh)
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Standalone exact n-gram Jaccard dedup (no LSH): all pairs sharing a
+    * shingle with jaccard ≥ threshold. */
+  def ngramJaccardDedup(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    jaccardPairs(TextOps.shingles(docs, 3)).filter(col("jaccard") >= threshold)
+
+  /** 60-bit SimHash per document over distinct whitespace tokens: bit j is
+    * set iff sum over tokens of ±1 (by bit j of md5-hash64(token)) > 0. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokenized(docs)
+      .select(col("doc_id"), explode(col("tk")).as("tok")).distinct()
+      .select(col("doc_id"), hash64(col("tok")).as("h"))
+    toks
+      .withColumn("j", explode(sequence(lit(0), lit(59))))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("shiftright(h, j) % 2 = 1"), 1L)
+        .otherwise(-1L)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. Banded by the
+    * four 15-bit chunks of the fingerprint (pigeonhole: distance ≤ 3 ⇒ some
+    * chunk equal), so the join is on a bucket key, not all-pairs. */
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val chunks = sig.withColumn("c", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", expr("shiftright(simhash, c * 15)") % (1L << 15))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("c"), col("chunk"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("c"), col("chunk"))
+    a.join(b, Seq("c", "chunk")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup pairs (vec_id_a < vec_id_b, cos ≥ threshold).
+    * Dot products via a sequential fold so results are bit-stable. */
+  def embeddingDedup(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val n = Similarity.withNorm(embeddings)
+    val a = n.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, word-shingling, language ID (marker-ngram heuristic),
+ * quality scoring, token counting, and document fingerprinting.
+ *
+ * Everything is built from codegen'd `org.apache.spark.sql.functions`
+ * column expressions — no UDFs — so the whole pipeline stays inside
+ * whole-stage codegen and scales linearly with executors (narrow maps;
+ * the only shuffles are the explicit groupBys in consumers).
+ */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (trim + split). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** (doc_id, tk ARRAY<STRING>) from a `documents`-shaped table. */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+
+  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    tokenized(docs)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("shingle"))
+      .distinct()
+
+  /** Language-marker scores. The heuristic is deterministic and mirrored
+    * 1:1 in the DuckDB oracle: per-language stopword hit counts + a CJK
+    * codepoint count, argmax with a fixed priority chain. */
+  private val Markers = Seq(
+    "en" -> "\\b(the|and|of|to|is)\\b",
+    "es" -> "\\b(el|la|de|que|los)\\b",
+    "fr" -> "\\b(le|les|des|et|une)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b")
+
+  /** (doc_id, s_en, s_es, s_fr, s_de, s_zh, lang_pred) */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = Markers.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (df, (lang, re)) =>
+        df.withColumn(s"s_$lang",
+          size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long"))
+    }.withColumn("s_zh",
+      size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+        .cast("long"))
+    scored.withColumn("lang_pred",
+      when(col("s_zh") > 0, "zh")
+        .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_de")), "en")
+        .when(col("s_es") >= greatest(col("s_fr"), col("s_de")), "es")
+        .when(col("s_fr") >= col("s_de"), "fr")
+        .otherwise("de"))
+      .drop("text")
+  }
+
+  /** Quality signals: char/token counts, mean token length, punctuation and
+    * stopword ratios, and a composite score — the usual cheap pre-filter
+    * stage of a data pipeline. All ratios rounded to 6dp for stable
+    * comparison. */
+  def quality(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    val nTok = size(tk).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+      .cast("long")
+    val nStop = size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|and|of|to|in|is|it)\\b"), lit(0))).cast("long")
+    val avgTokLen = round(
+      aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        greatest(nTok, lit(1L)), 6)
+    val punctRatio = round(nPunct.cast("double") / greatest(nChars, lit(1L)), 6)
+    val stopRatio = round(nStop.cast("double") / greatest(nTok, lit(1L)), 6)
+    docs.select(
+      col("doc_id"), nChars.as("n_chars"), nTok.as("n_tokens"),
+      avgTokLen.as("avg_token_len"), punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      // composite: reward stopword density, penalize punctuation noise,
+      // gate on minimal length
+      round(when(nTok >= 10, stopRatio * 2.0 - punctRatio).otherwise(-1.0), 6)
+        .as("quality_score"))
+  }
+
+  /** Token counts: whitespace words + BPE-ish subword pieces (letter runs,
+    * digit runs, single punctuation marks — the classic pre-tokenizer
+    * regex). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+        .as("bpe_ish_tokens"))
+
+  /** Polynomial rolling-hash fingerprint over the document's code points:
+    * h = fold(h * 31 + codepoint) mod 1e9+7 — cheap, order-sensitive,
+    * SQL-mirrorable. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(
+        transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (h, cp) => (h * 31L + cp) % 1000000007L).as("fingerprint"))
+}
