@@ -1,24 +1,68 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR,
+  * then runs the full Graph500 protocol (generate → construct → N
+  * validated BFS runs → harmonic-mean TEPS) at SPARK_GRAFT_SCALE.
+  * Prints ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+    val nRoots = sys.env.getOrElse("SPARK_GRAFT_ROOTS", "16").toInt
+    val g500On = sys.env.getOrElse("SPARK_GRAFT_G500", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val g500 = if (g500On) {
+      val t0 = System.nanoTime()
+      try {
+        val s = bench.Graph500.run(spark, scale, nRoots)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val bfsTotal = s.runs.map(_.bfs_time).sum
+        val valTotal = s.runs.map(_.validate_time).sum
+        Some(s"""{"scale":$scale,"n_roots":$nRoots,"wall_sec":$wall,""" +
+          s""""generation_sec":${s.generationTime},""" +
+          s""""construction_sec":${s.constructionTime},""" +
+          s""""bfs_total_sec":$bfsTotal,"validate_total_sec":$valTotal,""" +
+          s""""harmonic_mean_teps":${s.harmonicMeanTeps},""" +
+          s""""max_nedge":${s.runs.map(_.nedge.toLong).max},""" +
+          s""""nedge_golden_ok":${s.nedgeGoldenOk},""" +
+          s""""validation_errors":${s.runs.map(_.errors).sum}}""")
+      } catch { case e: Throwable =>
+        Some(s"""{"error":"${e.getClass.getSimpleName}"}""")
+      }
+    } else None
+    val g500b = if (g500On) {
+      try {
+        val b = bench.Graph500.runBatched(spark, scale, nRoots)
+        Some(s"""{"scale":$scale,"n_roots":$nRoots,""" +
+          s""""bfs_wall_sec":${b.bfsWall},""" +
+          s""""validate_wall_sec":${b.validateWall},""" +
+          s""""total_nedge":${b.totalNedge},""" +
+          s""""throughput_teps":${b.throughputTeps},""" +
+          s""""nedge_golden_ok":${b.nedgeGoldenOk},""" +
+          s""""validation_errors":${b.errors}}""")
+      } catch { case e: Throwable =>
+        Some(s"""{"error":"${e.getClass.getSimpleName}"}""")
+      }
+    } else None
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val g500Field = g500.map(j => s""","graph500":$j""").getOrElse("") +
+      g500b.map(j => s""","graph500_batched":$j""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$g500Field}""")
     spark.stop()
   }
 }

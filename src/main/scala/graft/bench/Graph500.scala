@@ -1,0 +1,165 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.bfs.Bfs
+import graft.etl.EdgeOps
+import graft.gen.Kronecker
+import graft.stats.Teps
+import graft.validate.Validator
+
+/**
+ * The full Graph500 benchmark protocol (reference: mpi/main.cc:34-178):
+ * generate → construct (clean + partition + persist) → sample roots →
+ * N timed BFS runs, each spec-validated → stat block with harmonic-mean
+ * TEPS. Equivalent of the reference's `graph500_bfs` driver, with Spark
+ * stages replacing MPI stages.
+ */
+object Graph500 {
+
+  /** Golden traversed-edge counts, ef=16, seeds (2,3) — reference
+    * pf_nedge[] (mpi/utils.hpp:3663-3708). */
+  val PfNedge: Map[Int, Long] = Map(
+    1 -> 32L, 2 -> 64L, 3 -> 128L, 4 -> 256L, 5 -> 512L, 6 -> 1024L,
+    7 -> 2048L, 8 -> 4096L, 9 -> 8192L, 10 -> 16383L, 11 -> 32767L,
+    12 -> 65535L, 13 -> 131070L, 14 -> 262144L, 15 -> 524285L,
+    16 -> 1048570L, 17 -> 2097137L, 18 -> 4194250L, 19 -> 8388513L,
+    20 -> 16776976L, 21 -> 33553998L, 22 -> 67108130L, 23 -> 134216177L,
+    24 -> 268432547L, 25 -> 536865258L, 26 -> 1073731075L)
+
+  final case class RunStat(run: Long, root: Long, bfs_time: Double,
+                           validate_time: Double, nedge: Double,
+                           errors: Long)
+
+  final case class Summary(scale: Int, nRoots: Int, generationTime: Double,
+                           constructionTime: Double, runs: Seq[RunStat],
+                           harmonicMeanTeps: Double, nedgeGoldenOk: Boolean)
+
+  def run(spark: SparkSession, scale: Int, nRoots: Int = 16,
+          validate: Boolean = true): Summary = {
+    import spark.implicits._
+
+    val t0 = System.nanoTime()
+    // Stage 1: generation (narrow scan). Persist the RAW list — validation
+    // scans it with duplicates/self-loops retained (validate.hpp:703-721).
+    val raw = Kronecker.generate(spark, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    raw.count()
+    val tGen = (System.nanoTime() - t0) / 1e9
+
+    // Stage 2: construction — clean + one shuffle, shared by all runs
+    // (the reference's cached CSR, mpi/main.cc:58-61).
+    val t1 = System.nanoTime()
+    val g = Bfs.prepare(EdgeOps.cleanEdges(raw))
+    val tCon = (System.nanoTime() - t1) / 1e9
+
+    // Stage 3: deterministic root sample. The non-isolated vertex set is
+    // collected as a driver set — at SCALE≥26 swap for a broadcast Bloom
+    // filter over EdgeOps.degrees.
+    val maxV = g.all.agg(max(col("vertex"))).head().getLong(0)
+    val hasEdge = g.all.as[Long].collect().toSet
+    val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge.contains)
+
+    // Stage 4: timed, validated BFS runs.
+    val runs = roots.zipWithIndex.map { case (root, i) =>
+      val b0 = System.nanoTime()
+      val res = Bfs.bfsMinParent(spark, g, root)
+      val tree = res.tree.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tree.count()
+      val bfsTime = (System.nanoTime() - b0) / 1e9
+
+      val v0 = System.nanoTime()
+      val (nedge, errors) =
+        if (validate) {
+          val row = Validator.validate(spark, raw, tree, root, maxV + 1).head()
+          val errs = (0 until row.length - 1).map(row.getLong).sum
+          (row.getLong(row.length - 1), errs)
+        } else (PfNedge.getOrElse(scale, 0L), 0L)
+      val valTime = (System.nanoTime() - v0) / 1e9
+      tree.unpersist(blocking = false)
+      RunStat(i.toLong, root, bfsTime, valTime, nedge.toDouble, errors)
+    }.toSeq
+
+    raw.unpersist(blocking = false)
+    g.unpersist()
+
+    val hm = runs.map(r => r.bfs_time / r.nedge).sum match {
+      case s if s > 0 => runs.size / s
+      case _ => 0.0
+    }
+    val goldenOk = PfNedge.get(scale).forall(exp =>
+      runs.map(_.nedge.toLong).max == exp)
+    Summary(scale, nRoots, tGen, tCon, runs, hm, goldenOk)
+  }
+
+  final case class BatchedSummary(scale: Int, nRoots: Int,
+                                  generationTime: Double,
+                                  constructionTime: Double,
+                                  bfsWall: Double, validateWall: Double,
+                                  totalNedge: Long, throughputTeps: Double,
+                                  errors: Long, nedgeGoldenOk: Boolean)
+
+  /**
+   * Batched protocol: all roots in one multi-source BFS
+   * (Bfs.bfsMinParentMulti) + one batched validation pass
+   * (Validator.validateMulti). Set-oriented multi-query execution —
+   * per-level costs amortize across runs, the raw edge list is scanned
+   * once for all validations. Throughput TEPS = Σ nedge / BFS wall.
+   */
+  def runBatched(spark: SparkSession, scale: Int,
+                 nRoots: Int = 16): BatchedSummary = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val raw = Kronecker.generate(spark, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    raw.count()
+    val tGen = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val g = Bfs.prepare(EdgeOps.cleanEdges(raw))
+    val tCon = (System.nanoTime() - t1) / 1e9
+
+    val maxV = g.all.agg(max(col("vertex"))).head().getLong(0)
+    val hasEdge = g.all.as[Long].collect().toSet
+    val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge.contains)
+
+    val b0 = System.nanoTime()
+    val trees = Bfs.bfsMinParentMulti(spark, g, roots.toSeq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trees.count()
+    val bfsWall = (System.nanoTime() - b0) / 1e9
+
+    val v0 = System.nanoTime()
+    val rootsDf = roots.zipWithIndex
+      .map { case (r, i) => (i.toLong, r) }.toSeq.toDF("run", "root")
+    val rows = Validator
+      .validateMulti(spark, raw, trees, rootsDf, maxV + 1).collect()
+    val valWall = (System.nanoTime() - v0) / 1e9
+
+    val nedges = rows.map(r => r.getLong(r.fieldIndex("edge_visit_count")))
+    val errors = rows.map { r =>
+      (1 until r.length).map(r.getLong).sum -
+        r.getLong(r.fieldIndex("edge_visit_count"))
+    }.sum
+    trees.unpersist(blocking = false)
+    raw.unpersist(blocking = false)
+    g.unpersist()
+
+    val totalNedge = nedges.sum
+    BatchedSummary(scale, nRoots, tGen, tCon, bfsWall, valWall, totalNedge,
+      if (bfsWall > 0) totalNedge / bfsWall else 0.0, errors,
+      PfNedge.get(scale).forall(exp => nedges.max == exp))
+  }
+
+  /** The per-run stats as a DataFrame in Teps.statBlock's input schema. */
+  def runStatsDf(spark: SparkSession, s: Summary): DataFrame = {
+    import spark.implicits._
+    s.runs.toDF()
+      .select(col("run"), col("bfs_time"), col("validate_time"), col("nedge"))
+  }
+
+  def statBlock(spark: SparkSession, s: Summary): DataFrame =
+    Teps.statBlock(runStatsDf(spark, s))
+}

@@ -98,4 +98,81 @@ object Validator {
       .crossJoin(predEdgeMissing)
       .crossJoin(edgeChecks)
   }
+
+  /**
+   * Batched validation of many BFS runs in one pass: `trees` is
+   * (run, vertex, pred, depth) from [[graft.bfs.Bfs.bfsMinParentMulti]],
+   * `rootsDf` is (run, root). Same five spec checks, every aggregation
+   * keyed by run, the raw edge list scanned ONCE for all runs (the
+   * reference re-scans it per run, mpi/main.cc:131-137).
+   *
+   * Returns one row per run:
+   * (run, range_errors, root_errors, self_parent_errors,
+   *  depth_presence_errors, depth_chain_errors, pred_edge_missing,
+   *  edge_depth_errors, edge_visit_count).
+   */
+  def validateMulti(spark: SparkSession, rawEdges: DataFrame, trees: DataFrame,
+                    rootsDf: DataFrame, nGlobalVerts: Long): DataFrame = {
+    val t = trees.select("run", "vertex", "pred", "depth")
+      .join(broadcast(rootsDf), "run")
+
+    val treeChecks = t.groupBy("run").agg(
+      sum(when(col("pred") < -1 || col("pred") >= nGlobalVerts, 1L).otherwise(0L))
+        .as("range_errors"),
+      sum(when(col("vertex") === col("root") &&
+               (col("pred") =!= col("root") || col("depth") =!= 0L), 1L)
+        .otherwise(0L)).as("root_errors"),
+      sum(when(col("vertex") =!= col("root") && col("pred") === col("vertex"), 1L)
+        .otherwise(0L)).as("self_parent_errors"),
+      sum(when((col("pred") === -1L) =!= col("depth").isNull, 1L).otherwise(0L))
+        .as("depth_presence_errors"))
+
+    val parentDepth = trees.select(col("run").as("p_run"),
+      col("vertex").as("p_vertex"), col("depth").as("p_depth"))
+    val depthErrors = t
+      .filter(col("pred") =!= -1L && col("vertex") =!= col("root"))
+      .join(parentDepth,
+        col("run") === col("p_run") && col("pred") === col("p_vertex"),
+        "left_outer")
+      .groupBy("run")
+      .agg(sum(when(col("p_depth").isNull ||
+                    col("depth") =!= col("p_depth") + 1L, 1L).otherwise(0L))
+        .as("depth_chain_errors"))
+
+    val undirectedRaw = rawEdges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+    val predEdgeMissing = t
+      .filter(col("pred") =!= -1L && col("vertex") =!= col("root"))
+      .select(col("run"), least(col("vertex"), col("pred")).as("lo"),
+        greatest(col("vertex"), col("pred")).as("hi"))
+      .join(undirectedRaw, Seq("lo", "hi"), "left_anti")
+      .groupBy("run").agg(count(lit(1)).as("pred_edge_missing"))
+
+    val du = trees.select(col("run").as("u_run"), col("vertex").as("u"),
+      col("depth").as("du"))
+    val dv = trees.select(col("run").as("v_run"), col("vertex").as("v"),
+      col("depth").as("dv"))
+    val edgeChecks = rawEdges
+      .join(du, col("src") === col("u"))
+      .join(dv, col("u_run") === col("v_run") && col("dst") === col("v"))
+      .groupBy(col("u_run").as("run"))
+      .agg(
+        sum(when(
+          (col("du").isNotNull && col("dv").isNotNull &&
+            abs(col("du") - col("dv")) > 1L) ||
+            (col("du").isNull =!= col("dv").isNull), 1L).otherwise(0L))
+          .as("edge_depth_errors"),
+        sum(when(col("du").isNotNull && col("dv").isNotNull &&
+                 abs(col("du") - col("dv")) <= 1L, 1L).otherwise(0L))
+          .as("edge_visit_count"))
+
+    rootsDf.select("run")
+      .join(treeChecks, Seq("run"), "left_outer")
+      .join(depthErrors, Seq("run"), "left_outer")
+      .join(predEdgeMissing, Seq("run"), "left_outer")
+      .join(edgeChecks, Seq("run"), "left_outer")
+      .na.fill(0L)
+  }
 }
