@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit specs for the training-data pipeline operators on tiny
+  * hand-checkable inputs. */
+class OpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- TextOps ----
+
+  test("tokenCounts: whitespace vs BPE-ish") {
+    val d = docs((0L, "ab c1, d!"), (1L, "   "), (2L, ""))
+    val r = TextOps.tokenCounts(d).orderBy("doc_id").collect()
+    // "ab c1, d!": ws tokens [ab, c1,, d!]; bpe: ab|c|1|,|d|!
+    assert(r(0).getLong(1) === 3L && r(0).getLong(2) === 6L)
+    assert(r(1).getLong(1) === 0L)
+    assert(r(2).getLong(1) === 0L && r(2).getLong(2) === 0L)
+  }
+
+  test("shingles: 3-gram over tokens, short docs fall back to whole text") {
+    val d = docs((0L, "a b c d"), (1L, "x y"))
+    val sh = TextOps.shingles(d, 3).orderBy("doc_id", "shingle").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.toSeq === Seq((0L, "a b c"), (0L, "b c d"), (1L, "x y")))
+  }
+
+  test("fingerprint: rolling hash matches hand computation") {
+    val d = docs((0L, "hi"))
+    val fp = TextOps.fingerprint(d).head().getLong(1)
+    assert(fp === (('h'.toLong * 31) + 'i'.toLong) % 1000000007L)
+  }
+
+  test("langId: marker argmax with zh override") {
+    val d = docs(
+      (0L, "the cat and the dog is of to"),
+      (1L, "el que la los de de"),
+      (2L, "中文 the the the"))
+    val r = TextOps.langId(d).orderBy("doc_id").collect()
+      .map(_.getAs[String]("lang_pred"))
+    assert(r.toSeq === Seq("en", "es", "zh"))
+  }
+
+  test("quality: ratios and gate") {
+    val d = docs((0L, "one two three"))  // 3 tokens < 10 => score -1
+    val r = TextOps.quality(d).head()
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Double]("quality_score") === -1.0)
+  }
+
+  // ---- Dedup ----
+
+  test("exact dedup groups identical texts to min doc_id") {
+    val d = docs((5L, "same text"), (2L, "same text"), (9L, "other"))
+    val r = Dedup.exact(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(r.toSeq === Seq((2L, 2L), (5L, 2L), (9L, 9L)))
+  }
+
+  test("minhash LSH finds identical and near-identical docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs((0L, base), (1L, base), (2L, base + " extra"),
+      (3L, "completely different words entirely unrelated content here now"))
+    val pairs = Dedup.minhashDedup(d, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard pairs: exact value") {
+    val d = docs((0L, "a b c d"), (1L, "a b c e"))
+    // shingles: {abc,bcd} vs {abc,bce} => J = 1/3
+    val j = Dedup.jaccardPairs(TextOps.shingles(d, 3)).head().getDouble(2)
+    assert(j === 0.333333)
+  }
+
+  test("simhash: identical docs collide, hamming 0 pair found") {
+    val d = docs((0L, "spark scala data"), (1L, "spark scala data"),
+      (2L, "zz yy xx ww vv"))
+    val sigs = Dedup.simhash(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sigs(0)._2 === sigs(1)._2)
+    val pairs = Dedup.simhashDedup(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((0L, 1L, 0L)))
+  }
+
+  test("embedding dedup: parallel vectors have cosine 1") {
+    val s = spark; import s.implicits._
+    val e = Seq((0L, Array(1f, 0f, 2f)), (1L, Array(2f, 0f, 4f)),
+      (2L, Array(-1f, 5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.embeddingDedup(e, 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r.toSeq === Seq((0L, 1L, 1.0)))
+  }
+
+  // ---- Similarity ----
+
+  test("bruteForceTopK ranks by cosine desc") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(1f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(e, k = 2, nQueries = 1)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(r.toSeq === Seq(1L, 3L))  // closest to (1,0) first
+  }
+
+  test("ivfTopK with all cells probed equals brute force") {
+    val s = spark; import s.implicits._
+    val e = (0L until 20L).map(i =>
+      (i, Array((i % 7).toFloat + 1f, (i % 3).toFloat, (i % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(e, 3, 4).orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = Similarity.ivfTopK(e, 3, 4, nCentroids = 4, nProbe = 4)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bf.toSeq === ivf.toSeq)
+  }
+
+  // ---- Multimodal ----
+
+  test("decode/resize/frames/featurize plumbing") {
+    val s = spark; import s.implicits._
+    val d = Seq((2L, "x" * 600)).toDF("doc_id", "text")  // kind=video
+    val media = Multimodal.mediaFromDocuments(d)
+    val dec = Multimodal.decodeMeta(spark, media).head()
+    assert(dec.getAs[String]("kind") === "video")
+    assert(dec.getAs[Long]("n_bytes") === 600L)
+    assert(dec.getAs[Int]("width") === 16 + ('x' % 64))
+    assert(dec.getAs[Int]("channels") === 1)
+    val rs = Multimodal.resize(Multimodal.decodeMeta(spark, media)).head()
+    assert(rs.getAs[Long]("n_bytes") === 300L)
+    // 600 bytes => 3 frames (256,256,88); stride 4 samples frame 0 only
+    val fr = Multimodal.frameSample(media).collect()
+    assert(fr.length === 1 && fr(0).getLong(1) === 0L && fr(0).getLong(3) === 256L)
+    val ft = Multimodal.featurize(spark, media).head()
+    val f = ft.getAs[scala.collection.Seq[Long]]("feature")
+    assert(f.length === 8 && f.sum === 600L * 'x'.toLong)
+  }
+
+  test("multi-root BFS matches single-root BFS per run") {
+    val s = spark; import s.implicits._
+    val raw = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (6L, 7L))
+      .toDF("src", "dst")
+    val clean = graft.etl.EdgeOps.cleanEdges(raw)
+    val g = graft.bfs.Bfs.prepare(clean)
+    val roots = Seq(0L, 6L)
+    val multi = graft.bfs.Bfs.bfsMinParentMulti(spark, g, roots)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    roots.zipWithIndex.foreach { case (root, i) =>
+      val single = graft.bfs.Bfs.bfsMinParent(spark, g, root).tree
+        .collect().map(r => (i.toLong, r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(single.subsetOf(multi), s"run $i mismatch")
+    }
+    g.unpersist()
+  }
+}
