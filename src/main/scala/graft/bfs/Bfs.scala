@@ -83,10 +83,16 @@ object Bfs {
     val all = g.all
     val totalVerts = g.totalVerts
 
-    var visited = Seq((root, root, 0)).toDF("vertex", "pred", "depth")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Visited state = the list of per-level frontiers, each a small
+    // localCheckpoint()ed DataFrame. Anti-joins read their lazy union —
+    // same data volume as a materialized visited table, but without
+    // re-caching O(|visited|) rows every level.
+    val levels0 = Seq((root, root, 0)).toDF("vertex", "pred", "depth")
+      .localCheckpoint(eager = true)
+    val levelDfs = scala.collection.mutable.ArrayBuffer(levels0)
+    def visited: DataFrame = levelDfs.reduce(_ union _)
     var visitedCount = 1L
-    var frontier = visited.select("vertex")
+    var frontier = levels0.select("vertex")
     var frontierSize = 1L
     var level = 0
     val sizes = scala.collection.mutable.ArrayBuffer((0, 1L))
@@ -123,11 +129,7 @@ object Bfs {
       if (frontierSize > 0) {
         sizes += ((level, frontierSize))
         visitedCount += frontierSize
-        val newVisited = visited.union(next)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        newVisited.count()
-        visited.unpersist(blocking = false)
-        visited = newVisited
+        levelDfs += next
         frontier = next.select("vertex")
       }
     }
@@ -164,11 +166,13 @@ object Bfs {
     import spark.implicits._
     val edges = g.edges
 
-    var visited = roots.zipWithIndex
+    val levels0 = roots.zipWithIndex
       .map { case (r, i) => (i.toLong, r, r, 0) }
       .toDF("run", "vertex", "pred", "depth")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = visited.select("run", "vertex")
+      .localCheckpoint(eager = true)
+    val levelDfs = scala.collection.mutable.ArrayBuffer(levels0)
+    def visited: DataFrame = levelDfs.reduce(_ union _)
+    var frontier = levels0.select("run", "vertex")
     var frontierSize = roots.size.toLong
     var level = 0
 
@@ -187,11 +191,7 @@ object Bfs {
         .localCheckpoint(eager = true)
       frontierSize = next.count()
       if (frontierSize > 0) {
-        val newVisited = visited.union(next)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        newVisited.count()
-        visited.unpersist(blocking = false)
-        visited = newVisited
+        levelDfs += next
         frontier = next.select("run", "vertex")
       }
     }

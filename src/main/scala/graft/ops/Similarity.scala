@@ -27,9 +27,11 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two ARRAY<DOUBLE> columns. */
+  /** Sequential-fold dot product of two ARRAY<DOUBLE> columns — native
+    * codegen'd expression (graft.functions.ArrayDotProduct); identical
+    * result bits to the `aggregate(zip_with(...))` fold it replaces. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+    graft.functions.ArrayDotProduct.dot(a, b)
 
   def l2norm(v: Column): Column = sqrt(dot(v, v))
 
