@@ -99,6 +99,9 @@ object SparkEntry {
     // Q4 — degree-descending reorder map (mode 2).
     "q4_reorder_degree" -> ((s, dir) => EdgeOps.reorderMap(clean(s, dir), 2)),
 
+    // Q4 — identity-order reorder map (mode 0).
+    "q4_reorder_identity" -> ((s, dir) => EdgeOps.reorderMap(clean(s, dir), 0)),
+
     // Q5 — graph summary counts.
     "q5_graph_counts" -> ((s, dir) => EdgeOps.graphCounts(clean(s, dir))),
 
@@ -118,6 +121,9 @@ object SparkEntry {
     // Q7 — canonical min-parent BFS tree from root = min(src).
     "q7_bfs" -> ((s, dir) => tree(s, dir)),
 
+    // Q7 — byte-compat packed pred view (reference P5: depth≪48 | parent).
+    "q7_packed_pred" -> ((s, dir) => Bfs.packedPred(tree(s, dir))),
+
     // Q8 — Graph500 five-predicate validation of the Q7 tree.
     "q8_validate" -> ((s, dir) => {
       val maxV = clean(s, dir).agg(max(greatest(col("src"), col("dst"))))
@@ -131,6 +137,24 @@ object SparkEntry {
 
     // Q10 — per-level frontier sizes.
     "q10_level_sizes" -> ((s, dir) => Bfs.levelSizes(tree(s, dir))),
+
+    // S4 — deterministic initial-edge backbones (MRG scramble → rows check).
+    "s4_tree_edges" -> ((s, _) => graft.gen.Kronecker.binaryTreeEdges(s, 10)),
+    "s4_ham_edges" -> ((s, _) => graft.gen.Kronecker.hamiltonianCycleEdges(s, 10)),
+
+    // S5 — uniform random generator (MRG → rows check).
+    "s5_uniform" -> ((s, _) => graft.gen.Kronecker.generateUniform(s, 10)),
+
+    // S7 — weighted Kronecker generation (MRG weight stream → rows check).
+    "s7_weighted" -> ((s, _) => graft.gen.Kronecker.generateWeighted(s, 10)),
+
+    // Event-stream analytics (batch form of the streaming transforms).
+    "ev_window" -> ((s, dir) =>
+      streaming.Events.windowedCounts(events(s, dir))),
+    "ev_sessions" -> ((s, dir) =>
+      streaming.Events.sessionize(events(s, dir))),
+    "ev_topusers" -> ((s, dir) =>
+      streaming.Events.topUsers(events(s, dir), 3)),
 
     // ---- training-data pipeline ops over documents/embeddings ----
 
@@ -198,6 +222,16 @@ object SparkEntry {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
+    * refuses natively; read nanos as long and truncate to microsecond
+    * timestamps — exactly what DuckDB does when it loads the same file
+    * (ns → µs TIMESTAMP), keeping the oracle comparison aligned. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Deterministic pseudo run-stats: 64 smallest orders; bfs_time from
     * totalprice, nedge from orderkey (see q9 oracle). */
@@ -289,6 +323,53 @@ object SparkEntry {
     "q10_level_sizes" -> (GraphCte +
       """SELECT CAST(depth AS BIGINT) AS level, count(*) AS frontier_size
         |FROM d GROUP BY depth""".stripMargin),
+
+    "q4_reorder_identity" -> (GraphCte +
+      """, deg AS (SELECT src AS vertex, count(*) AS degree FROM clean GROUP BY src)
+        |SELECT vertex,
+        |       CAST(row_number() OVER (ORDER BY vertex) - 1 AS BIGINT) AS new_id
+        |FROM deg""".stripMargin),
+
+    "q7_packed_pred" -> (GraphCte +
+      """SELECT vertex,
+        |       CASE WHEN pred = -1 THEN CAST(-1 AS BIGINT)
+        |            ELSE (depth << 48) | pred END AS packed
+        |FROM tree""".stripMargin),
+
+    "ev_window" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, value, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM e)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       count(*) AS n_events,
+        |       max(us) - min(us) AS duration_us,
+        |       round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "ev_topusers" ->
+      """WITH sums AS (
+        |  SELECT event_type, user_id, round(sum(value), 6) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, CAST(rank AS BIGINT) AS rank, total_value
+        |FROM (SELECT event_type, user_id, total_value,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY total_value DESC, user_id) AS rank
+        |      FROM sums)
+        |WHERE rank <= 3""".stripMargin,
 
     // ---- training-data pipeline oracles ----
 

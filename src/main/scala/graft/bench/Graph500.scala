@@ -36,8 +36,36 @@ object Graph500 {
                            constructionTime: Double, runs: Seq[RunStat],
                            harmonicMeanTeps: Double, nedgeGoldenOk: Boolean)
 
+  // ---- S8: benchmark checkpoint / resume (reference: binary
+  // LogFileFormat + read_log_file, mpi/benchmark_helper.hpp:530-604,
+  // mpi/logfile.h:109-124 — here a line-per-run text file). ----
+
+  def writeCheckpoint(path: String, runs: Seq[RunStat]): Unit = {
+    val lines = runs.map(r =>
+      s"${r.run},${r.root},${r.bfs_time},${r.validate_time},${r.nedge},${r.errors}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  /** Completed runs recorded in `path`; empty if absent/corrupt. */
+  def readCheckpoint(path: String): Seq[RunStat] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else try {
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        .filter(_.nonEmpty)
+        .map { l =>
+          val f = l.split(",")
+          RunStat(f(0).toLong, f(1).toLong, f(2).toDouble, f(3).toDouble,
+            f(4).toDouble, f(5).toLong)
+        }
+    } catch { case _: Exception => Seq.empty }
+  }
+
   def run(spark: SparkSession, scale: Int, nRoots: Int = 16,
-          validate: Boolean = true): Summary = {
+          validate: Boolean = true,
+          checkpointPath: Option[String] = None): Summary = {
     import spark.implicits._
 
     val t0 = System.nanoTime()
@@ -61,8 +89,13 @@ object Graph500 {
     val hasEdge = g.all.as[Long].collect().toSet
     val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge.contains)
 
-    // Stage 4: timed, validated BFS runs.
-    val runs = roots.zipWithIndex.map { case (root, i) =>
+    // Stage 4: timed, validated BFS runs — resuming past any runs already
+    // recorded in the checkpoint (reference resumes at root k,
+    // mpi/main.cc:86-90 via read_log_file).
+    val prior = checkpointPath.map(readCheckpoint).getOrElse(Seq.empty)
+      .take(nRoots)
+    val completed = scala.collection.mutable.ArrayBuffer(prior: _*)
+    val runs = completed.toSeq ++ roots.zipWithIndex.drop(prior.size).map { case (root, i) =>
       val b0 = System.nanoTime()
       val res = Bfs.bfsMinParent(spark, g, root)
       val tree = res.tree.persist(
@@ -79,7 +112,10 @@ object Graph500 {
         } else (PfNedge.getOrElse(scale, 0L), 0L)
       val valTime = (System.nanoTime() - v0) / 1e9
       tree.unpersist(blocking = false)
-      RunStat(i.toLong, root, bfsTime, valTime, nedge.toDouble, errors)
+      val stat = RunStat(i.toLong, root, bfsTime, valTime, nedge.toDouble, errors)
+      completed += stat
+      checkpointPath.foreach(p => writeCheckpoint(p, completed.toSeq))
+      stat
     }.toSeq
 
     raw.unpersist(blocking = false)

@@ -142,6 +142,18 @@ object Bfs {
     Result(tree, sizes.toSeq)
   }
 
+  /** Byte-compat packed predecessor view (reference P5: depth in the high
+    * 16 bits, parent in the low 48 — mpi/validate.hpp:809-819, written at
+    * bfs.hpp:1203,2470-2481; unreached = all-ones = −1). Our engine keeps
+    * (pred, depth) as separate columns; this view exists for golden-output
+    * compatibility with the reference's pred array. */
+  def packedPred(tree: DataFrame): DataFrame =
+    tree.select(
+      col("vertex"),
+      when(col("pred") === -1L, lit(-1L))
+        .otherwise(shiftleft(col("depth"), 48).bitwiseOR(col("pred")))
+        .as("packed"))
+
   /** Per-level frontier sizes (reference Q10 — the per-level NQ telemetry,
     * mpi/bfs.hpp:2836-2882) as a DataFrame, computed from a finished tree. */
   def levelSizes(tree: DataFrame): DataFrame =

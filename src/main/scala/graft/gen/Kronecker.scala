@@ -107,6 +107,87 @@ object Kronecker {
   }
 
   /**
+   * Initial-edge generators (reference S4, graph_generator.hpp:512-542,
+   * counts at 388-394): a deterministic backbone prepended to the edge
+   * stream in spec2012 mode. BINARY_TREE emits n−1 edges
+   * (scramble(i+1), scramble((i+1)/2)); HAMILTONIAN_CYCLE emits n edges
+   * (scramble(i), scramble(i+1)) with the closing edge
+   * (scramble(n), scramble(0)) — bug-compatible with the reference's
+   * out-of-range scramble(n) on the last edge. Narrow scans, no shuffle.
+   */
+  def binaryTreeEdges(spark: SparkSession, scale: Int,
+                      seed1: Long = DefaultSeed1,
+                      seed2: Long = DefaultSeed2): DataFrame = {
+    import spark.implicits._
+    val (val0, val1) = scrambleVals(seed1, seed2)
+    val n = 1L << scale
+    spark.range(0L, n - 1)
+      .mapPartitions(_.map(i =>
+        (scramble(i + 1, scale, val0, val1),
+          scramble((i + 1) / 2, scale, val0, val1))))
+      .toDF("src", "dst")
+  }
+
+  def hamiltonianCycleEdges(spark: SparkSession, scale: Int,
+                            seed1: Long = DefaultSeed1,
+                            seed2: Long = DefaultSeed2): DataFrame = {
+    import spark.implicits._
+    val (val0, val1) = scrambleVals(seed1, seed2)
+    val n = 1L << scale
+    spark.range(0L, n)
+      .mapPartitions(_.map { i =>
+        if (i < n - 1)
+          (scramble(i, scale, val0, val1), scramble(i + 1, scale, val0, val1))
+        else
+          (scramble(n, scale, val0, val1), scramble(0L, scale, val0, val1))
+      })
+      .toDF("src", "dst")
+  }
+
+  /** Uniform random generator (reference S5, RandomGraphGenerator,
+    * graph_generator.hpp:571-600): endpoints = scramble(uint & (n−1)) from
+    * the per-edge MRG state at offset i·2^64. Same embarrassingly parallel
+    * scan shape as the Kronecker path. */
+  def generateUniform(spark: SparkSession, scale: Int,
+                      edgeFactor: Long = DefaultEdgeFactor,
+                      seed1: Long = DefaultSeed1,
+                      seed2: Long = DefaultSeed2): DataFrame = {
+    import spark.implicits._
+    val (val0, val1) = scrambleVals(seed1, seed2)
+    val mask = (1L << scale) - 1
+    spark.range(0L, edgeFactor << scale)
+      .mapPartitions(_.map { i =>
+        val st = Mrg.makeSeed(seed1, seed2)
+        st.skip(0L, i, 0L)
+        (scramble(st.nextUint() & mask, scale, val0, val1),
+          scramble(st.nextUint() & mask, scale, val0, val1))
+      })
+      .toDF("src", "dst")
+  }
+
+  /** Weighted generation (reference S7, graph_generator.hpp:479-506): the
+    * intended per-edge-addressable weight stream at MRG offset
+    * 30·2^128 + 46·2^64 + i, weight = (uint mod maxWeight) + 1. (The
+    * reference ships with a debug 0xBEEF constant, `#if 1` at 499-501;
+    * we implement the real stream its SSSP path was built for.) */
+  def generateWeighted(spark: SparkSession, scale: Int,
+                       maxWeight: Int = 255,
+                       edgeFactor: Long = DefaultEdgeFactor,
+                       seed1: Long = DefaultSeed1,
+                       seed2: Long = DefaultSeed2): DataFrame = {
+    import spark.implicits._
+    val (val0, val1) = scrambleVals(seed1, seed2)
+    spark.range(0L, edgeFactor << scale)
+      .mapPartitions(_.map { i =>
+        val (s, d) = makeEdge(scale, i, seed1, seed2, val0, val1)
+        val st = Mrg.makeSeed(seed1, seed2)
+        st.skip(30L, 46L, i)
+        (s, d, ((st.nextUint() % maxWeight) + 1).toInt)
+      })
+      .toDF("src", "dst", "weight")
+  }
+
+  /**
    * Deterministic BFS-root sampling with rejection (reference:
    * mpi/benchmark_helper.hpp:475-508): candidate = ⌊(d0+d1)·n⌋ mod n from
    * the seed PRNG stream; reject duplicates and vertices with no edges.

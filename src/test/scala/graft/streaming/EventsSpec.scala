@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class EventsSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  private def evDf(rows: Ev*) = {
+    val s = spark; import s.implicits._
+    rows.toDF()
+  }
+
+  test("sessionize splits on >30min gaps") {
+    val d = evDf(
+      Ev(0, ts(0), 1, "a", 1.0), Ev(1, ts(10), 1, "a", 2.0),
+      Ev(2, ts(50), 1, "a", 3.0),              // 40min gap → new session
+      Ev(3, ts(5), 2, "b", 4.0))
+    val r = Events.sessionize(d).orderBy("user_id", "session_idx").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq === Seq((1L, 1L, 2L, 600000000L), (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L)))
+  }
+
+  test("windowedCounts tumbling hour") {
+    val d = evDf(Ev(0, ts(1), 1, "a", 1.5), Ev(1, ts(59), 2, "a", 2.5),
+      Ev(2, ts(30), 3, "b", 1.0))
+    val r = Events.windowedCounts(d).orderBy("event_type").collect()
+    assert(r.length === 2)
+    assert(r(0).getLong(2) === 2L && r(0).getDouble(3) === 4.0)
+  }
+
+  test("topUsers ranks by total value") {
+    val d = evDf(Ev(0, ts(1), 1, "a", 5.0), Ev(1, ts(2), 2, "a", 9.0),
+      Ev(2, ts(3), 1, "a", 1.0))
+    val r = Events.topUsers(d, 2).orderBy("rank").collect()
+      .map(x => (x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq((2L, 1L), (1L, 2L)))  // 9.0 beats 6.0
+  }
+
+  test("windowedCountsStream runs under Structured Streaming with watermark") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.windowedCountsStream(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("evw")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Ev(0, ts(1), 1, "a", 1.0), Ev(1, ts(2), 2, "a", 2.0))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT * FROM evw").collect()
+      assert(r.length === 1 && r(0).getLong(2) === 2L)
+      mem.addData(Ev(2, ts(3), 3, "b", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM evw").count() === 2)
+    } finally q.stop()
+  }
+}
