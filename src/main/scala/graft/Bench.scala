@@ -9,7 +9,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "16").toInt
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "18").toInt
     val nRoots = sys.env.getOrElse("SPARK_GRAFT_ROOTS", "16").toInt
     val g500On = sys.env.getOrElse("SPARK_GRAFT_G500", "1") != "0"
     val spark = SparkSession.builder()
