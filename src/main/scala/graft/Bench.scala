@@ -14,6 +14,7 @@ object Bench {
     val g500On = sys.env.getOrElse("SPARK_GRAFT_G500", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Session extension registering graft's native SQL functions:
+ *
+ *   - `array_dot(a, b)`  — codegen'd sequential dot product
+ *   - `kron_edge(scale, i)` — deterministic Graph500 edge generation
+ *
+ * Activate with `.config("spark.sql.extensions",
+ * "graft.functions.GraftExtensions")` (comma-composable with other
+ * extensions, per the public SparkSessionExtensions contract).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "array_dot takes 2 arguments")
+        ArrayDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kron_edge"),
+      new ExpressionInfo(classOf[KronEdge].getName, "kron_edge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "kron_edge takes 2 arguments")
+        KronEdge(children.head, children(1))
+      }))
+  }
+}
