@@ -178,6 +178,7 @@ object Bfs {
     import spark.implicits._
     val edges = g.edges
 
+    val runsDf0 = roots.indices.map(_.toLong).toDF("run")
     val levels0 = roots.zipWithIndex
       .map { case (r, i) => (i.toLong, r, r, 0) }
       .toDF("run", "vertex", "pred", "depth")
@@ -186,16 +187,40 @@ object Bfs {
     def visited: DataFrame = levelDfs.reduce(_ union _)
     var frontier = levels0.select("run", "vertex")
     var frontierSize = roots.size.toLong
+    var visitedTotal = frontierSize
+    val stateTotal = roots.size.toLong * g.totalVerts
     var level = 0
 
     while (frontierSize > 0) {
       level += 1
-      val frontierSide =
-        if (frontierSize <= BroadcastLimit) broadcast(frontier) else frontier
-      val discovered = edges
-        .join(frontierSide, edges("src") === frontierSide("vertex"))
-        .select(col("run"), edges("dst").as("vertex"), edges("src").as("pred"))
-        .join(visited.select("run", "vertex"), Seq("run", "vertex"), "left_anti")
+      // Beamer-style direction switch across the whole batch: once the
+      // summed frontier outweighs the summed unvisited sets, scan from
+      // the unvisited side (symmetric edges ⇒ the same src-partitioned
+      // cached layout serves both directions — no second shuffle of the
+      // big table, the reference's CSR/CSC duality for free).
+      val unvisitedTotal = stateTotal - visitedTotal
+      val bottomUp = frontierSize * Beta > unvisitedTotal
+
+      val discovered =
+        if (bottomUp) {
+          val unvisited = g.all.crossJoin(broadcast(runsDf0))
+            .join(visited.select("run", "vertex"), Seq("run", "vertex"),
+              "left_anti")
+          edges
+            .join(unvisited, edges("src") === unvisited("vertex"))
+            .select(col("run"), col("vertex"), edges("dst").as("pred"))
+            .join(frontier.select(col("run"), col("vertex").as("pred")),
+              Seq("run", "pred"), "left_semi")
+        } else {
+          val frontierSide =
+            if (frontierSize <= BroadcastLimit) broadcast(frontier) else frontier
+          edges
+            .join(frontierSide, edges("src") === frontierSide("vertex"))
+            .select(col("run"), edges("dst").as("vertex"),
+              edges("src").as("pred"))
+            .join(visited.select("run", "vertex"), Seq("run", "vertex"),
+              "left_anti")
+        }
 
       val next = discovered
         .groupBy("run", "vertex").agg(min("pred").as("pred"))
@@ -203,12 +228,13 @@ object Bfs {
         .localCheckpoint(eager = true)
       frontierSize = next.count()
       if (frontierSize > 0) {
+        visitedTotal += frontierSize
         levelDfs += next
         frontier = next.select("run", "vertex")
       }
     }
 
-    val runsDf = roots.indices.map(_.toLong).toDF("run")
+    val runsDf = runsDf0
     g.all.crossJoin(broadcast(runsDf))
       .join(visited, Seq("run", "vertex"), "left_outer")
       .select(col("run"), col("vertex"),
