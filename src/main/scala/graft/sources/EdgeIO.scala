@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Edge-list storage (reference S6, `EdgeListStorage` —
+ * generator/graph_generator.hpp:35-319). The reference's chunked,
+ * optionally file-backed storage maps to columnar formats + partitioned
+ * layout; the variant that matters for scale is the BUCKETED table:
+ * bucketing by `src` persists the exact hash-partitioning the BFS and
+ * degree queries join/aggregate on, so a reloaded graph skips its
+ * construction shuffle entirely — the durable analogue of
+ * `Bfs.prepare`'s in-memory layout (and of the reference's on-disk CSR).
+ *
+ * CSV exists for interchange with the reference's text tooling;
+ * parquet is the default interchange format.
+ */
+object EdgeIO {
+
+  def writeParquet(edges: DataFrame, path: String): Unit =
+    edges.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeCsv(edges: DataFrame, path: String): Unit =
+    edges.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Persist edges bucketed (and sorted) by src into the session catalog.
+    * Joins/aggregations on `src` over the reloaded table run shuffle-free
+    * (bucket pruning + bucketed scan). */
+  def writeBucketed(edges: DataFrame, table: String,
+                    nBuckets: Int = 32): Unit =
+    edges.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, "src")
+      .sortBy("src")
+      .saveAsTable(table)
+
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}
