@@ -67,11 +67,28 @@ object Dedup {
   }
 
   /** Exact Jaccard for every document pair sharing ≥1 shingle, via an
-    * inverted index (never all-pairs). (doc_a, doc_b, jaccard). */
-  def jaccardPairs(shingleDf: DataFrame): DataFrame = {
+    * inverted index (never all-pairs). (doc_a, doc_b, jaccard).
+    *
+    * `maxDf`: skew guard for corpus scale — shingles appearing in more
+    * than maxDf documents are dropped from the index BEFORE the
+    * self-join (a boilerplate 3-gram shared by 1M docs would emit 10¹²
+    * pairs). Sizes (`na`/`nb`) still use full shingle sets, so capped
+    * scores are a LOWER BOUND on true Jaccard (exact when a pair shares
+    * no capped shingle); pairs connected solely through ultra-hot
+    * shingles are missed — both acceptable for near-dup mining, where
+    * hot shingles are boilerplate. Off by default so oracle comparisons
+    * stay exhaustive. */
+  def jaccardPairs(shingleDf: DataFrame, maxDf: Option[Long] = None): DataFrame = {
     val sizes = shingleDf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val l = shingleDf.select(col("doc_id").as("doc_a"), col("shingle"))
-    val r = shingleDf.select(col("doc_id").as("doc_b"), col("shingle"))
+    val index = maxDf match {
+      case Some(cap) =>
+        val hot = shingleDf.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        shingleDf.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => shingleDf
+    }
+    val l = index.select(col("doc_id").as("doc_a"), col("shingle"))
+    val r = index.select(col("doc_id").as("doc_b"), col("shingle"))
     l.join(r, "shingle").filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -84,18 +101,21 @@ object Dedup {
   /** MinHash+LSH near-dup pairs, verified by exact Jaccard ≥ threshold.
     * The jaccard join is restricted to LSH candidates (semi-join), so the
     * expensive exact check touches only the candidate set. */
-  def minhashDedup(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def minhashDedup(docs: DataFrame, threshold: Double = 0.8,
+                   maxDf: Option[Long] = None): DataFrame = {
     val sh = TextOps.shingles(docs, 3)
     val cands = lshCandidates(minhashSignatures(sh))
-    jaccardPairs(sh)
+    jaccardPairs(sh, maxDf)
       .join(cands, Seq("doc_a", "doc_b"), "left_semi")
       .filter(col("jaccard") >= threshold)
   }
 
   /** Standalone exact n-gram Jaccard dedup (no LSH): all pairs sharing a
     * shingle with jaccard ≥ threshold. */
-  def ngramJaccardDedup(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    jaccardPairs(TextOps.shingles(docs, 3)).filter(col("jaccard") >= threshold)
+  def ngramJaccardDedup(docs: DataFrame, threshold: Double = 0.8,
+                        maxDf: Option[Long] = None): DataFrame =
+    jaccardPairs(TextOps.shingles(docs, 3), maxDf)
+      .filter(col("jaccard") >= threshold)
 
   /** 60-bit SimHash per document over distinct whitespace tokens: bit j is
     * set iff sum over tokens of ±1 (by bit j of md5-hash64(token)) > 0. */

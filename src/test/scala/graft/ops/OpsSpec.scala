@@ -80,6 +80,23 @@ class OpsSpec extends SparkSpec {
     assert(j === 0.333333)
   }
 
+  test("jaccardPairs maxDf drops ultra-hot shingles from the index") {
+    val common = "alpha beta gamma"
+    val d = docs(
+      (0L, s"$common one two three four"),
+      (1L, s"$common one two three four"),
+      (2L, s"$common nine ten eleven twelve"))
+    val sh = TextOps.shingles(d, 3)
+    val full = Dedup.jaccardPairs(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairs(sh, Some(2L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full index links 0-2 through the boilerplate shingle (df=3)
+    assert(full.contains((0L, 2L)))
+    // capped index keeps the real near-dup pair, drops boilerplate-only links
+    assert(capped.contains((0L, 1L)) && !capped.contains((0L, 2L)))
+  }
+
   test("simhash: identical docs collide, hamming 0 pair found") {
     val d = docs((0L, "spark scala data"), (1L, "spark scala data"),
       (2L, "zz yy xx ww vv"))
