@@ -138,6 +138,15 @@ object SparkEntry {
     // Q10 — per-level frontier sizes.
     "q10_level_sizes" -> ((s, dir) => Bfs.levelSizes(tree(s, dir))),
 
+    // SSSP — weighted shortest-path distances on the deterministic
+    // 2000-line lineitem subgraph (completes the reference's stubbed
+    // SSSP path, mpi/bfs.hpp:2569-2571).
+    "sssp_dist" -> ((s, dir) => {
+      val we = graft.bfs.Sssp.weightedEdgesFromLineitem(s, dir, 2000)
+      val root = we.agg(min(col("src"))).head().getLong(0)
+      graft.bfs.Sssp.sssp(s, we, root).select("vertex", "dist")
+    }),
+
     // S4 — deterministic initial-edge backbones (MRG scramble → rows check).
     "s4_tree_edges" -> ((s, _) => graft.gen.Kronecker.binaryTreeEdges(s, 10)),
     "s4_ham_edges" -> ((s, _) => graft.gen.Kronecker.hamiltonianCycleEdges(s, 10)),
@@ -335,6 +344,26 @@ object SparkEntry {
         |       CASE WHEN pred = -1 THEN CAST(-1 AS BIGINT)
         |            ELSE (depth << 48) | pred END AS packed
         |FROM tree""".stripMargin),
+
+    "sssp_dist" ->
+      """WITH RECURSIVE
+        |sub AS (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000),
+        |sraw AS (SELECT 2*l_orderkey AS src, 2*l_partkey+1 AS dst,
+        |                CAST(l_quantity AS BIGINT) AS w FROM sub),
+        |wedges AS (
+        |  SELECT src, dst, min(w) AS w FROM (
+        |    SELECT src, dst, w FROM sraw WHERE src <> dst
+        |    UNION ALL SELECT dst, src, w FROM sraw WHERE src <> dst)
+        |  GROUP BY src, dst),
+        |sroot AS (SELECT min(src) AS r FROM wedges),
+        |walk(vertex, dist, hops) AS (
+        |  SELECT r, CAST(0 AS BIGINT), 0 FROM sroot
+        |  UNION
+        |  SELECT e.dst, w.dist + e.w, w.hops + 1
+        |  FROM walk w JOIN wedges e ON e.src = w.vertex
+        |  WHERE w.hops < 40
+        |)
+        |SELECT vertex, min(dist) AS dist FROM walk GROUP BY vertex""".stripMargin,
 
     "ev_window" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
