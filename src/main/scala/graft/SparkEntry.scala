@@ -147,6 +147,15 @@ object SparkEntry {
       graft.bfs.Sssp.sssp(s, we, root).select("vertex", "dist")
     }),
 
+    // Connected components (min-label propagation) on the same subgraph.
+    "cc_components" -> ((s, dir) => {
+      val sub = s.read.parquet(s"$dir/lineitem.parquet")
+        .orderBy("l_orderkey", "l_linenumber").limit(2000)
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      graft.bfs.ConnectedComponents.components(s, EdgeOps.cleanEdges(sub))
+    }),
+
     // S4 — deterministic initial-edge backbones (MRG scramble → rows check).
     "s4_tree_edges" -> ((s, _) => graft.gen.Kronecker.binaryTreeEdges(s, 10)),
     "s4_ham_edges" -> ((s, _) => graft.gen.Kronecker.hamiltonianCycleEdges(s, 10)),
@@ -364,6 +373,21 @@ object SparkEntry {
         |  WHERE w.hops < 40
         |)
         |SELECT vertex, min(dist) AS dist FROM walk GROUP BY vertex""".stripMargin,
+
+    "cc_components" ->
+      """WITH RECURSIVE
+        |sub AS (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000),
+        |sraw AS (SELECT 2*l_orderkey AS src, 2*l_partkey+1 AS dst FROM sub),
+        |sclean AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM sraw WHERE src <> dst
+        |  UNION ALL SELECT dst, src FROM sraw WHERE src <> dst)),
+        |sverts AS (SELECT DISTINCT src AS vertex FROM sclean),
+        |walk(vertex, lab) AS (
+        |  SELECT vertex, vertex FROM sverts
+        |  UNION
+        |  SELECT e.dst, w.lab FROM walk w JOIN sclean e ON e.src = w.vertex
+        |)
+        |SELECT vertex, min(lab) AS component FROM walk GROUP BY vertex""".stripMargin,
 
     "ev_window" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,

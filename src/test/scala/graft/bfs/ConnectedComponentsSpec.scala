@@ -1,0 +1,45 @@
+package graft.bfs
+
+import graft.SparkSpec
+import graft.etl.EdgeOps
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  test("components on a hand graph") {
+    val s = spark; import s.implicits._
+    val raw = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 7L), (8L, 9L), (9L, 8L))
+      .toDF("src", "dst")
+    val got = ConnectedComponents.components(spark, EdgeOps.cleanEdges(raw))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (8L, 8L), (9L, 8L)))
+  }
+
+  test("components match union-find on random graphs (5 seeds)") {
+    val s = spark; import s.implicits._
+    for (seed <- 0L until 5L) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .toDF("src", "dst")
+      val clean = EdgeOps.cleanEdges(raw)
+      val edges = clean.collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (edges.nonEmpty) {
+        // driver-side union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => (v, find(v))).toMap
+        val got = ConnectedComponents.components(spark, clean).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got === expected, s"seed=$seed")
+      }
+    }
+  }
+}
