@@ -32,6 +32,10 @@ object Bench {
         val wall = (System.nanoTime() - t0) / 1e9
         val bfsTotal = s.runs.map(_.bfs_time).sum
         val valTotal = s.runs.map(_.validate_time).sum
+        // full Graph500 result block (reference key set, mpi/logfile.h:59-100)
+        val sb = bench.Graph500.statBlock(spark, s).head()
+        val stat = sb.schema.fieldNames.map(f =>
+          s""""$f":${sb.getAs[Double](f)}""").mkString("{", ",", "}")
         Some(s"""{"scale":$scale,"n_roots":$nRoots,"wall_sec":$wall,""" +
           s""""generation_sec":${s.generationTime},""" +
           s""""construction_sec":${s.constructionTime},""" +
@@ -39,7 +43,8 @@ object Bench {
           s""""harmonic_mean_teps":${s.harmonicMeanTeps},""" +
           s""""max_nedge":${s.runs.map(_.nedge.toLong).max},""" +
           s""""nedge_golden_ok":${s.nedgeGoldenOk},""" +
-          s""""validation_errors":${s.runs.map(_.errors).sum}}""")
+          s""""validation_errors":${s.runs.map(_.errors).sum},""" +
+          s""""stat_block":$stat}""")
       } catch { case e: Throwable =>
         Some(s"""{"error":"${e.getClass.getSimpleName}"}""")
       }
