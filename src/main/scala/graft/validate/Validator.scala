@@ -150,22 +150,38 @@ object Validator {
       .join(undirectedRaw, Seq("lo", "hi"), "left_anti")
       .groupBy("run").agg(count(lit(1)).as("pred_edge_missing"))
 
-    val du = trees.select(col("run").as("u_run"), col("vertex").as("u"),
-      col("depth").as("du"))
-    val dv = trees.select(col("run").as("v_run"), col("vertex").as("v"),
-      col("depth").as("dv"))
+    // Per-edge depth checks for ALL runs in one pass: depths packed into
+    // a run-indexed vector per vertex (unreached = −1), so the raw list
+    // joins the (|V|-row) vector table twice on vertex alone — no
+    // run-keyed |E|×runs join probe — and a posexplode generator fans
+    // out the per-run comparisons map-side.
+    val nRuns = rootsDf.count().toInt
+    val depthVec = trees
+      .select(col("vertex"), struct(col("run"),
+        coalesce(col("depth"), lit(-1L)).as("d")).as("rd"))
+      .groupBy("vertex")
+      .agg(transform(array_sort(collect_list(col("rd"))),
+        x => x.getField("d")).as("ds"))
+    val missing = array_repeat(lit(-1L), lit(nRuns))
     val edgeChecks = rawEdges
-      .join(du, col("src") === col("u"))
-      .join(dv, col("u_run") === col("v_run") && col("dst") === col("v"))
-      .groupBy(col("u_run").as("run"))
+      .join(depthVec.select(col("vertex").as("u"), col("ds").as("ua")),
+        col("src") === col("u"), "left_outer")
+      .join(depthVec.select(col("vertex").as("v"), col("ds").as("va")),
+        col("dst") === col("v"), "left_outer")
+      .select(posexplode(zip_with(
+        coalesce(col("ua"), missing), coalesce(col("va"), missing),
+        (a, b) => struct(a.as("da"), b.as("db")))).as(Seq("run", "p")))
+      .select(col("run").cast("long").as("run"),
+        col("p.da").as("da"), col("p.db").as("db"))
+      .groupBy("run")
       .agg(
         sum(when(
-          (col("du").isNotNull && col("dv").isNotNull &&
-            abs(col("du") - col("dv")) > 1L) ||
-            (col("du").isNull =!= col("dv").isNull), 1L).otherwise(0L))
+          (col("da") =!= -1L && col("db") =!= -1L &&
+            abs(col("da") - col("db")) > 1L) ||
+            ((col("da") === -1L) =!= (col("db") === -1L)), 1L).otherwise(0L))
           .as("edge_depth_errors"),
-        sum(when(col("du").isNotNull && col("dv").isNotNull &&
-                 abs(col("du") - col("dv")) <= 1L, 1L).otherwise(0L))
+        sum(when(col("da") =!= -1L && col("db") =!= -1L &&
+                 abs(col("da") - col("db")) <= 1L, 1L).otherwise(0L))
           .as("edge_visit_count"))
 
     rootsDf.select("run")
