@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Event-stream analytics over the `events` table
@@ -57,6 +58,48 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         (max(col("us")) - min(col("us"))).as("duration_us"),
         round(sum(col("value")), 6).as("sum_value"))
+  }
+
+  /** Per-user session state carried across micro-batches. */
+  case class SessionState(sessionIdx: Long, lastUs: Long, nEvents: Long)
+
+  /** One output row per (user, batch): the user's current session after
+    * folding the batch's events. */
+  case class SessionUpdate(user_id: Long, session_idx: Long,
+                           n_events: Long, last_us: Long)
+
+  /**
+   * Stateful STREAMING sessionization via
+   * `KeyValueGroupedDataset.flatMapGroupsWithState` — the custom-state
+   * path of Structured Streaming (state store checkpointing, update
+   * output mode). Each micro-batch folds a user's new events (sorted
+   * within the batch) into [[SessionState]]; a gap > 30 min opens a new
+   * session. Late cross-batch events are a watermark policy decision
+   * left to the caller (compose with `withWatermark` upstream).
+   *
+   * The batch equivalent (identical session boundaries on ordered input)
+   * is [[sessionize]].
+   */
+  def sessionizeStream(spark: SparkSession,
+                       events: DataFrame): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          rows.map(_._2).toSeq.sorted.foreach { us =>
+            st =
+              if (st.sessionIdx == 0L || us - st.lastUs > SessionGapUs)
+                SessionState(st.sessionIdx + 1, us, 1L)
+              else SessionState(st.sessionIdx, us, st.nEvents + 1)
+          }
+          state.update(st)
+          Iterator(SessionUpdate(user, st.sessionIdx, st.nEvents, st.lastUs))
+        })
   }
 
   /** Top-k users by summed value within each event_type (rank by rounded

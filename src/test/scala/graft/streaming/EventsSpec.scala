@@ -44,6 +44,27 @@ class EventsSpec extends SparkSpec {
     assert(r.toSeq === Seq((2L, 1L), (1L, 2L)))  // 9.0 beats 6.0
   }
 
+  test("sessionizeStream carries session state across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.sessionizeStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("update").start()
+    try {
+      // batch 1: two close events → session 1 with 2 events
+      mem.addData(Ev(0, ts(0), 1, "a", 1.0), Ev(1, ts(5), 1, "a", 1.0))
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT * FROM sess ORDER BY last_us DESC LIMIT 1").head()
+      assert(r1.getLong(1) === 1L && r1.getLong(2) === 2L)
+      // batch 2: 40-min gap (state remembered across batches) → session 2
+      mem.addData(Ev(2, ts(45), 1, "a", 1.0))
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT * FROM sess ORDER BY last_us DESC LIMIT 1").head()
+      assert(r2.getLong(1) === 2L && r2.getLong(2) === 1L)
+    } finally q.stop()
+  }
+
   test("windowedCountsStream runs under Structured Streaming with watermark") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
