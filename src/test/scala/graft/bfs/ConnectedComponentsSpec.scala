@@ -15,6 +15,22 @@ class ConnectedComponentsSpec extends SparkSpec {
       (8L, 8L), (9L, 8L)))
   }
 
+  test("components match GraphX connectedComponents on sf0.001 subgraph") {
+    val s = spark; import s.implicits._
+    val sub = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .orderBy("l_orderkey", "l_linenumber").limit(500)
+      .select((org.apache.spark.sql.functions.col("l_orderkey") * 2).as("src"),
+        (org.apache.spark.sql.functions.col("l_partkey") * 2 + 1).as("dst"))
+    val clean = EdgeOps.cleanEdges(sub)
+    val ours = ConnectedComponents.components(spark, clean).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edgeRdd = clean.as[(Long, Long)].rdd
+      .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    val gx = org.apache.spark.graphx.Graph.fromEdges(edgeRdd, ())
+      .connectedComponents().vertices.collect().toMap
+    assert(ours === gx.map { case (k, v) => (k, v) })
+  }
+
   test("components match union-find on random graphs (5 seeds)") {
     val s = spark; import s.implicits._
     for (seed <- 0L until 5L) {
