@@ -34,8 +34,12 @@ object Bench {
         val valTotal = s.runs.map(_.validate_time).sum
         // full Graph500 result block (reference key set, mpi/logfile.h:59-100)
         val sb = bench.Graph500.statBlock(spark, s).head()
-        val stat = sb.schema.fieldNames.map(f =>
-          s""""$f":${sb.getAs[Double](f)}""").mkString("{", ",", "}")
+        val stat = sb.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+          // stddev_samp is NULL for a single run; NaN is not valid JSON
+          val v = if (sb.isNullAt(i)) 0.0 else sb.getDouble(i)
+          val safe = if (v.isNaN || v.isInfinite) 0.0 else v
+          s""""$f":$safe"""
+        }.mkString("{", ",", "}")
         Some(s"""{"scale":$scale,"n_roots":$nRoots,"wall_sec":$wall,""" +
           s""""generation_sec":${s.generationTime},""" +
           s""""construction_sec":${s.constructionTime},""" +
