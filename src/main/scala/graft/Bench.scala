@@ -12,15 +12,23 @@ object Bench {
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "18").toInt
     val nRoots = sys.env.getOrElse("SPARK_GRAFT_ROOTS", "16").toInt
     val g500On = sys.env.getOrElse("SPARK_GRAFT_G500", "1") != "0"
+    val queriesOn = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
+    val adaptive = sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE measured, not guessed: forcing size-based AQE coalescing
+      // (parallelismFirst=false) or a 64 MB auto-broadcast threshold both
+      // LOSE here — mid-size (~100 MB) join stages collapse to one task /
+      // pay repeated broadcast builds. Defaults win; keep them.
+      .config("spark.sql.adaptive.enabled", adaptive)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = if (!queriesOn) Map.empty[String, Double]
+    else SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -89,6 +89,13 @@ object Graph500 {
     val hasEdge = g.all.as[Long].collect().toSet
     val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge.contains)
 
+    // Canonical undirected raw edges for validation check 4c — computed
+    // ONCE and shared by every run (the reference redistributes the raw
+    // list once before the run loop, mpi/main.cc:63-66).
+    val undirected = Validator.undirectedRawOf(raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (validate) undirected.count()
+
     // Stage 4: timed, validated BFS runs — resuming past any runs already
     // recorded in the checkpoint (reference resumes at root k,
     // mpi/main.cc:86-90 via read_log_file).
@@ -106,7 +113,8 @@ object Graph500 {
       val v0 = System.nanoTime()
       val (nedge, errors) =
         if (validate) {
-          val row = Validator.validate(spark, raw, tree, root, maxV + 1).head()
+          val row = Validator.validate(spark, raw, tree, root, maxV + 1,
+            undirectedRaw = Some(undirected)).head()
           val errs = (0 until row.length - 1).map(row.getLong).sum
           (row.getLong(row.length - 1), errs)
         } else (PfNedge.getOrElse(scale, 0L), 0L)
@@ -118,6 +126,7 @@ object Graph500 {
       stat
     }.toSeq
 
+    undirected.unpersist(blocking = false)
     raw.unpersist(blocking = false)
     g.unpersist()
 

@@ -44,12 +44,29 @@ object Bfs {
 
   final case class Result(tree: DataFrame, levelSizes: Seq[(Int, Long)])
 
+  /** Edge-row count at or below which BFS runs on the in-memory CSR
+    * kernel ([[LocalCsr]]) instead of the distributed level loop.
+    * Override with spark.graft.localBfsMaxEdges (0 disables the local
+    * path). */
+  val LocalBfsMaxEdgesDefault = 20000000L
+
+  def localBfsMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.localBfsMaxEdges")
+      .map(_.toLong).getOrElse(LocalBfsMaxEdgesDefault)
+
   /** The reference's cached CSR analogue: the big table shuffled ONCE
     * (hash-partitioned by src) + the vertex set, both persisted and shared
     * by every BFS run of a benchmark (reference builds Graph2DCSR once,
-    * mpi/main.cc:58-61, then runs 64 BFS over it). */
+    * mpi/main.cc:58-61, then runs 64 BFS over it). When the graph fits
+    * under the local-kernel gate, the CSR itself is materialized once too
+    * (memoized) — the construction stage of the hybrid executor. */
   final case class PreparedGraph(edges: DataFrame, all: DataFrame,
-                                 totalVerts: Long) {
+                                 totalVerts: Long, totalEdges: Long) {
+    @transient private var csrCache: LocalCsr = _
+    private[graft] def csr: LocalCsr = synchronized {
+      if (csrCache == null) csrCache = LocalCsr.build(edges)
+      csrCache
+    }
     def unpersist(): Unit = {
       edges.unpersist(blocking = false)
       all.unpersist(blocking = false)
@@ -61,7 +78,11 @@ object Bfs {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val all = clean.select(col("src").as("vertex")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    PreparedGraph(edges, all, all.count())
+    val g = PreparedGraph(edges, all, all.count(), edges.count())
+    // Hybrid-executor construction: build the local CSR up front (like the
+    // reference's construction stage) so per-run timings measure BFS only.
+    if (g.totalEdges <= localBfsMaxEdges(clean.sparkSession)) g.csr
+    g
   }
 
   /**
@@ -76,8 +97,44 @@ object Bfs {
     finally g.unpersist()
   }
 
-  /** Multi-run variant over a shared [[PreparedGraph]]. */
-  def bfsMinParent(spark: SparkSession, g: PreparedGraph, root: Long): Result = {
+  /** Hybrid gate: in-memory CSR kernel when the graph fits, distributed
+    * level loop otherwise. Identical min-parent trees either way. */
+  def bfsMinParent(spark: SparkSession, g: PreparedGraph, root: Long): Result =
+    if (g.totalEdges <= localBfsMaxEdges(spark)) {
+      val (pred, depth, sizes) = g.csr.bfs(root)
+      Result(localTreeDf(spark, g, pred, depth), sizes)
+    } else bfsMinParentDistributed(spark, g, root)
+
+  /** Dense kernel output → (vertex, pred, depth BIGINT) DataFrame, same
+    * contract as the distributed loop. The kernel's arrays ship to
+    * executors as ONE compact broadcast and the rows materialize
+    * DISTRIBUTED, from the cached vertex table — never a driver-side
+    * row collection (a parallelize of millions of boxed rows costs
+    * seconds per downstream scan). */
+  private def localTreeDf(spark: SparkSession, g: PreparedGraph,
+                          pred: Array[Int], depth: Array[Int]): DataFrame = {
+    val csr = g.csr
+    val bcIds = spark.sparkContext.broadcast(csr.ids)
+    val bcPred = spark.sparkContext.broadcast(pred)
+    val bcDepth = spark.sparkContext.broadcast(depth)
+    val predOf = udf { (vertex: Long) =>
+      val i = java.util.Arrays.binarySearch(bcIds.value, vertex)
+      val p = bcPred.value(i)
+      if (p < 0) -1L else bcIds.value(p)
+    }
+    val depthOf = udf { (vertex: Long) =>
+      val i = java.util.Arrays.binarySearch(bcIds.value, vertex)
+      val d = bcDepth.value(i)
+      if (d < 0) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(d.toLong)
+    }
+    g.all.select(col("vertex"), predOf(col("vertex")).as("pred"),
+      depthOf(col("vertex")).as("depth"))
+  }
+
+  /** The distributed level loop (the scale path of the hybrid executor). */
+  def bfsMinParentDistributed(spark: SparkSession, g: PreparedGraph,
+                              root: Long): Result = {
     import spark.implicits._
     val edges = g.edges
     val all = g.all
@@ -102,23 +159,51 @@ object Bfs {
       val unvisitedCount = totalVerts - visitedCount
       val bottomUp =
         frontierSize * Beta > unvisitedCount && unvisitedCount <= BroadcastLimit
+      // Visited-check build sides, broadcast while they fit so the
+      // anti-join is a map-side hash probe (the reference's
+      // shared_visited bitmap, bfs.hpp:2584-2615); past the limit, fall
+      // back to a shuffle anti-join — the same bitmap↔list switch.
+      //
+      // Top-down needs only the LAST TWO levels: on an undirected graph a
+      // neighbor of a depth-(l−1) vertex sits at depth l−2, l−1, or l, so
+      // older levels can never reappear among candidates. This is the
+      // relational form of the reference's new/old-visited double buffer
+      // (bfs.hpp:1411-1439) — the anti-join build side is O(two
+      // frontiers), not O(|visited|).
+      val recentTwo = levelDfs.takeRight(2)
+      val recentCount = sizes.takeRight(2).map(_._2).sum
+      def recentSide(name: String): DataFrame = {
+        val v = recentTwo.map(_.select(col("vertex").as(name)))
+          .reduce(_ union _)
+        if (recentCount <= BroadcastLimit) broadcast(v) else v
+      }
+      def visitedSide(name: String): DataFrame = {
+        val v = visited.select(col("vertex").as(name))
+        if (visitedCount <= BroadcastLimit) broadcast(v) else v
+      }
 
       val discovered =
         if (bottomUp) {
           // Small unvisited side: broadcast it, scan edges once, keep only
-          // parents that are in the current frontier.
-          val unvisited = all.join(visited.select("vertex"), Seq("vertex"), "left_anti")
+          // parents that are in the current frontier. (Unvisited = all
+          // minus FULL visited — only this rare branch touches the whole
+          // set.)
+          val unvisited = all.join(visitedSide("vertex"), Seq("vertex"), "left_anti")
           edges
             .join(broadcast(unvisited), edges("dst") === unvisited("vertex"))
             .select(edges("dst").as("vertex"), edges("src").as("pred"))
-            .join(frontier.select(col("vertex").as("f")), col("pred") === col("f"), "left_semi")
+            .join(
+              if (frontierSize <= BroadcastLimit)
+                broadcast(frontier.select(col("vertex").as("f")))
+              else frontier.select(col("vertex").as("f")),
+              col("pred") === col("f"), "left_semi")
         } else {
           val frontierSide =
             if (frontierSize <= BroadcastLimit) broadcast(frontier) else frontier
           edges
             .join(frontierSide, edges("src") === frontierSide("vertex"))
             .select(edges("dst").as("vertex"), edges("src").as("pred"))
-            .join(visited.select(col("vertex").as("v")), col("vertex") === col("v"), "left_anti")
+            .join(recentSide("v"), col("vertex") === col("v"), "left_anti")
         }
 
       val next = discovered
@@ -174,7 +259,43 @@ object Bfs {
    * bfsMinParent produces.
    */
   def bfsMinParentMulti(spark: SparkSession, g: PreparedGraph,
-                        roots: Seq[Long]): DataFrame = {
+                        roots: Seq[Long]): DataFrame =
+    if (g.totalEdges <= localBfsMaxEdges(spark)) {
+      val csr = g.csr
+      val nV = csr.nVerts
+      val nRuns = roots.size
+      // run-major packed kernel outputs, shipped once as broadcasts
+      val predFlat = new Array[Int](nRuns * nV)
+      val depthFlat = new Array[Int](nRuns * nV)
+      roots.zipWithIndex.foreach { case (root, run) =>
+        val (pred, depth, _) = csr.bfs(root)
+        System.arraycopy(pred, 0, predFlat, run * nV, nV)
+        System.arraycopy(depth, 0, depthFlat, run * nV, nV)
+      }
+      val bcIds = spark.sparkContext.broadcast(csr.ids)
+      val bcPred = spark.sparkContext.broadcast(predFlat)
+      val bcDepth = spark.sparkContext.broadcast(depthFlat)
+      val predOf = udf { (run: Long, vertex: Long) =>
+        val i = java.util.Arrays.binarySearch(bcIds.value, vertex)
+        val p = bcPred.value(run.toInt * nV + i)
+        if (p < 0) -1L else bcIds.value(p)
+      }
+      val depthOf = udf { (run: Long, vertex: Long) =>
+        val d = bcDepth.value(run.toInt * nV +
+          java.util.Arrays.binarySearch(bcIds.value, vertex))
+        if (d < 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(d.toLong)
+      }
+      val runsDf = spark.range(nRuns).toDF("run")
+      g.all.crossJoin(broadcast(runsDf))
+        .select(col("run"), col("vertex"),
+          predOf(col("run"), col("vertex")).as("pred"),
+          depthOf(col("run"), col("vertex")).as("depth"))
+    } else bfsMinParentMultiDistributed(spark, g, roots)
+
+  /** Distributed multi-source loop (see [[bfsMinParentMulti]]). */
+  def bfsMinParentMultiDistributed(spark: SparkSession, g: PreparedGraph,
+                                   roots: Seq[Long]): DataFrame = {
     import spark.implicits._
     val edges = g.edges
 
@@ -184,7 +305,9 @@ object Bfs {
       .toDF("run", "vertex", "pred", "depth")
       .localCheckpoint(eager = true)
     val levelDfs = scala.collection.mutable.ArrayBuffer(levels0)
+    val levelCounts = scala.collection.mutable.ArrayBuffer(roots.size.toLong)
     def visited: DataFrame = levelDfs.reduce(_ union _)
+    def recentSizes: Seq[Long] = levelCounts.takeRight(2).toSeq
     var frontier = levels0.select("run", "vertex")
     var frontierSize = roots.size.toLong
     var visitedTotal = frontierSize
@@ -200,16 +323,32 @@ object Bfs {
       // big table, the reference's CSR/CSC duality for free).
       val unvisitedTotal = stateTotal - visitedTotal
       val bottomUp = frontierSize * Beta > unvisitedTotal
+      // Visited-check build sides (see bfsMinParent): top-down anti-joins
+      // only the last two levels (undirected depth property, per run);
+      // the rare bottom-up branch uses the full set.
+      val recentTwo = levelDfs.takeRight(2)
+      val recentCount = recentSizes.sum
+      def recentSide: DataFrame = {
+        val v = recentTwo.map(_.select(col("run"), col("vertex")))
+          .reduce(_ union _)
+        if (recentCount <= BroadcastLimit) broadcast(v) else v
+      }
+      def visitedSide: DataFrame = {
+        val v = visited.select("run", "vertex")
+        if (visitedTotal <= BroadcastLimit) broadcast(v) else v
+      }
 
       val discovered =
         if (bottomUp) {
           val unvisited = g.all.crossJoin(broadcast(runsDf0))
-            .join(visited.select("run", "vertex"), Seq("run", "vertex"),
-              "left_anti")
+            .join(visitedSide, Seq("run", "vertex"), "left_anti")
           edges
             .join(unvisited, edges("src") === unvisited("vertex"))
             .select(col("run"), col("vertex"), edges("dst").as("pred"))
-            .join(frontier.select(col("run"), col("vertex").as("pred")),
+            .join(
+              if (frontierSize <= BroadcastLimit)
+                broadcast(frontier.select(col("run"), col("vertex").as("pred")))
+              else frontier.select(col("run"), col("vertex").as("pred")),
               Seq("run", "pred"), "left_semi")
         } else {
           val frontierSide =
@@ -218,8 +357,7 @@ object Bfs {
             .join(frontierSide, edges("src") === frontierSide("vertex"))
             .select(col("run"), edges("dst").as("vertex"),
               edges("src").as("pred"))
-            .join(visited.select("run", "vertex"), Seq("run", "vertex"),
-              "left_anti")
+            .join(recentSide, Seq("run", "vertex"), "left_anti")
         }
 
       val next = discovered
@@ -230,6 +368,7 @@ object Bfs {
       if (frontierSize > 0) {
         visitedTotal += frontierSize
         levelDfs += next
+        levelCounts += frontierSize
         frontier = next.select("run", "vertex")
       }
     }

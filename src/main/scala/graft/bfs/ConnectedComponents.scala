@@ -4,16 +4,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Connected components by iterative min-label propagation: every vertex
- * starts labeled with its own id; each round every vertex takes the min
- * of its label and its neighbors' labels; fixpoint = component id =
- * min vertex id in the component.
+ * Connected components by min-label propagation with pointer jumping:
+ * every vertex starts labeled with its own id; each round a vertex takes
+ * the min of (its label, its neighbors' labels, its label's label).
+ * Fixpoint = component id = min vertex id in the component.
  *
- * Same execution profile as the BFS/SSSP loops: edge table partitioned
- * once by src, per-round join against the (shrinking) set of vertices
- * whose label changed, labels updated via groupBy-min. Rounds =
- * O(component diameter). (GraphX's `connectedComponents` is the
- * Pregel-shaped alternative; this is the Catalyst-native path.)
+ * The neighbor step alone needs O(component diameter) rounds — a long
+ * path graph of length d takes d rounds, each a full pass over the edge
+ * table. The pointer-jumping step (label ← label[label], the classic
+ * Shiloach–Vishkin shortcut) halves label-chain lengths every round, so
+ * convergence drops to O(log d) rounds: labels race to the component
+ * minimum exponentially. At 100 TB the edge table dominates each round,
+ * so cutting round COUNT (not per-round cost) is the scale lever — the
+ * jump join touches only the |V|-sized label table.
+ *
+ * Execution profile per round: edges (partitioned once by src, cached)
+ * ⋈ labels → groupBy-min proposals; then two |V|-table joins for the
+ * jump. Labels are localCheckpoint()ed per round to cut lineage.
+ * (GraphX's `connectedComponents` is the Pregel-shaped alternative,
+ * cross-checked in ConnectedComponentsSpec; this is the Catalyst-native
+ * path.)
  */
 object ConnectedComponents {
 
@@ -26,26 +36,32 @@ object ConnectedComponents {
       .distinct()
       .withColumn("component", col("vertex"))
       .localCheckpoint(eager = true)
-    // changed = vertices whose label improved last round (initially all)
-    var changed = labels
-    var changedCount = changed.count()
+    var changedCount = 1L
 
     while (changedCount > 0) {
-      // neighbors of changed vertices see the new (smaller) labels
+      // 1. neighbor-min: smallest label seen across each vertex's edges.
+      // Labels always hold vertex ids from the same component, so taking
+      // mins never crosses components.
       val proposals = edges
-        .join(changed, edges("src") === changed("vertex"))
+        .join(labels, edges("src") === labels("vertex"))
         .select(edges("dst").as("vertex"), col("component"))
-        .groupBy("vertex").agg(min("component").as("proposal"))
-      val updated = labels
+        .groupBy("vertex").agg(min("component").as("nmin"))
+      val stepped = labels
         .join(proposals, Seq("vertex"), "left_outer")
         .select(col("vertex"),
-          least(col("component"),
-            coalesce(col("proposal"), col("component"))).as("component"),
-          (col("proposal") < col("component")).as("improved"))
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("mid"),
+          col("component").as("old"))
+      // 2. pointer jump: follow the label one hop (mid's own current
+      // label) — label chains halve, rounds become O(log d).
+      val byId = labels.select(col("vertex").as("cv"), col("component").as("cc"))
+      val updated = stepped
+        .join(byId, col("mid") === col("cv"), "left_outer")
+        .select(col("vertex"),
+          least(col("mid"), coalesce(col("cc"), col("mid"))).as("component"),
+          col("old"))
         .localCheckpoint(eager = true)
-      changed = updated.filter(col("improved"))
-        .select("vertex", "component")
-      changedCount = changed.count()
+      changedCount = updated.filter(col("component") =!= col("old")).count()
       labels = updated.select("vertex", "component")
     }
     edges.unpersist(blocking = false)

@@ -2,7 +2,6 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /**
  * Edge-list ETL — the construction-phase operators of the reference
@@ -52,12 +51,16 @@ object EdgeOps {
    * Ties broken by vertex id for a canonical, oracle-checkable map (the
    * reference's sort is unstable; any tie order is spec-valid).
    *
-   * Scale note: the global row_number is a single total order — fine for the
-   * vertex table (|V| ≪ |E|), and equivalent to the reference's global sort
-   * of the same size. Uses a range-partitioned sort underneath (no single-
-   * partition bottleneck).
+   * Scale note: dense-id assignment is a RANGE-PARTITIONED global sort
+   * (orderBy — parallel sample-based range exchange) followed by
+   * zipWithIndex (one pass for per-partition counts, one to add offsets).
+   * A windowed row_number with no partition key would instead move the
+   * whole vertex table through a single partition — the classic
+   * global-window bottleneck this implementation exists to avoid.
    */
   def reorderMap(clean: DataFrame, mode: Int): DataFrame = {
+    val spark = clean.sparkSession
+    import spark.implicits._
     val deg = degrees(clean)
     val order: Seq[Column] = mode match {
       case 0 => Seq(col("vertex").asc)
@@ -65,9 +68,10 @@ object EdgeOps {
       case 2 => Seq(col("degree").desc, col("vertex").asc)
       case _ => throw new IllegalArgumentException(s"reorder mode $mode")
     }
-    deg.select(
-      col("vertex"),
-      (row_number().over(Window.orderBy(order: _*)) - 1).cast("long").as("new_id"))
+    val sorted = deg.orderBy(order: _*).select(col("vertex")).as[Long]
+    spark.createDataset(
+        sorted.rdd.zipWithIndex.map { case (v, i) => (v, i) })
+      .toDF("vertex", "new_id")
   }
 
   /** Graph summary: non-isolated vertex count, max used vertex, undirected

@@ -98,15 +98,43 @@ object Dedup {
           (col("na") + col("nb") - col("common")), 6).as("jaccard"))
   }
 
+  /** Exact Jaccard for a given set of candidate pairs only: candidates
+    * are joined back to the shingle table on each side, so verification
+    * cost is O(|candidates| · shingles-per-doc) — independent of how many
+    * non-candidate pairs share a shingle. (doc_a, doc_b, jaccard). */
+  def jaccardFor(cands: DataFrame, shingleDf: DataFrame,
+                 maxDf: Option[Long] = None): DataFrame = {
+    val sizes = shingleDf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Same skew guard / lower-bound semantics as jaccardPairs: sizes stay
+    // full, ultra-hot shingles leave the scoring index.
+    val index = maxDf match {
+      case Some(cap) =>
+        val hot = shingleDf.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        shingleDf.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => shingleDf
+    }
+    val l = index.select(col("doc_id").as("doc_a"), col("shingle"))
+    val r = index.select(col("doc_id").as("doc_b"), col("shingle"))
+    cands.join(l, "doc_a")
+      .join(r, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")), 6).as("jaccard"))
+  }
+
   /** MinHash+LSH near-dup pairs, verified by exact Jaccard ≥ threshold.
-    * The jaccard join is restricted to LSH candidates (semi-join), so the
-    * expensive exact check touches only the candidate set. */
+    * Exact scoring touches ONLY the LSH candidate set ([[jaccardFor]]) —
+    * the whole point of LSH at corpus scale: the all-pairs (or
+    * all-co-shingle-pairs) comparison never happens. */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.8,
                    maxDf: Option[Long] = None): DataFrame = {
     val sh = TextOps.shingles(docs, 3)
     val cands = lshCandidates(minhashSignatures(sh))
-    jaccardPairs(sh, maxDf)
-      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+    jaccardFor(cands, sh, maxDf)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -152,16 +180,68 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Corpora up to this many vectors use the broadcast block-scoring path. */
+  val EmbeddingBlockLimit = 200000L
+
   /** Embedding cosine near-dup pairs (vec_id_a < vec_id_b, cos ≥ threshold).
-    * Dot products via a sequential fold so results are bit-stable. */
+    * Dot products via a sequential index-order fold so results are
+    * bit-stable (identical to [[Similarity.dot]] / DuckDB
+    * list_dot_product).
+    *
+    * All-pairs exact scoring is inherently O(n²); the efficient physical
+    * shape is a block nested loop over PRIMITIVE vectors, not a join that
+    * materializes both arrays into every pair row. When the corpus fits
+    * in a broadcast ([[EmbeddingBlockLimit]]), each partition streams its
+    * vectors against the broadcast block in a tight fused loop — no
+    * shuffle, no per-pair array copies; pairs above (threshold − ε) are
+    * the only rows ever materialized. Beyond that, this falls back to the
+    * Catalyst cross-join — but at corpus scale the right tool is the
+    * sub-quadratic path (minhashDedup / simhashDedup / Similarity.ivfTopK),
+    * with this as the exact within-bucket verifier. */
   def embeddingDedup(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val n = Similarity.withNorm(embeddings)
-    val a = n.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = n.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.crossJoin(b).filter(col("vec_id_a") < col("vec_id_b"))
-      .select(col("vec_id_a"), col("vec_id_b"),
-        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-          .as("cosine"))
-      .filter(col("cosine") >= threshold)
+    if (embeddings.isStreaming || n.count() > EmbeddingBlockLimit) {
+      val a = n.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.crossJoin(b).filter(col("vec_id_a") < col("vec_id_b"))
+        .select(col("vec_id_a"), col("vec_id_b"),
+          round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("cosine"))
+        .filter(col("cosine") >= threshold)
+    } else {
+      val typed = n.select(col("vec_id"), col("v"), col("nrm"))
+        .as[(Long, Array[Double], Double)]
+      val block = typed.collect().sortBy(_._1)
+      val bc = spark.sparkContext.broadcast(block)
+      // ε-margin below the threshold: round(·, 6) moves a double by at
+      // most 5e-7, so no pair that rounds past the threshold is lost.
+      val eps = 1e-6
+      val pairs = typed.mapPartitions { it =>
+        val arr = bc.value
+        it.flatMap { case (ida, va, na) =>
+          // binary search: first block index with id > ida
+          var lo = 0
+          var hi = arr.length
+          while (lo < hi) {
+            val m = (lo + hi) >>> 1
+            if (arr(m)._1 <= ida) lo = m + 1 else hi = m
+          }
+          Iterator.range(lo, arr.length).flatMap { j =>
+            val (idb, vb, nb) = arr(j)
+            var s = 0.0
+            var i = 0
+            while (i < va.length) { s += va(i) * vb(i); i += 1 }
+            val c = s / (na * nb)
+            if (c >= threshold - eps) Iterator.single((ida, idb, c))
+            else Iterator.empty
+          }
+        }
+      }.toDF("vec_id_a", "vec_id_b", "raw")
+      pairs.select(col("vec_id_a"), col("vec_id_b"),
+          round(col("raw"), 6).as("cosine"))
+        .filter(col("cosine") >= threshold)
+    }
   }
 }

@@ -28,15 +28,37 @@ import org.apache.spark.sql.functions._
  */
 object Validator {
 
+  /** Above this many vertices the tree side is no longer broadcast. */
+  val BroadcastVerts = 4000000L
+
+  /** The canonical undirected raw edge set used by check 4c — (lo, hi)
+    * with self-loops dropped and duplicates merged. A benchmark validating
+    * many runs over ONE graph should compute this once, persist it, and
+    * pass it to every [[validate]] call (the reference's redistributed
+    * edge list is likewise built once, mpi/main.cc:63-66). */
+  def undirectedRawOf(rawEdges: DataFrame): DataFrame =
+    rawEdges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+
   /**
    * Returns a single-row DataFrame of error counters (all BIGINT, 0 = pass)
    * plus the traversed-edge count:
    * (range_errors, root_errors, self_parent_errors, depth_errors,
    *  pred_edge_missing, edge_depth_errors, edge_visit_count).
+   *
+   * `undirectedRaw`: optional precomputed (persisted) [[undirectedRawOf]]
+   * result, to amortize the raw-edge dedup across many runs.
    */
   def validate(spark: SparkSession, rawEdges: DataFrame, tree: DataFrame,
-               root: Long, nGlobalVerts: Long): DataFrame = {
-    val t = tree.select("vertex", "pred", "depth")
+               root: Long, nGlobalVerts: Long,
+               undirectedRaw: Option[DataFrame] = None): DataFrame = {
+    val t0 = tree.select("vertex", "pred", "depth")
+    // One tree row per vertex: when the vertex universe fits, broadcast
+    // every tree-side join input — the raw-edge scans below then run as
+    // map-side hash probes with no shuffle of the |E|-sized table.
+    val t = if (nGlobalVerts <= BroadcastVerts) broadcast(t0) else t0
 
     // 1-4: single pass over the tree.
     val treeChecks = t.agg(
@@ -65,15 +87,12 @@ object Validator {
     // Canonicalize both sides to (lo, hi) so the anti-join is a plain
     // two-key equi-join (hash-joinable) instead of an OR-of-conjunctions
     // nested loop.
-    val undirectedRaw = rawEdges.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("lo"),
-        greatest(col("src"), col("dst")).as("hi"))
-      .distinct()
+    val undirected = undirectedRaw.getOrElse(undirectedRawOf(rawEdges))
     val predPairs = t.filter(col("pred") =!= -1L && col("vertex") =!= root)
       .select(least(col("vertex"), col("pred")).as("lo"),
         greatest(col("vertex"), col("pred")).as("hi"))
     val predEdgeMissing = predPairs
-      .join(undirectedRaw, Seq("lo", "hi"), "left_anti")
+      .join(undirected, Seq("lo", "hi"), "left_anti")
       .agg(count(lit(1)).as("pred_edge_missing"))
 
     // 5: per-raw-edge depth checks + traversed-edge count w/ multiplicity
@@ -139,10 +158,7 @@ object Validator {
                     col("depth") =!= col("p_depth") + 1L, 1L).otherwise(0L))
         .as("depth_chain_errors"))
 
-    val undirectedRaw = rawEdges.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("lo"),
-        greatest(col("src"), col("dst")).as("hi"))
-      .distinct()
+    val undirectedRaw = undirectedRawOf(rawEdges)
     val predEdgeMissing = t
       .filter(col("pred") =!= -1L && col("vertex") =!= col("root"))
       .select(col("run"), least(col("vertex"), col("pred")).as("lo"),
@@ -156,12 +172,16 @@ object Validator {
     // run-keyed |E|×runs join probe — and a posexplode generator fans
     // out the per-run comparisons map-side.
     val nRuns = rootsDf.count().toInt
-    val depthVec = trees
+    val depthVec0 = trees
       .select(col("vertex"), struct(col("run"),
         coalesce(col("depth"), lit(-1L)).as("d")).as("rd"))
       .groupBy("vertex")
       .agg(transform(array_sort(collect_list(col("rd"))),
         x => x.getField("d")).as("ds"))
+    // |V| rows of nRuns-long vectors: broadcast while that fits so the
+    // raw-edge pass below stays shuffle-free.
+    val depthVec = if (nGlobalVerts * nRuns <= BroadcastVerts) broadcast(depthVec0)
+                   else depthVec0
     val missing = array_repeat(lit(-1L), lit(nRuns))
     val edgeChecks = rawEdges
       .join(depthVec.select(col("vertex").as("u"), col("ds").as("ua")),

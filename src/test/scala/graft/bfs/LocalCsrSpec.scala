@@ -1,0 +1,72 @@
+package graft.bfs
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.etl.EdgeOps
+
+/** The hybrid executor's two paths must produce identical canonical
+  * min-parent trees — the local CSR kernel is an optimization, never a
+  * semantics change. */
+class LocalCsrSpec extends SparkSpec {
+
+  private def treesEqual(scale: String): Unit = {
+    val clean = EdgeOps.cleanEdges(
+      EdgeOps.edgesFromLineitem(spark, s"/root/testdata/$scale"))
+    val root = clean.agg(min(col("src"))).head().getLong(0)
+    val g = Bfs.prepare(clean)
+    try {
+      val local = Bfs.bfsMinParent(spark, g, root)
+      val dist = Bfs.bfsMinParentDistributed(spark, g, root)
+      assert(g.totalEdges <= Bfs.localBfsMaxEdges(spark),
+        "test graph should take the local path")
+      assert(local.levelSizes === dist.levelSizes)
+      assert(local.tree.exceptAll(dist.tree).isEmpty &&
+        dist.tree.exceptAll(local.tree).isEmpty,
+        "local CSR tree must equal the distributed loop's tree")
+    } finally g.unpersist()
+  }
+
+  test("local CSR BFS equals distributed BFS on sf0.001 lineitem graph") {
+    treesEqual("sf0.001")
+  }
+
+  test("local CSR BFS equals distributed BFS on random graphs (5 seeds)") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(60)
+      val raw = Seq.fill(3 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .toDF("src", "dst")
+      val clean = EdgeOps.cleanEdges(raw)
+      if (clean.count() > 0) {
+        val root = clean.agg(min(col("src"))).head().getLong(0)
+        val g = Bfs.prepare(clean)
+        try {
+          val local = Bfs.bfsMinParent(spark, g, root)
+          val dist = Bfs.bfsMinParentDistributed(spark, g, root)
+          assert(local.tree.exceptAll(dist.tree).isEmpty &&
+            dist.tree.exceptAll(local.tree).isEmpty, s"seed $seed")
+        } finally g.unpersist()
+      }
+    }
+  }
+
+  test("multi-root local path equals per-root local trees") {
+    val clean = EdgeOps.cleanEdges(
+      EdgeOps.edgesFromLineitem(spark, "/root/testdata/sf0.001"))
+    val g = Bfs.prepare(clean)
+    try {
+      val roots = clean.select("src").distinct().orderBy("src")
+        .limit(3).collect().map(_.getLong(0)).toSeq
+      val multi = Bfs.bfsMinParentMulti(spark, g, roots)
+      roots.zipWithIndex.foreach { case (r, i) =>
+        val single = Bfs.bfsMinParent(spark, g, r).tree
+        val slice = multi.filter(col("run") === i.toLong)
+          .select("vertex", "pred", "depth")
+        assert(slice.exceptAll(single).isEmpty &&
+          single.exceptAll(slice).isEmpty, s"run $i root $r")
+      }
+    } finally g.unpersist()
+  }
+}
