@@ -74,14 +74,22 @@ object Bfs {
   }
 
   def prepare(clean: DataFrame): PreparedGraph = {
-    val edges = clean.repartition(col("src"))
+    val spark = clean.sparkSession
+    val cached = clean.persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = cached.count()
+    val local = nE <= localBfsMaxEdges(spark)
+    // Local path skips the src-hash shuffle + second cache: the CSR is the
+    // physical layout there, so pre-partitioning the DataFrame buys nothing.
+    val edges =
+      if (local) cached
+      else cached.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val all = edges.select(col("src").as("vertex")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val all = clean.select(col("src").as("vertex")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val g = PreparedGraph(edges, all, all.count(), edges.count())
+    val g = PreparedGraph(edges, all, all.count(), nE)
+    if (!local) cached.unpersist(blocking = false)
     // Hybrid-executor construction: build the local CSR up front (like the
     // reference's construction stage) so per-run timings measure BFS only.
-    if (g.totalEdges <= localBfsMaxEdges(clean.sparkSession)) g.csr
+    if (local) g.csr
     g
   }
 

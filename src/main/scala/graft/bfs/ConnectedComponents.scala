@@ -27,8 +27,62 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
-  /** (vertex, component) for every vertex in `clean` (symmetric edges). */
+  /** (vertex, component) for every vertex in `clean` (symmetric edges).
+    * Hybrid like [[Bfs]]: union-find kernel when the edge set fits under
+    * the same size gate, distributed label propagation + pointer jumping
+    * otherwise. Identical output (component = min vertex id) either way. */
   def components(spark: SparkSession, clean: DataFrame): DataFrame = {
+    val cached = clean.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cached.count() <= Bfs.localBfsMaxEdges(spark))
+        componentsLocal(spark, cached)
+      else componentsDistributed(spark, cached)
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** Local kernel: collect edges as primitive chunks, union-find with
+    * path halving, resolve every root class to its min member id, ship
+    * the result back as one broadcast and materialize rows distributed
+    * (same output-path design as [[Bfs]]'s local kernel). */
+  private[graft] def componentsLocal(spark: SparkSession,
+                                     clean: DataFrame): DataFrame = {
+    val csr = LocalCsr.build(clean)
+    val ids = csr.ids
+    val nV = csr.nVerts
+    val parent = Array.tabulate(nV)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    var v = 0
+    while (v < nV) {
+      var k = csr.rowStarts(v)
+      val end = csr.rowStarts(v + 1)
+      while (k < end) {
+        val a = find(v); val b = find(csr.nbrs(k))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        k += 1
+      }
+      v += 1
+    }
+    // roots carry the min id of their class because unions always point
+    // the larger root at the smaller one and ids are sorted ascending
+    val comp = new Array[Long](nV)
+    v = 0
+    while (v < nV) { comp(v) = ids(find(v)); v += 1 }
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val bcComp = spark.sparkContext.broadcast(comp)
+    val compOf = udf { (vertex: Long) =>
+      bcComp.value(java.util.Arrays.binarySearch(bcIds.value, vertex))
+    }
+    clean.select(col("src").as("vertex")).distinct()
+      .select(col("vertex"), compOf(col("vertex")).as("component"))
+  }
+
+  /** Distributed path (see [[components]]). */
+  private[graft] def componentsDistributed(spark: SparkSession,
+                                           clean: DataFrame): DataFrame = {
     val edges = clean.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -43,14 +43,22 @@ object Dedup {
 
   /** k minhash values per doc over its distinct shingles:
     * m_i = min over shingles of ((2i+1)·h(s) + 104729·i) mod (2^31−1).
-    * (doc_id, i, m) */
-  def minhashSignatures(shingleDf: DataFrame, k: Int = MinhashK): DataFrame =
-    shingleDf
+    * (doc_id, i, m)
+    *
+    * One groupBy pass with k partial-aggregating min columns — NOT an
+    * explode to k rows per shingle (which multiplies the shuffle input
+    * k-fold; at corpus scale that k× blowup is the whole cost). */
+  def minhashSignatures(shingleDf: DataFrame, k: Int = MinhashK): DataFrame = {
+    val hx = shingleDf
       .select(col("doc_id"), (hash64(col("shingle")) % HashMod).as("xv"))
-      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
-      .groupBy("doc_id", "i")
-      .agg(min(((col("i") * 2 + 1) * col("xv") + col("i") * 104729L) % HashMod)
-        .as("m"))
+    val minCols = (0 until k).map { i =>
+      min((col("xv") * (2 * i + 1) + i * 104729L) % HashMod).as(s"m$i")
+    }
+    hx.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until k).map(i => col(s"m$i")): _*))
+          .as(Seq("i", "m")))
+  }
 
   /** LSH candidate pairs: docs agreeing on ALL rows of any band. */
   def lshCandidates(signatures: DataFrame, bandRows: Int = BandRows): DataFrame = {
@@ -146,19 +154,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
 
   /** 60-bit SimHash per document over distinct whitespace tokens: bit j is
-    * set iff sum over tokens of ±1 (by bit j of md5-hash64(token)) > 0. */
+    * set iff sum over tokens of ±1 (by bit j of md5-hash64(token)) > 0.
+    *
+    * One groupBy pass with 60 partial-aggregating bit-sum columns (no
+    * 60× row explode — see [[minhashSignatures]]). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokenized(docs)
       .select(col("doc_id"), explode(col("tk")).as("tok")).distinct()
       .select(col("doc_id"), hash64(col("tok")).as("h"))
-    toks
-      .withColumn("j", explode(sequence(lit(0), lit(59))))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(expr("shiftright(h, j) % 2 = 1"), 1L)
-        .otherwise(-1L)).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(0L)).as("simhash"))
+    val bitSums = (0 until 60).map { j =>
+      sum(when(expr(s"shiftright(h, $j) % 2 = 1"), 1L).otherwise(-1L)).as(s"s$j")
+    }
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. Banded by the

@@ -31,6 +31,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ours === gx.map { case (k, v) => (k, v) })
   }
 
+  test("local union-find kernel equals distributed label propagation") {
+    val s = spark; import s.implicits._
+    for (seed <- 10L until 13L) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .toDF("src", "dst")
+      val clean = EdgeOps.cleanEdges(raw)
+      if (clean.count() > 0) {
+        val loc = ConnectedComponents.componentsLocal(spark, clean).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val dist = ConnectedComponents.componentsDistributed(spark, clean)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(loc === dist, s"seed=$seed")
+      }
+    }
+  }
+
   test("components match union-find on random graphs (5 seeds)") {
     val s = spark; import s.implicits._
     for (seed <- 0L until 5L) {
