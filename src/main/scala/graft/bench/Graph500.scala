@@ -7,7 +7,7 @@ import graft.bfs.Bfs
 import graft.etl.EdgeOps
 import graft.gen.Kronecker
 import graft.stats.Teps
-import graft.validate.Validator
+import graft.validate.{LocalValidator, Validator}
 
 /**
  * The full Graph500 benchmark protocol (reference: mpi/main.cc:34-178):
@@ -79,7 +79,7 @@ object Graph500 {
     // Stage 2: construction — clean + one shuffle, shared by all runs
     // (the reference's cached CSR, mpi/main.cc:58-61).
     val t1 = System.nanoTime()
-    val g = Bfs.prepare(EdgeOps.cleanEdges(raw))
+    val g = Bfs.prepareRaw(raw)
     val tCon = (System.nanoTime() - t1) / 1e9
 
     // Stage 3: deterministic root sample. The non-isolated vertex set is
@@ -89,12 +89,74 @@ object Graph500 {
     val hasEdge = g.all.as[Long].collect().toSet
     val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge.contains)
 
-    // Canonical undirected raw edges for validation check 4c — computed
-    // ONCE and shared by every run (the reference redistributes the raw
-    // list once before the run loop, mpi/main.cc:63-66).
-    val undirected = Validator.undirectedRawOf(raw)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (validate) undirected.count()
+    // Hybrid benchmark path mirroring the BFS executor's gate: under the
+    // local-kernel size limit, each run is the in-memory CSR kernel and
+    // validation runs on the in-memory raw list (built ONCE — the
+    // reference likewise redistributes the raw list once before the run
+    // loop, mpi/main.cc:63-66). Above the gate: distributed BFS +
+    // DataFrame validation with the canonical undirected edge set shared
+    // across runs.
+    val localMode = g.totalEdges <= Bfs.localBfsMaxEdges(spark)
+    val localV =
+      if (localMode && validate) Some(new LocalValidator(g.csr.ids, raw))
+      else None
+    val undirected =
+      if (!localMode && validate) {
+        val u = Validator.undirectedRawOf(raw)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        u.count()
+        Some(u)
+      } else None
+
+    def runOne(root: Long): (Double, Double, Long, Long) =
+      if (localMode) {
+        val b0 = System.nanoTime()
+        val (pred, depth, _) = g.csr.bfs(root)
+        val bfsTime = (System.nanoTime() - b0) / 1e9
+        val v0 = System.nanoTime()
+        val (nedge, errors) = localV match {
+          case Some(lv) =>
+            val c = lv.validate(pred, depth,
+              java.util.Arrays.binarySearch(g.csr.ids, root), maxV + 1)
+            (c.last, c.init.sum)
+          case None => (PfNedge.getOrElse(scale, 0L), 0L)
+        }
+        (bfsTime, (System.nanoTime() - v0) / 1e9, nedge, errors)
+      } else {
+        val b0 = System.nanoTime()
+        val res = Bfs.bfsMinParent(spark, g, root)
+        val tree = res.tree.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tree.count()
+        val bfsTime = (System.nanoTime() - b0) / 1e9
+        val v0 = System.nanoTime()
+        val (nedge, errors) =
+          if (validate) {
+            val row = Validator.validate(spark, raw, tree, root, maxV + 1,
+              undirectedRaw = undirected).head()
+            val errs = (0 until row.length - 1).map(row.getLong).sum
+            (row.getLong(row.length - 1), errs)
+          } else (PfNedge.getOrElse(scale, 0L), 0L)
+        val valTime = (System.nanoTime() - v0) / 1e9
+        tree.unpersist(blocking = false)
+        (bfsTime, valTime, nedge, errors)
+      }
+
+    // Warm-up passes before the timed loop — the reference's PRE_EXEC
+    // timed warm-up (mpi/main.cc:91-103): JIT/pool start-up otherwise
+    // lands in early runs' times and, via the harmonic mean, dominates
+    // TEPS. Warm for up to ~1 s / 8 runs.
+    if (localMode) {
+      val w0 = System.nanoTime()
+      var i = 0
+      while (i < 8 && System.nanoTime() - w0 < 1000000000L) {
+        g.csr.bfs(roots.head); i += 1
+      }
+      // drain garbage from construction/warm-up so a mid-loop full GC
+      // doesn't land in one run's time (the harmonic mean is dominated
+      // by the slowest run)
+      System.gc()
+    }
 
     // Stage 4: timed, validated BFS runs — resuming past any runs already
     // recorded in the checkpoint (reference resumes at root k,
@@ -103,30 +165,14 @@ object Graph500 {
       .take(nRoots)
     val completed = scala.collection.mutable.ArrayBuffer(prior: _*)
     val runs = completed.toSeq ++ roots.zipWithIndex.drop(prior.size).map { case (root, i) =>
-      val b0 = System.nanoTime()
-      val res = Bfs.bfsMinParent(spark, g, root)
-      val tree = res.tree.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      tree.count()
-      val bfsTime = (System.nanoTime() - b0) / 1e9
-
-      val v0 = System.nanoTime()
-      val (nedge, errors) =
-        if (validate) {
-          val row = Validator.validate(spark, raw, tree, root, maxV + 1,
-            undirectedRaw = Some(undirected)).head()
-          val errs = (0 until row.length - 1).map(row.getLong).sum
-          (row.getLong(row.length - 1), errs)
-        } else (PfNedge.getOrElse(scale, 0L), 0L)
-      val valTime = (System.nanoTime() - v0) / 1e9
-      tree.unpersist(blocking = false)
+      val (bfsTime, valTime, nedge, errors) = runOne(root)
       val stat = RunStat(i.toLong, root, bfsTime, valTime, nedge.toDouble, errors)
       completed += stat
       checkpointPath.foreach(p => writeCheckpoint(p, completed.toSeq))
       stat
     }.toSeq
 
-    undirected.unpersist(blocking = false)
+    undirected.foreach(_.unpersist(blocking = false))
     raw.unpersist(blocking = false)
     g.unpersist()
 
@@ -163,32 +209,58 @@ object Graph500 {
     val tGen = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
-    val g = Bfs.prepare(EdgeOps.cleanEdges(raw))
+    val g = Bfs.prepareRaw(raw)
     val tCon = (System.nanoTime() - t1) / 1e9
 
     val maxV = g.all.agg(max(col("vertex"))).head().getLong(0)
     val hasEdge = g.all.as[Long].collect().toSet
     val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge.contains)
+    val localMode = g.totalEdges <= Bfs.localBfsMaxEdges(spark)
 
-    val b0 = System.nanoTime()
-    val trees = Bfs.bfsMinParentMulti(spark, g, roots.toSeq)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    trees.count()
-    val bfsWall = (System.nanoTime() - b0) / 1e9
+    val (bfsWall, valWall, nedges, errors) =
+      if (localMode) {
+        // all kernels back-to-back, then all validations (amortized raw
+        // endpoint precompute), timed as walls; untimed warm-up first
+        // (reference PRE_EXEC, mpi/main.cc:91-103)
+        val w0 = System.nanoTime()
+        var wi = 0
+        while (wi < 8 && System.nanoTime() - w0 < 1000000000L) {
+          g.csr.bfs(roots.head); wi += 1
+        }
+        System.gc()
+        val b0 = System.nanoTime()
+        val outs = roots.map(g.csr.bfs)
+        val bw = (System.nanoTime() - b0) / 1e9
+        val v0 = System.nanoTime()
+        val lv = new LocalValidator(g.csr.ids, raw)
+        val counters = roots.zip(outs).map { case (root, (pred, depth, _)) =>
+          lv.validate(pred, depth,
+            java.util.Arrays.binarySearch(g.csr.ids, root), maxV + 1)
+        }
+        val vw = (System.nanoTime() - v0) / 1e9
+        (bw, vw, counters.map(_.last).toSeq, counters.map(_.init.sum).sum)
+      } else {
+        val b0 = System.nanoTime()
+        val trees = Bfs.bfsMinParentMulti(spark, g, roots.toSeq)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        trees.count()
+        val bw = (System.nanoTime() - b0) / 1e9
 
-    val v0 = System.nanoTime()
-    val rootsDf = roots.zipWithIndex
-      .map { case (r, i) => (i.toLong, r) }.toSeq.toDF("run", "root")
-    val rows = Validator
-      .validateMulti(spark, raw, trees, rootsDf, maxV + 1).collect()
-    val valWall = (System.nanoTime() - v0) / 1e9
+        val v0 = System.nanoTime()
+        val rootsDf = roots.zipWithIndex
+          .map { case (r, i) => (i.toLong, r) }.toSeq.toDF("run", "root")
+        val rows = Validator
+          .validateMulti(spark, raw, trees, rootsDf, maxV + 1).collect()
+        val vw = (System.nanoTime() - v0) / 1e9
 
-    val nedges = rows.map(r => r.getLong(r.fieldIndex("edge_visit_count")))
-    val errors = rows.map { r =>
-      (1 until r.length).map(r.getLong).sum -
-        r.getLong(r.fieldIndex("edge_visit_count"))
-    }.sum
-    trees.unpersist(blocking = false)
+        val ne = rows.map(r => r.getLong(r.fieldIndex("edge_visit_count")))
+        val er = rows.map { r =>
+          (1 until r.length).map(r.getLong).sum -
+            r.getLong(r.fieldIndex("edge_visit_count"))
+        }.sum
+        trees.unpersist(blocking = false)
+        (bw, vw, ne.toSeq, er)
+      }
     raw.unpersist(blocking = false)
     g.unpersist()
 

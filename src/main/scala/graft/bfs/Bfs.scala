@@ -45,10 +45,11 @@ object Bfs {
   final case class Result(tree: DataFrame, levelSizes: Seq[(Int, Long)])
 
   /** Edge-row count at or below which BFS runs on the in-memory CSR
-    * kernel ([[LocalCsr]]) instead of the distributed level loop.
+    * kernel ([[LocalCsr]]) instead of the distributed level loop —
+    * ~1.3 GB of primitive arrays at the limit (SCALE 20 included).
     * Override with spark.graft.localBfsMaxEdges (0 disables the local
     * path). */
-  val LocalBfsMaxEdgesDefault = 20000000L
+  val LocalBfsMaxEdgesDefault = 64000000L
 
   def localBfsMaxEdges(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.localBfsMaxEdges")
@@ -66,6 +67,9 @@ object Bfs {
     private[graft] def csr: LocalCsr = synchronized {
       if (csrCache == null) csrCache = LocalCsr.build(edges)
       csrCache
+    }
+    private[graft] def presetCsr(c: LocalCsr): Unit = synchronized {
+      csrCache = c
     }
     def unpersist(): Unit = {
       edges.unpersist(blocking = false)
@@ -93,6 +97,31 @@ object Bfs {
     g
   }
 
+  /** [[prepare]] from a RAW edge list (loops/duplicates allowed). Under
+    * the local gate the DataFrame `distinct()` shuffle is skipped
+    * entirely: edges are symmetrized narrowly and the kernel build's
+    * sort-and-merge does the dedup (the reference's own construction
+    * order — sortEdges then duplicate merge, graph_constructor.hpp:
+    * 1363-1412). The distributed path falls back to the full
+    * [[graft.etl.EdgeOps.cleanEdges]] + [[prepare]]. */
+  def prepareRaw(raw: DataFrame): PreparedGraph = {
+    val spark = raw.sparkSession
+    val nRaw = raw.count()
+    if (nRaw * 2 <= localBfsMaxEdges(spark)) {
+      val noLoops = raw.filter(col("src") =!= col("dst"))
+      val sym = noLoops.union(
+        noLoops.select(col("dst").as("src"), col("src").as("dst")))
+      val csr = LocalCsr.build(sym, dedupAdjacent = true)
+      import spark.implicits._
+      val all = spark.createDataset(csr.ids.toSeq).toDF("vertex")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val g = PreparedGraph(graft.etl.EdgeOps.cleanEdges(raw), all,
+        csr.nVerts.toLong, csr.nbrs.length.toLong)
+      g.presetCsr(csr)
+      g
+    } else prepare(graft.etl.EdgeOps.cleanEdges(raw))
+  }
+
   /**
    * BFS from `root` over `clean` (symmetric, deduped, loop-free edges).
    * Returns (vertex, pred, depth BIGINT) for every vertex appearing in
@@ -101,8 +130,12 @@ object Bfs {
    */
   def bfsMinParent(spark: SparkSession, clean: DataFrame, root: Long): Result = {
     val g = prepare(clean)
-    try bfsMinParent(spark, g, root)
-    finally g.unpersist()
+    try {
+      val r = bfsMinParent(spark, g, root)
+      // checkpoint the tree while the prepared caches are alive — the
+      // caller's first action would otherwise recompute clean + vertex set
+      Result(r.tree.localCheckpoint(eager = true), r.levelSizes)
+    } finally g.unpersist()
   }
 
   /** Hybrid gate: in-memory CSR kernel when the graph fits, distributed

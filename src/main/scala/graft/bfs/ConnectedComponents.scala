@@ -34,8 +34,11 @@ object ConnectedComponents {
   def components(spark: SparkSession, clean: DataFrame): DataFrame = {
     val cached = clean.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Materialize (checkpoint) the small result BEFORE the input cache
+      // is dropped — otherwise the caller's first action recomputes the
+      // whole upstream query.
       if (cached.count() <= Bfs.localBfsMaxEdges(spark))
-        componentsLocal(spark, cached)
+        componentsLocal(spark, cached).localCheckpoint(eager = true)
       else componentsDistributed(spark, cached)
     } finally cached.unpersist(blocking = false)
   }

@@ -29,8 +29,23 @@ final class LocalCsr(val ids: Array[Long], val rowStarts: Array[Int],
 
   def nVerts: Int = ids.length
 
+  /** Work (frontier out-edges / unvisited rows) above which a level runs
+    * on the common ForkJoin pool instead of one thread. Fork/join +
+    * CAS overhead beats the speedup below ~1M edge-work per level
+    * (measured at SCALE 18). Test-visible so specs can force the
+    * parallel kernels on tiny graphs. */
+  private[bfs] var parallelWork = 1L << 20
+
   /** Min-parent BFS from `root` (original vertex id). Returns dense
-    * (pred, depth) arrays (−1 = unset/unreached) + per-level sizes. */
+    * (pred, depth) arrays (−1 = unset/unreached) + per-level sizes.
+    *
+    * Big levels run PARALLEL across the common pool (the reference's
+    * OpenMP sections, bfs.hpp:977,2225): top-down claims vertices with a
+    * depth CAS and folds parents with a CAS-min (min commutes ⇒ the
+    * parallel tree equals the sequential min-parent tree); bottom-up
+    * partitions the unvisited range, each vertex written by exactly one
+    * thread. Small levels stay sequential — no fork/join overhead.
+    */
   def bfs(root: Long): (Array[Int], Array[Int], Seq[(Int, Long)]) = {
     val v0 = java.util.Arrays.binarySearch(ids, root)
     require(v0 >= 0, s"root $root has no edges in this graph")
@@ -46,45 +61,26 @@ final class LocalCsr(val ids: Array[Long], val rowStarts: Array[Int],
 
     while (frontier.nonEmpty) {
       level += 1
-      val next = new scala.collection.mutable.ArrayBuilder.ofInt
       val bottomUp = frontier.length.toLong * Bfs.Beta > (nV - visited)
-      if (bottomUp) {
-        // scan unvisited rows; first (= min) neighbor on the previous
-        // level adopts the vertex (reference bottom-up, bfs.hpp:1839-1967)
-        var v = 0
-        while (v < nV) {
-          if (depth(v) < 0) {
-            var k = rowStarts(v)
-            val end = rowStarts(v + 1)
-            var hit = false
-            while (k < end && !hit) {
-              val u = nbrs(k)
-              if (depth(u) == level - 1) {
-                pred(v) = u; depth(v) = level; next += v; hit = true
-              }
-              k += 1
-            }
+      val next: Array[Int] =
+        if (bottomUp) {
+          val unvisited = nV - visited
+          if (unvisited > parallelWork)
+            bottomUpParallel(pred, depth, level)
+          else bottomUpSeq(pred, depth, level)
+        } else {
+          var work = 0L
+          var fi = 0
+          while (fi < frontier.length) {
+            val u = frontier(fi)
+            work += rowStarts(u + 1) - rowStarts(u)
+            fi += 1
           }
-          v += 1
+          if (work > parallelWork) topDownParallel(frontier, pred, depth, level)
+          else topDownSeq(frontier, pred, depth, level)
         }
-      } else {
-        // expand the (ascending) frontier; first writer wins = min parent
-        // (reference top-down, bfs.hpp:962-1137)
-        var fi = 0
-        while (fi < frontier.length) {
-          val u = frontier(fi)
-          var k = rowStarts(u)
-          val end = rowStarts(u + 1)
-          while (k < end) {
-            val v = nbrs(k)
-            if (depth(v) < 0) { pred(v) = u; depth(v) = level; next += v }
-            k += 1
-          }
-          fi += 1
-        }
-      }
-      frontier = next.result()
-      java.util.Arrays.sort(frontier)
+      java.util.Arrays.sort(next)
+      frontier = next
       if (frontier.nonEmpty) {
         sizes += ((level, frontier.length.toLong))
         visited += frontier.length
@@ -92,21 +88,167 @@ final class LocalCsr(val ids: Array[Long], val rowStarts: Array[Int],
     }
     (pred, depth, sizes.toSeq)
   }
+
+  /** Sequential top-down: frontier ascending ⇒ first writer = min parent
+    * (reference top-down, bfs.hpp:962-1137). */
+  private def topDownSeq(frontier: Array[Int], pred: Array[Int],
+                         depth: Array[Int], level: Int): Array[Int] = {
+    val next = new scala.collection.mutable.ArrayBuilder.ofInt
+    var fi = 0
+    while (fi < frontier.length) {
+      val u = frontier(fi)
+      var k = rowStarts(u)
+      val end = rowStarts(u + 1)
+      while (k < end) {
+        val v = nbrs(k)
+        if (depth(v) < 0) { pred(v) = u; depth(v) = level; next += v }
+        k += 1
+      }
+      fi += 1
+    }
+    next.result()
+  }
+
+  /** Sequential bottom-up: scan unvisited rows ascending; first (= min,
+    * rows sorted) previous-level neighbor adopts the vertex (reference
+    * bottom-up, bfs.hpp:1839-1967). */
+  private def bottomUpSeq(pred: Array[Int], depth: Array[Int],
+                          level: Int): Array[Int] = {
+    val next = new scala.collection.mutable.ArrayBuilder.ofInt
+    val nV = ids.length
+    var v = 0
+    while (v < nV) {
+      if (depth(v) < 0) {
+        var k = rowStarts(v)
+        val end = rowStarts(v + 1)
+        var hit = false
+        while (k < end && !hit) {
+          val u = nbrs(k)
+          if (depth(u) == level - 1) {
+            pred(v) = u; depth(v) = level; next += v; hit = true
+          }
+          k += 1
+        }
+      }
+      v += 1
+    }
+    next.result()
+  }
+
+  private def topDownParallel(frontier: Array[Int], pred: Array[Int],
+                              depth: Array[Int], level: Int): Array[Int] = {
+    val h = LocalCsr.IntArr
+    val nChunks = math.min(LocalCsr.Threads * 4, frontier.length)
+    val buffers = new Array[Array[Int]](nChunks)
+    java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+      val b = new scala.collection.mutable.ArrayBuilder.ofInt
+      val from = (frontier.length.toLong * c / nChunks).toInt
+      val to = (frontier.length.toLong * (c + 1) / nChunks).toInt
+      var fi = from
+      while (fi < to) {
+        val u = frontier(fi)
+        var k = rowStarts(u)
+        val end = rowStarts(u + 1)
+        while (k < end) {
+          val v = nbrs(k)
+          // depth is monotonic (written once), so a plain read of a SET
+          // value is definitive; only the −1 case needs the CAS. Claim
+          // with a depth CAS (one winner buffers v), then CAS-min the
+          // parent: min commutes, so the result equals the sequential
+          // first-writer-ascending tree.
+          var dv = depth(v)
+          if (dv == -1) {
+            if (h.compareAndSet(depth, v, -1, level)) b += v
+            dv = h.getVolatile(depth, v).asInstanceOf[Int]
+          }
+          if (dv == level) {
+            var cur = h.getVolatile(pred, v).asInstanceOf[Int]
+            while ((cur == -1 || u < cur) &&
+              !h.compareAndSet(pred, v, cur, u)) {
+              cur = h.getVolatile(pred, v).asInstanceOf[Int]
+            }
+          }
+          k += 1
+        }
+        fi += 1
+      }
+      buffers(c) = b.result()
+    }
+    concat(buffers)
+  }
+
+  private def bottomUpParallel(pred: Array[Int], depth: Array[Int],
+                               level: Int): Array[Int] = {
+    val nV = ids.length
+    val nChunks = LocalCsr.Threads * 4
+    val buffers = new Array[Array[Int]](nChunks)
+    java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+      val b = new scala.collection.mutable.ArrayBuilder.ofInt
+      val from = (nV.toLong * c / nChunks).toInt
+      val to = (nV.toLong * (c + 1) / nChunks).toInt
+      var v = from
+      while (v < to) {
+        // each v is written by exactly this thread; concurrent writes to
+        // OTHER vertices flip −1→level, never to level−1, so the frontier
+        // test is race-free
+        if (depth(v) < 0) {
+          var k = rowStarts(v)
+          val end = rowStarts(v + 1)
+          var hit = false
+          while (k < end && !hit) {
+            val u = nbrs(k)
+            if (depth(u) == level - 1) {
+              pred(v) = u; depth(v) = level; b += v; hit = true
+            }
+            k += 1
+          }
+        }
+        v += 1
+      }
+      buffers(c) = b.result()
+    }
+    concat(buffers)
+  }
+
+  private def concat(buffers: Array[Array[Int]]): Array[Int] = {
+    var n = 0
+    buffers.foreach(b => n += (if (b == null) 0 else b.length))
+    val out = new Array[Int](n)
+    var off = 0
+    buffers.foreach { b =>
+      if (b != null) { System.arraycopy(b, 0, out, off, b.length); off += b.length }
+    }
+    out
+  }
 }
 
 object LocalCsr {
 
-  /** Build from a cleaned (symmetric, deduped, loop-free) edge DataFrame.
-    * One collect of the edge pairs; dense ids assigned by sorted original
-    * id; adjacency rows end up sorted because the packed (src,dst) array
-    * is sorted before the CSR fill — the reference's per-row sort +
-    * compaction (graph_constructor.hpp:1363-1412) in one pass. */
-  def build(clean: DataFrame): LocalCsr = {
+  private[bfs] val Threads: Int =
+    math.max(2, Runtime.getRuntime.availableProcessors())
+
+  /** VarHandle over Array[Int] elements for the parallel kernels' CAS. */
+  private[bfs] val IntArr: java.lang.invoke.VarHandle =
+    java.lang.invoke.MethodHandles.arrayElementVarHandle(classOf[Array[Int]])
+
+  /** Build from a symmetric loop-free edge DataFrame. One collect of the
+    * edge pairs; dense ids assigned by sorted original id; adjacency rows
+    * end up sorted because the packed (src,dst) array is sorted before
+    * the CSR fill — the reference's per-row sort + compaction
+    * (graph_constructor.hpp:1363-1412) in one pass.
+    *
+    * `dedupAdjacent = true` additionally merges duplicate edges after the
+    * sort (the reference's duplicate merge, graph_constructor.hpp:
+    * 1390-1408), so the input may carry parallel edges — a DataFrame
+    * `distinct()` (a full shuffle) becomes unnecessary when the CSR is
+    * the execution target anyway. */
+  def build(clean: DataFrame, dedupAdjacent: Boolean = false): LocalCsr = {
     // Collect edges as ONE primitive long array per partition
     // ([src,dst,src,dst,...]) — primitive arrays serialize compactly, no
-    // driver-side deserialization of millions of boxed tuples.
+    // driver-side deserialization of millions of boxed tuples; reading
+    // InternalRow (queryExecution.toRdd) skips the Row conversion layer.
     val chunks: Array[Array[Long]] = clean.select(col("src"), col("dst"))
-      .rdd.mapPartitions { it =>
+      .queryExecution.toRdd.mapPartitions { it =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
         it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
         Iterator.single(b.result())
@@ -138,13 +280,24 @@ object LocalCsr {
       enc(i) = (s.toLong << 32) | (d.toLong & 0xffffffffL)
       i += 1
     }
-    java.util.Arrays.sort(enc)
+    java.util.Arrays.parallelSort(enc)
+    val nKeep =
+      if (!dedupAdjacent) nE
+      else {
+        var n = 0
+        i = 0
+        while (i < nE) {
+          if (n == 0 || enc(n - 1) != enc(i)) { enc(n) = enc(i); n += 1 }
+          i += 1
+        }
+        n
+      }
 
     val nV = ids.length
     val rowStarts = new Array[Int](nV + 1)
-    val nbrs = new Array[Int](nE)
+    val nbrs = new Array[Int](nKeep)
     i = 0
-    while (i < nE) {
+    while (i < nKeep) {
       nbrs(i) = (enc(i) & 0xffffffffL).toInt
       rowStarts((enc(i) >>> 32).toInt + 1) += 1
       i += 1

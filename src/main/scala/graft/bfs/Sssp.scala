@@ -34,8 +34,141 @@ object Sssp {
       .groupBy("src", "dst").agg(min("w").as("w"))
   }
 
-  /** (vertex, dist, pred) for every vertex reachable from `root`. */
+  /** (vertex, dist, pred) for every vertex reachable from `root`.
+    * Hybrid like [[Bfs]]/[[ConnectedComponents]]: a local round-
+    * synchronous relaxation kernel under the shared size gate (identical
+    * round semantics ⇒ identical pred trees), the distributed frontier
+    * loop above it. */
   def sssp(spark: SparkSession, wedges: DataFrame, root: Long): DataFrame = {
+    val cached = wedges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // checkpoint the (small) result while the input cache is alive —
+      // see ConnectedComponents.components
+      if (cached.count() <= Bfs.localBfsMaxEdges(spark))
+        ssspLocal(spark, cached, root).localCheckpoint(eager = true)
+      else ssspDistributed(spark, cached, root)
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** Local kernel: weighted adjacency collected as primitive chunks; the
+    * SAME round-synchronous relaxation as the DataFrame loop (per round:
+    * best lexicographic (dist, pred) candidate per target from the
+    * improved-frontier's edges, applied only on strict improvement), so
+    * the deterministic pred tree is identical. */
+  private[graft] def ssspLocal(spark: SparkSession, wedges: DataFrame,
+                               root: Long): DataFrame = {
+    import spark.implicits._
+    val chunks: Array[Array[Long]] = wedges.select("src", "dst", "w")
+      .queryExecution.toRdd.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => b += r.getLong(0); b += r.getLong(1); b += r.getLong(2) }
+        Iterator.single(b.result())
+      }.collect()
+    val nE = chunks.iterator.map(_.length).sum / 3
+    val flat = new Array[Long](nE * 3)
+    var off = 0
+    chunks.foreach { c => System.arraycopy(c, 0, flat, off, c.length); off += c.length }
+
+    // sorted distinct vertex ids (symmetric ⇒ srcs cover all)
+    val srcs = new Array[Long](nE)
+    var i = 0
+    while (i < nE) { srcs(i) = flat(3 * i); i += 1 }
+    java.util.Arrays.sort(srcs)
+    var nV = 0
+    i = 0
+    while (i < nE) {
+      if (nV == 0 || srcs(nV - 1) != srcs(i)) { srcs(nV) = srcs(i); nV += 1 }
+      i += 1
+    }
+    val ids = java.util.Arrays.copyOf(srcs, nV)
+
+    val r0 = java.util.Arrays.binarySearch(ids, root)
+    if (r0 < 0) return Seq((root, 0L, root)).toDF("vertex", "dist", "pred")
+
+    // CSR (counting sort by src; intra-row order irrelevant — every
+    // candidate is min-merged explicitly)
+    val rowStarts = new Array[Int](nV + 1)
+    i = 0
+    while (i < nE) {
+      rowStarts(java.util.Arrays.binarySearch(ids, flat(3 * i)) + 1) += 1
+      i += 1
+    }
+    var v = 0
+    while (v < nV) { rowStarts(v + 1) += rowStarts(v); v += 1 }
+    val fill = java.util.Arrays.copyOf(rowStarts, nV)
+    val adjDst = new Array[Int](nE)
+    val adjW = new Array[Long](nE)
+    i = 0
+    while (i < nE) {
+      val s = java.util.Arrays.binarySearch(ids, flat(3 * i))
+      adjDst(fill(s)) = java.util.Arrays.binarySearch(ids, flat(3 * i + 1))
+      adjW(fill(s)) = flat(3 * i + 2)
+      fill(s) += 1
+      i += 1
+    }
+
+    val Inf = Long.MaxValue
+    val dist = Array.fill(nV)(Inf)
+    val pred = Array.fill(nV)(-1)
+    dist(r0) = 0L
+    pred(r0) = r0
+    var frontier = Array(r0)
+    val bestDist = Array.fill(nV)(Inf)
+    val bestPred = new Array[Int](nV)
+    while (frontier.nonEmpty) {
+      val touched = new scala.collection.mutable.ArrayBuilder.ofInt
+      var fi = 0
+      while (fi < frontier.length) {
+        val u = frontier(fi)
+        var k = rowStarts(u)
+        val end = rowStarts(u + 1)
+        while (k < end) {
+          val t = adjDst(k)
+          val nd = dist(u) + adjW(k)
+          if (nd < bestDist(t) ||
+            (nd == bestDist(t) && ids(u) < ids(bestPred(t)))) {
+            if (bestDist(t) == Inf) touched += t
+            bestDist(t) = nd
+            bestPred(t) = u
+          }
+          k += 1
+        }
+        fi += 1
+      }
+      val next = new scala.collection.mutable.ArrayBuilder.ofInt
+      touched.result().foreach { t =>
+        if (bestDist(t) < dist(t)) {
+          dist(t) = bestDist(t)
+          pred(t) = bestPred(t)
+          next += t
+        }
+        bestDist(t) = Inf
+      }
+      frontier = next.result()
+    }
+
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val bcDist = spark.sparkContext.broadcast(dist)
+    val bcPred = spark.sparkContext.broadcast(pred)
+    val distOf = udf { (vertex: Long) =>
+      val d = bcDist.value(java.util.Arrays.binarySearch(bcIds.value, vertex))
+      if (d == Long.MaxValue) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(d)
+    }
+    val predOf = udf { (vertex: Long) =>
+      val p = bcPred.value(java.util.Arrays.binarySearch(bcIds.value, vertex))
+      if (p < 0) -1L else bcIds.value(p)
+    }
+    wedges.select(col("src").as("vertex")).distinct()
+      .select(col("vertex"), distOf(col("vertex")).as("dist"),
+        predOf(col("vertex")).as("pred"))
+      .filter(col("dist").isNotNull)
+      .select(col("vertex"), col("dist").cast("long").as("dist"), col("pred"))
+  }
+
+  /** Distributed frontier loop (see [[sssp]]). */
+  private[graft] def ssspDistributed(spark: SparkSession, wedges: DataFrame,
+                                     root: Long): DataFrame = {
     import spark.implicits._
     val edges = wedges.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

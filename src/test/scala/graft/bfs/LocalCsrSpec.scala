@@ -52,6 +52,42 @@ class LocalCsrSpec extends SparkSpec {
     }
   }
 
+  test("in-kernel dedup CSR equals CSR from DataFrame-distinct edges") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- 40 to 42) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.fill(200)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .toDF("src", "dst")
+      val noLoops = raw.filter(col("src") =!= col("dst"))
+      val sym = noLoops.union(
+        noLoops.select(col("dst").as("src"), col("src").as("dst")))
+      val a = LocalCsr.build(EdgeOps.cleanEdges(raw))
+      val b = LocalCsr.build(sym, dedupAdjacent = true)
+      assert(a.ids.toSeq === b.ids.toSeq, s"seed=$seed ids")
+      assert(a.rowStarts.toSeq === b.rowStarts.toSeq, s"seed=$seed rowStarts")
+      assert(a.nbrs.toSeq === b.nbrs.toSeq, s"seed=$seed nbrs")
+    }
+  }
+
+  test("parallel kernels produce the sequential min-parent tree") {
+    val clean = EdgeOps.cleanEdges(
+      EdgeOps.edgesFromLineitem(spark, "/root/testdata/sf0.001"))
+    val csr = LocalCsr.build(clean)
+    val root = csr.ids(0)
+    val (pSeq, dSeq, sSeq) = csr.bfs(root)
+    csr.parallelWork = 0L // force every level through the parallel path
+    try {
+      for (_ <- 1 to 3) { // racy code: repeat for confidence
+        val (pPar, dPar, sPar) = csr.bfs(root)
+        assert(pPar.toSeq === pSeq.toSeq)
+        assert(dPar.toSeq === dSeq.toSeq)
+        assert(sPar === sSeq)
+      }
+    } finally csr.parallelWork = 65536L
+  }
+
   test("multi-root local path equals per-root local trees") {
     val clean = EdgeOps.cleanEdges(
       EdgeOps.edgesFromLineitem(spark, "/root/testdata/sf0.001"))

@@ -44,6 +44,25 @@ class SsspSpec extends SparkSpec {
     }
   }
 
+  test("local relaxation kernel equals distributed frontier loop") {
+    val s = spark; import s.implicits._
+    for (seed <- 20L until 24L) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.fill(90)((rnd.nextInt(35).toLong, rnd.nextInt(35).toLong,
+        (rnd.nextInt(9) + 1).toLong)).toDF("src", "dst", "w")
+      val wedges = Sssp.weightedEdges(raw)
+      if (wedges.count() > 0) {
+        val root = wedges.agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col("src"))).head().getLong(0)
+        val loc = Sssp.ssspLocal(spark, wedges, root).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val dist = Sssp.ssspDistributed(spark, wedges, root).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(loc === dist, s"seed=$seed")
+      }
+    }
+  }
+
   test("sssp on a hand graph prefers cheap long path over expensive hop") {
     val s = spark; import s.implicits._
     // 0-1 costs 10 direct, but 0-2-3-1 costs 3
