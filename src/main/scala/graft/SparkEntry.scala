@@ -76,7 +76,9 @@ object SparkEntry {
 
   private def tree(s: SparkSession, dir: String): DataFrame =
     treeCache.computeIfAbsent(dir, _ => {
-      val r = Bfs.bfsMinParent(s, clean(s, dir), rootOf(s, dir))
+      // raw entry point: construction (symmetrize/dedup) happens inside
+      // the hybrid executor (in-kernel under the gate)
+      val r = Bfs.bfsMinParentRaw(s, rawEdges(s, dir), rootOf(s, dir))
       r.tree.localCheckpoint(true)
     })
 
@@ -147,13 +149,15 @@ object SparkEntry {
       graft.bfs.Sssp.sssp(s, we, root).select("vertex", "dist")
     }),
 
-    // Connected components (min-label propagation) on the same subgraph.
+    // Connected components on the same subgraph (hybrid: local
+    // union-find under the gate, label propagation + pointer jumping
+    // above; construction in-kernel from the raw subgraph).
     "cc_components" -> ((s, dir) => {
       val sub = s.read.parquet(s"$dir/lineitem.parquet")
         .orderBy("l_orderkey", "l_linenumber").limit(2000)
         .select((col("l_orderkey") * 2).as("src"),
           (col("l_partkey") * 2 + 1).as("dst"))
-      graft.bfs.ConnectedComponents.components(s, EdgeOps.cleanEdges(sub))
+      graft.bfs.ConnectedComponents.componentsRaw(s, sub)
     }),
 
     // S4 — deterministic initial-edge backbones (MRG scramble → rows check).

@@ -138,6 +138,16 @@ object Bfs {
     } finally g.unpersist()
   }
 
+  /** One-shot BFS from a RAW edge list (loops/duplicates allowed) —
+    * [[prepareRaw]]'s in-kernel construction under the gate. */
+  def bfsMinParentRaw(spark: SparkSession, raw: DataFrame, root: Long): Result = {
+    val g = prepareRaw(raw)
+    try {
+      val r = bfsMinParent(spark, g, root)
+      Result(r.tree.localCheckpoint(eager = true), r.levelSizes)
+    } finally g.unpersist()
+  }
+
   /** Hybrid gate: in-memory CSR kernel when the graph fits, distributed
     * level loop otherwise. Identical min-parent trees either way. */
   def bfsMinParent(spark: SparkSession, g: PreparedGraph, root: Long): Result =

@@ -43,13 +43,30 @@ object ConnectedComponents {
     } finally cached.unpersist(blocking = false)
   }
 
+  /** [[components]] from a RAW edge list (loops/duplicates allowed):
+    * under the gate, symmetrize narrowly and let the kernel build's
+    * sort-and-merge dedup (no DataFrame distinct shuffle — see
+    * [[Bfs.prepareRaw]]). */
+  def componentsRaw(spark: SparkSession, raw: DataFrame): DataFrame = {
+    val cached = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cached.count() * 2 <= Bfs.localBfsMaxEdges(spark)) {
+        val noLoops = cached.filter(col("src") =!= col("dst"))
+        val sym = noLoops.union(
+          noLoops.select(col("dst").as("src"), col("src").as("dst")))
+        componentsLocal(spark, sym, dedupAdjacent = true)
+          .localCheckpoint(eager = true)
+      } else components(spark, graft.etl.EdgeOps.cleanEdges(cached))
+    } finally cached.unpersist(blocking = false)
+  }
+
   /** Local kernel: collect edges as primitive chunks, union-find with
     * path halving, resolve every root class to its min member id, ship
     * the result back as one broadcast and materialize rows distributed
     * (same output-path design as [[Bfs]]'s local kernel). */
-  private[graft] def componentsLocal(spark: SparkSession,
-                                     clean: DataFrame): DataFrame = {
-    val csr = LocalCsr.build(clean)
+  private[graft] def componentsLocal(spark: SparkSession, clean: DataFrame,
+                                     dedupAdjacent: Boolean = false): DataFrame = {
+    val csr = LocalCsr.build(clean, dedupAdjacent)
     val ids = csr.ids
     val nV = csr.nVerts
     val parent = Array.tabulate(nV)(identity)
@@ -79,7 +96,8 @@ object ConnectedComponents {
     val compOf = udf { (vertex: Long) =>
       bcComp.value(java.util.Arrays.binarySearch(bcIds.value, vertex))
     }
-    clean.select(col("src").as("vertex")).distinct()
+    import spark.implicits._
+    spark.createDataset(ids.toIndexedSeq).toDF("vertex")
       .select(col("vertex"), compOf(col("vertex")).as("component"))
   }
 

@@ -31,6 +31,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ours === gx.map { case (k, v) => (k, v) })
   }
 
+  test("componentsRaw equals components over cleaned edges") {
+    val s = spark; import s.implicits._
+    for (seed <- 50L until 53L) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.fill(100)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .toDF("src", "dst")
+      if (EdgeOps.cleanEdges(raw).count() > 0) {
+        val a = ConnectedComponents.componentsRaw(spark, raw).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val b = ConnectedComponents.components(spark, EdgeOps.cleanEdges(raw))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(a === b, s"seed=$seed")
+      }
+    }
+  }
+
   test("local union-find kernel equals distributed label propagation") {
     val s = spark; import s.implicits._
     for (seed <- 10L until 13L) {
