@@ -64,12 +64,17 @@ object SparkEntry {
   // queries that consume it) ----
   private val treeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val cleanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def rawEdges(s: SparkSession, dir: String): DataFrame =
     EdgeOps.edgesFromLineitem(s, dir)
 
+  /** Cleaned edge set, materialized once per sfDir (six queries consume
+    * it; Verify/Bench run them in one session). */
   private def clean(s: SparkSession, dir: String): DataFrame =
-    EdgeOps.cleanEdges(rawEdges(s, dir))
+    cleanCache.computeIfAbsent(dir, _ =>
+      EdgeOps.cleanEdges(rawEdges(s, dir)).localCheckpoint(eager = true))
 
   private def rootOf(s: SparkSession, dir: String): Long =
     rawEdges(s, dir).agg(min(col("src"))).head().getLong(0)

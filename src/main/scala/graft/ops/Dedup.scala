@@ -60,7 +60,9 @@ object Dedup {
           .as(Seq("i", "m")))
   }
 
-  /** LSH candidate pairs: docs agreeing on ALL rows of any band. */
+  /** LSH candidate pairs: docs agreeing on ALL rows of any band. The
+    * self-join's sides share one canonical exchange (Spark reuses it),
+    * so the signature pipeline runs once. */
   def lshCandidates(signatures: DataFrame, bandRows: Int = BandRows): DataFrame = {
     val bands = signatures
       .groupBy(col("doc_id"), (col("i") / bandRows).cast("int").as("band"))
@@ -140,18 +142,31 @@ object Dedup {
     * all-co-shingle-pairs) comparison never happens. */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.8,
                    maxDf: Option[Long] = None): DataFrame = {
+    // the shingle table feeds the signature pass AND three scans inside
+    // jaccardFor — cache it once, checkpoint the (tiny) result before
+    // dropping the cache
     val sh = TextOps.shingles(docs, 3)
-    val cands = lshCandidates(minhashSignatures(sh))
-    jaccardFor(cands, sh, maxDf)
-      .filter(col("jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cands = lshCandidates(minhashSignatures(sh))
+      jaccardFor(cands, sh, maxDf)
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(eager = true)
+    } finally sh.unpersist(blocking = false)
   }
 
   /** Standalone exact n-gram Jaccard dedup (no LSH): all pairs sharing a
     * shingle with jaccard ≥ threshold. */
   def ngramJaccardDedup(docs: DataFrame, threshold: Double = 0.8,
-                        maxDf: Option[Long] = None): DataFrame =
-    jaccardPairs(TextOps.shingles(docs, 3), maxDf)
-      .filter(col("jaccard") >= threshold)
+                        maxDf: Option[Long] = None): DataFrame = {
+    val sh = TextOps.shingles(docs, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      jaccardPairs(sh, maxDf)
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(eager = true)
+    } finally sh.unpersist(blocking = false)
+  }
 
   /** 60-bit SimHash per document over distinct whitespace tokens: bit j is
     * set iff sum over tokens of ±1 (by bit j of md5-hash64(token)) > 0.
