@@ -41,6 +41,17 @@ object Dedup {
         min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
       .select(col("doc_id"), col("canonical_id"), col("content_hash"))
 
+  /** STREAMING exact dedup: emit only the first document seen per
+    * content digest (`dropDuplicatesWithinWatermark` — state bounded by
+    * the event-time watermark, so it runs forever on an unbounded
+    * ingest stream; the batch equivalent of "keep canonical_id only"
+    * from [[exact]]). Input must carry an event-time column `tsCol`. */
+  def exactStream(docs: DataFrame, tsCol: String = "ts",
+                  watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash", md5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** k minhash values per doc over its distinct shingles:
     * m_i = min over shingles of ((2i+1)·h(s) + 104729·i) mod (2^31−1).
     * (doc_id, i, m)

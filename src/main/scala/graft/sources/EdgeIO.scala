@@ -29,6 +29,19 @@ object EdgeIO {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  def writeOrc(edges: DataFrame, path: String): Unit =
+    edges.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeJson(edges: DataFrame, path: String): Unit =
+    edges.write.mode(SaveMode.Overwrite).json(path)
+
+  /** JSON interchange; schema pinned (src/dst BIGINT), no inference scan. */
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema("src BIGINT, dst BIGINT").json(path)
+
   /** Persist edges bucketed (and sorted) by src into the session catalog.
     * Joins/aggregations on `src` over the reloaded table run shuffle-free
     * (bucket pruning + bucketed scan). */

@@ -63,6 +63,28 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq === Seq((2L, 2L), (5L, 2L), (9L, 9L)))
   }
 
+  test("streaming exact dedup keeps first occurrence per content hash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Dedup.exactStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dd_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      mem.addData((1L, t(0), "alpha"), (2L, t(1), "alpha"), (3L, t(1), "beta"))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER batch, inside the watermark window
+      mem.addData((4L, t(2), "alpha"), (5L, t(3), "gamma"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dd_stream").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("minhash LSH finds identical and near-identical docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val d = docs((0L, base), (1L, base), (2L, base + " extra"),

@@ -19,6 +19,18 @@ class EdgeIOSpec extends SparkSpec {
       clean.agg(sum("src")).head().getLong(0))
   }
 
+  test("orc and json roundtrip") {
+    val clean = EdgeOps.cleanEdges(graft.gen.Kronecker.generate(spark, 8))
+    val dir = java.nio.file.Files.createTempDirectory("edgeio2").toString
+    EdgeIO.writeOrc(clean, s"$dir/o")
+    assert(EdgeIO.readOrc(spark, s"$dir/o").count() === clean.count())
+    EdgeIO.writeJson(clean, s"$dir/j")
+    val json = EdgeIO.readJson(spark, s"$dir/j")
+    assert(json.count() === clean.count())
+    assert(json.agg(sum("dst")).head().getLong(0) ===
+      clean.agg(sum("dst")).head().getLong(0))
+  }
+
   test("bucketed table: aggregation on src runs without a shuffle") {
     val clean = EdgeOps.cleanEdges(graft.gen.Kronecker.generate(spark, 8))
     EdgeIO.writeBucketed(clean, "edges_bucketed_spec", nBuckets = 4)
