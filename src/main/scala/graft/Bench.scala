@@ -14,6 +14,8 @@ object Bench {
     val g500On = sys.env.getOrElse("SPARK_GRAFT_G500", "1") != "0"
     val queriesOn = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
     val adaptive = sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE", "1") != "0"
+    // hybrid-executor gate override (0 = force the distributed paths)
+    val localMax = sys.env.get("SPARK_GRAFT_LOCAL_MAX")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -26,6 +28,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    localMax.foreach(v => spark.conf.set("spark.graft.localBfsMaxEdges", v))
 
     val results = if (!queriesOn) Map.empty[String, Double]
     else SparkEntry.queries.map { case (name, fn) =>

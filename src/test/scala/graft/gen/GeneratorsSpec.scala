@@ -67,5 +67,9 @@ class GeneratorsSpec extends SparkSpec {
     assert(s.runs.take(2) === runs)
     assert(s.runs.length === 4)
     assert(s.runs.drop(2).forall(_.errors === 0))
+    // logreader-equivalent pretty-printer (reference mpi/logreader.cc)
+    val text = graft.bench.LogReader.format(s.runs)
+    assert(text.contains("harmonic_mean_TEPS"))
+    assert(s.runs.forall(r => text.contains(r.root.toString)))
   }
 }
