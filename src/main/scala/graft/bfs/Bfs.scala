@@ -5,8 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /**
- * Direction-optimizing BFS as an iterative DataFrame job — the core query of
- * the reference (mpi/bfs.hpp:2651-2940), re-expressed relationally:
+ * Direction-optimizing min-parent BFS — the core query of the reference
+ * (mpi/bfs.hpp:2651-2940) — as a HYBRID executor: graphs at or under
+ * [[Bfs.localBfsMaxEdges]] run on the in-memory parallel CSR kernel
+ * ([[LocalCsr]] — what the single-node reference itself is at such
+ * sizes); larger graphs run the iterative DataFrame level loop below.
+ * Both paths produce the identical canonical tree (LocalCsrSpec).
+ *
+ * The distributed loop, relationally:
  *
  *   top-down:   frontier ⋈ edges ON vertex = src → anti-join visited
  *               (reference J1/J2, bfs.hpp:962-1364)
@@ -28,10 +34,12 @@ import org.apache.spark.storage.StorageLevel
  * (graft.validate.Validator) accepts it.
  *
  * Scale design: per-level results are localCheckpoint()ed to cut lineage
- * (otherwise plans grow superlinearly with depth); the previous visited
- * cache is dropped eagerly. Visited stays a compact (vertex, pred, depth)
- * table — at 100 TB the edge table dominates and is touched once per level
- * through a co-partitioned or broadcast join.
+ * (otherwise plans grow superlinearly with depth). Visited checks touch
+ * only the last two levels (undirected depth property — the reference's
+ * new/old-visited double buffer). At 100 TB the edge table dominates and
+ * is touched once per level through a co-partitioned or broadcast join;
+ * locally each level has a ~0.5 s fixed multi-job latency floor, which
+ * is precisely what the local-kernel path removes for gate-sized graphs.
  */
 object Bfs {
 
