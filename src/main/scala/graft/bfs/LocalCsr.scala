@@ -258,12 +258,12 @@ object LocalCsr {
     var off = 0
     chunks.foreach { c => System.arraycopy(c, 0, flat, off, c.length); off += c.length }
 
-    // distinct sorted vertex ids via primitive sort + in-place dedup
-    // (symmetric graph ⇒ srcs cover every vertex)
+    // distinct sorted vertex ids via primitive parallel sort + in-place
+    // dedup (symmetric graph ⇒ srcs cover every vertex)
     val srcs = new Array[Long](nE)
     var i = 0
     while (i < nE) { srcs(i) = flat(2 * i); i += 1 }
-    java.util.Arrays.sort(srcs)
+    java.util.Arrays.parallelSort(srcs)
     var nV0 = 0
     i = 0
     while (i < nE) {
@@ -272,13 +272,19 @@ object LocalCsr {
     }
     val ids = java.util.Arrays.copyOf(srcs, nV0)
 
+    // dense-map both endpoints (two binary searches per edge) in parallel
     val enc = new Array[Long](nE)
-    i = 0
-    while (i < nE) {
-      val s = java.util.Arrays.binarySearch(ids, flat(2 * i))
-      val d = java.util.Arrays.binarySearch(ids, flat(2 * i + 1))
-      enc(i) = (s.toLong << 32) | (d.toLong & 0xffffffffL)
-      i += 1
+    val nStripes = Threads * 4
+    java.util.stream.IntStream.range(0, nStripes).parallel().forEach { st =>
+      val from = (nE.toLong * st / nStripes).toInt
+      val to = (nE.toLong * (st + 1) / nStripes).toInt
+      var j = from
+      while (j < to) {
+        val s = java.util.Arrays.binarySearch(ids, flat(2 * j))
+        val d = java.util.Arrays.binarySearch(ids, flat(2 * j + 1))
+        enc(j) = (s.toLong << 32) | (d.toLong & 0xffffffffL)
+        j += 1
+      }
     }
     java.util.Arrays.parallelSort(enc)
     val nKeep =
