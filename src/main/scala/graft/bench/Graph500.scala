@@ -34,7 +34,8 @@ object Graph500 {
 
   final case class Summary(scale: Int, nRoots: Int, generationTime: Double,
                            constructionTime: Double, runs: Seq[RunStat],
-                           harmonicMeanTeps: Double, nedgeGoldenOk: Boolean)
+                           harmonicMeanTeps: Double, nedgeGoldenOk: Boolean,
+                           edgeFactor: Long = Kronecker.DefaultEdgeFactor)
 
   // ---- S8: benchmark checkpoint / resume (reference: binary
   // LogFileFormat + read_log_file, mpi/benchmark_helper.hpp:530-604,
@@ -65,13 +66,14 @@ object Graph500 {
 
   def run(spark: SparkSession, scale: Int, nRoots: Int = 16,
           validate: Boolean = true,
-          checkpointPath: Option[String] = None): Summary = {
+          checkpointPath: Option[String] = None,
+          edgeFactor: Long = Kronecker.DefaultEdgeFactor): Summary = {
     import spark.implicits._
 
     val t0 = System.nanoTime()
     // Stage 1: generation (narrow scan). Persist the RAW list — validation
     // scans it with duplicates/self-loops retained (validate.hpp:703-721).
-    val raw = Kronecker.generate(spark, scale)
+    val raw = Kronecker.generate(spark, scale, edgeFactor)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     raw.count()
     val tGen = (System.nanoTime() - t0) / 1e9
@@ -180,9 +182,10 @@ object Graph500 {
       case s if s > 0 => runs.size / s
       case _ => 0.0
     }
-    val goldenOk = PfNedge.get(scale).forall(exp =>
-      runs.map(_.nedge.toLong).max == exp)
-    Summary(scale, nRoots, tGen, tCon, runs, hm, goldenOk)
+    // golden counts are defined for edgefactor 16 only
+    val goldenOk = edgeFactor != Kronecker.DefaultEdgeFactor ||
+      PfNedge.get(scale).forall(exp => runs.map(_.nedge.toLong).max == exp)
+    Summary(scale, nRoots, tGen, tCon, runs, hm, goldenOk, edgeFactor)
   }
 
   final case class BatchedSummary(scale: Int, nRoots: Int,
