@@ -110,10 +110,16 @@ object Graph500 {
         Some(u)
       } else None
 
+    // reusable kernel work arrays — validation consumes them before the
+    // next run starts
+    val (wsPred, wsDepth) =
+      if (localMode) (new Array[Int](g.csr.nVerts), new Array[Int](g.csr.nVerts))
+      else (null, null)
+
     def runOne(root: Long): (Double, Double, Long, Long) =
       if (localMode) {
         val b0 = System.nanoTime()
-        val (pred, depth, _) = g.csr.bfs(root)
+        val (pred, depth, _) = g.csr.bfsInto(root, wsPred, wsDepth)
         val bfsTime = (System.nanoTime() - b0) / 1e9
         val v0 = System.nanoTime()
         val (nedge, errors) = localV match {
@@ -149,14 +155,23 @@ object Graph500 {
     // lands in early runs' times and, via the harmonic mean, dominates
     // TEPS. Warm for up to ~1 s / 8 runs.
     if (localMode) {
+      // Full bfs+validate pairs over several roots for ~3 s: the JIT
+      // recompiles the hot kernel/validator loops across the first few
+      // executions, and an under-warmed loop lands a ~1 s compilation
+      // stall in an early run's time, which the harmonic mean amplifies
+      // (the reference's PRE_EXEC warm-up runs the whole pipeline for
+      // 60 s for the same reason, mpi/main.cc:91-103).
       val w0 = System.nanoTime()
       var i = 0
-      while (i < 8 && System.nanoTime() - w0 < 1000000000L) {
-        g.csr.bfs(roots.head); i += 1
+      while (i < 12 && System.nanoTime() - w0 < 3000000000L) {
+        val r = roots(i % roots.size)
+        g.csr.bfsInto(r, wsPred, wsDepth)
+        localV.foreach(_.validate(wsPred, wsDepth,
+          java.util.Arrays.binarySearch(g.csr.ids, r), maxV + 1))
+        i += 1
       }
-      // drain garbage from construction/warm-up so a mid-loop full GC
-      // doesn't land in one run's time (the harmonic mean is dominated
-      // by the slowest run)
+      // drain warm-up garbage so a mid-loop collection doesn't land in
+      // one run's time
       System.gc()
     }
 
@@ -224,18 +239,20 @@ object Graph500 {
       if (localMode) {
         // all kernels back-to-back, then all validations (amortized raw
         // endpoint precompute), timed as walls; untimed warm-up first
-        // (reference PRE_EXEC, mpi/main.cc:91-103)
+        // (reference PRE_EXEC, mpi/main.cc:91-103), validator included
+        val lv = new LocalValidator(g.csr.ids, raw)
         val w0 = System.nanoTime()
         var wi = 0
         while (wi < 8 && System.nanoTime() - w0 < 1000000000L) {
-          g.csr.bfs(roots.head); wi += 1
+          val (wp, wd, _) = g.csr.bfs(roots.head); wi += 1
+          if (wi == 1) lv.validate(wp, wd,
+            java.util.Arrays.binarySearch(g.csr.ids, roots.head), maxV + 1)
         }
         System.gc()
         val b0 = System.nanoTime()
         val outs = roots.map(g.csr.bfs)
         val bw = (System.nanoTime() - b0) / 1e9
         val v0 = System.nanoTime()
-        val lv = new LocalValidator(g.csr.ids, raw)
         val counters = roots.zip(outs).map { case (root, (pred, depth, _)) =>
           lv.validate(pred, depth,
             java.util.Arrays.binarySearch(g.csr.ids, root), maxV + 1)

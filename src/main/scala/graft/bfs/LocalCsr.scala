@@ -47,11 +47,20 @@ final class LocalCsr(val ids: Array[Long], val rowStarts: Array[Int],
     * thread. Small levels stay sequential — no fork/join overhead.
     */
   def bfs(root: Long): (Array[Int], Array[Int], Seq[(Int, Long)]) = {
+    val nV = ids.length
+    bfsInto(root, new Array[Int](nV), new Array[Int](nV))
+  }
+
+  /** [[bfs]] into caller-provided work arrays (benchmark loops reuse
+    * them across runs — per-run array churn otherwise lands a GC pause
+    * in one run's time, which the harmonic mean amplifies). */
+  def bfsInto(root: Long, pred: Array[Int],
+              depth: Array[Int]): (Array[Int], Array[Int], Seq[(Int, Long)]) = {
     val v0 = java.util.Arrays.binarySearch(ids, root)
     require(v0 >= 0, s"root $root has no edges in this graph")
     val nV = ids.length
-    val pred = Array.fill(nV)(-1)
-    val depth = Array.fill(nV)(-1)
+    java.util.Arrays.fill(pred, -1)
+    java.util.Arrays.fill(depth, -1)
     pred(v0) = v0
     depth(v0) = 0
     var frontier = Array(v0)
