@@ -99,16 +99,30 @@ object Graph500 {
     // DataFrame validation with the canonical undirected edge set shared
     // across runs.
     val localMode = g.totalEdges <= Bfs.localBfsMaxEdges(spark)
+    // Resume state first: a pure-resume invocation (checkpoint already has
+    // all nRoots runs) needs neither a validator nor a warm-up.
+    val prior = checkpointPath.map(readCheckpoint).getOrElse(Seq.empty)
+      .take(nRoots)
+    val nRemaining = nRoots - prior.size
     val localV =
-      if (localMode && validate) Some(new LocalValidator(g.csr.ids, raw))
+      if (localMode && validate && nRemaining > 0)
+        Some(new LocalValidator(g.csr.ids, raw))
       else None
     val undirected =
-      if (!localMode && validate) {
+      if (!localMode && validate && nRemaining > 0) {
         val u = Validator.undirectedRawOf(raw)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         u.count()
         Some(u)
       } else None
+    // Validation-off fallback nedge: the golden table covers edgefactor 16
+    // only — for any other edgefactor use the measured undirected edge
+    // count, never 0 (0 would make per-run TEPS infinite and the harmonic
+    // mean silently 0).
+    val fallbackNedge =
+      if (edgeFactor == Kronecker.DefaultEdgeFactor)
+        PfNedge.getOrElse(scale, g.totalEdges / 2)
+      else g.totalEdges / 2
 
     // reusable kernel work arrays — validation consumes them before the
     // next run starts
@@ -127,7 +141,7 @@ object Graph500 {
             val c = lv.validate(pred, depth,
               java.util.Arrays.binarySearch(g.csr.ids, root), maxV + 1)
             (c.last, c.init.sum)
-          case None => (PfNedge.getOrElse(scale, 0L), 0L)
+          case None => (fallbackNedge, 0L)
         }
         (bfsTime, (System.nanoTime() - v0) / 1e9, nedge, errors)
       } else {
@@ -144,7 +158,7 @@ object Graph500 {
               undirectedRaw = undirected).head()
             val errs = (0 until row.length - 1).map(row.getLong).sum
             (row.getLong(row.length - 1), errs)
-          } else (PfNedge.getOrElse(scale, 0L), 0L)
+          } else (fallbackNedge, 0L)
         val valTime = (System.nanoTime() - v0) / 1e9
         tree.unpersist(blocking = false)
         (bfsTime, valTime, nedge, errors)
@@ -153,8 +167,9 @@ object Graph500 {
     // Warm-up passes before the timed loop — the reference's PRE_EXEC
     // timed warm-up (mpi/main.cc:91-103): JIT/pool start-up otherwise
     // lands in early runs' times and, via the harmonic mean, dominates
-    // TEPS. Warm for up to ~1 s / 8 runs.
-    if (localMode) {
+    // TEPS. Warm for up to ~1 s / 8 runs. Skipped on pure resume (no
+    // timed runs left to protect).
+    if (localMode && nRemaining > 0) {
       // Full bfs+validate pairs over several roots for ~3 s: the JIT
       // recompiles the hot kernel/validator loops across the first few
       // executions, and an under-warmed loop lands a ~1 s compilation
@@ -178,8 +193,6 @@ object Graph500 {
     // Stage 4: timed, validated BFS runs — resuming past any runs already
     // recorded in the checkpoint (reference resumes at root k,
     // mpi/main.cc:86-90 via read_log_file).
-    val prior = checkpointPath.map(readCheckpoint).getOrElse(Seq.empty)
-      .take(nRoots)
     val completed = scala.collection.mutable.ArrayBuffer(prior: _*)
     val runs = completed.toSeq ++ roots.zipWithIndex.drop(prior.size).map { case (root, i) =>
       val (bfsTime, valTime, nedge, errors) = runOne(root)

@@ -18,7 +18,10 @@ object Main {
   private[graft] def stats(x: Seq[Double]): Array[Double] = {
     val n = x.size
     val mean = x.sum / n
-    val std = math.sqrt(x.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+    // sample stddev needs n ≥ 2; report 0 for a single run instead of NaN
+    val std =
+      if (n < 2) 0.0
+      else math.sqrt(x.map(v => (v - mean) * (v - mean)).sum / (n - 1))
     val xx = x.sorted.toArray
     Array(
       xx(0),
@@ -62,10 +65,12 @@ object Main {
     sb.append(line("thirdquartile_TEPS", f"${1.0 / st(1)}%.12g")).append('\n')
     sb.append(line("max_TEPS", f"${1.0 / st(0)}%.12g")).append('\n')
     sb.append(line("harmonic_mean_TEPS", f"${1.0 / st(5)}%.12g")).append('\n')
-    // Norris 1940 harmonic stddev, as in logfile.h:91
-    sb.append(line("harmonic_stddev_TEPS",
-      f"${st(6) / (st(5) * st(5) * math.sqrt(s.runs.size - 1.0))}%.12g"))
-      .append('\n')
+    // Norris 1940 harmonic stddev, as in logfile.h:91 (0 for a single run —
+    // the formula divides by sqrt(n−1))
+    val hstd =
+      if (s.runs.size < 2) 0.0
+      else st(6) / (st(5) * st(5) * math.sqrt(s.runs.size - 1.0))
+    sb.append(line("harmonic_stddev_TEPS", f"$hstd%.12g")).append('\n')
     block(s.runs.map(_.validate_time), "validate", "%.12g")
     sb.toString
   }

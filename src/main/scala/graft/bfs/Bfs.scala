@@ -160,8 +160,20 @@ object Bfs {
     * level loop otherwise. Identical min-parent trees either way. */
   def bfsMinParent(spark: SparkSession, g: PreparedGraph, root: Long): Result =
     if (g.totalEdges <= localBfsMaxEdges(spark)) {
-      val (pred, depth, sizes) = g.csr.bfs(root)
-      Result(localTreeDf(spark, g, pred, depth), sizes)
+      val csr = g.csr
+      if (java.util.Arrays.binarySearch(csr.ids, root) < 0) {
+        // Root absent from the CLEANED graph (e.g. its only edges were
+        // self-loops). The distributed loop discovers nothing from such a
+        // root and reports every non-isolated vertex unreached — return
+        // exactly that instead of letting the kernel throw, so the gate
+        // never changes behavior.
+        val tree = g.all.select(col("vertex"), lit(-1L).as("pred"),
+          lit(null).cast("long").as("depth"))
+        Result(tree, Seq((0, 1L)))
+      } else {
+        val (pred, depth, sizes) = csr.bfs(root)
+        Result(localTreeDf(spark, g, pred, depth), sizes)
+      }
     } else bfsMinParentDistributed(spark, g, root)
 
   /** Dense kernel output → (vertex, pred, depth BIGINT) DataFrame, same
@@ -319,7 +331,12 @@ object Bfs {
    */
   def bfsMinParentMulti(spark: SparkSession, g: PreparedGraph,
                         roots: Seq[Long]): DataFrame =
-    if (g.totalEdges <= localBfsMaxEdges(spark)) {
+    if (g.totalEdges <= localBfsMaxEdges(spark) &&
+        // run-major flat arrays must fit Int indexing, and every root must
+        // exist in the cleaned graph (kernel precondition); otherwise use
+        // the distributed loop, which handles both
+        roots.size.toLong * g.csr.nVerts <= Int.MaxValue &&
+        roots.forall(r => java.util.Arrays.binarySearch(g.csr.ids, r) >= 0)) {
       val csr = g.csr
       val nV = csr.nVerts
       val nRuns = roots.size
