@@ -30,8 +30,34 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     localMax.foreach(v => spark.conf.set("spark.graft.localBfsMaxEdges", v))
 
+    // dev knob: SPARK_GRAFT_ONLY=q7_bfs,dd_minhash times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    // PRE_EXEC-style warm-up (the reference warms the full pipeline before
+    // its timed runs, mpi/main.cc:91-103): run every query once at the
+    // smallest SF first. This JIT-compiles the whole Catalyst/codegen
+    // stack and populates the janino cache with each plan shape, so timed
+    // numbers measure the queries, not JVM start-up. Results are NOT
+    // shared with the timed pass — per-SF intermediates are keyed by
+    // directory, and the warm-up uses a different one.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    val warmupOn = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
+      queriesOn && warmDir != sfDir &&
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))
+    val warmupSec = if (!warmupOn) 0.0 else {
+      val w0 = System.nanoTime()
+      selected.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+      }
+      (System.nanoTime() - w0) / 1e9
+    }
     val results = if (!queriesOn) Map.empty[String, Double]
-    else SparkEntry.queries.map { case (name, fn) =>
+    else selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -83,7 +109,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val g500Field = g500.map(j => s""","graph500":$j""").getOrElse("") +
       g500b.map(j => s""","graph500_batched":$j""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$g500Field}""")
+    val warmField = if (warmupOn) s""","warmup_sf":"$warmDir","warmup_sec":$warmupSec""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$warmField$g500Field}""")
     spark.stop()
   }
 }

@@ -54,11 +54,15 @@ object Validator {
   def validate(spark: SparkSession, rawEdges: DataFrame, tree: DataFrame,
                root: Long, nGlobalVerts: Long,
                undirectedRaw: Option[DataFrame] = None): DataFrame = {
-    val t0 = tree.select("vertex", "pred", "depth")
+    val t = tree.select("vertex", "pred", "depth")
     // One tree row per vertex: when the vertex universe fits, broadcast
-    // every tree-side join input — the raw-edge scans below then run as
-    // map-side hash probes with no shuffle of the |E|-sized table.
-    val t = if (nGlobalVerts <= BroadcastVerts) broadcast(t0) else t0
+    // the tree-side BUILD inputs (parentDepth, du, dv below) — the
+    // raw-edge scans then run as map-side hash probes with no shuffle of
+    // the |E|-sized table. Scoped per join site, NOT on t itself: t is
+    // also the streamed (left) side of an anti-join, where a broadcast
+    // hint is unsupported and would be silently dropped with a warning.
+    def bcast(df: DataFrame): DataFrame =
+      if (nGlobalVerts <= BroadcastVerts) broadcast(df) else df
 
     // 1-4: single pass over the tree.
     val treeChecks = t.agg(
@@ -74,7 +78,8 @@ object Validator {
 
     // 4b: depth(v) = depth(pred(v)) + 1 for every reached non-root v
     // (self-join tree↔tree on pred = vertex; reference pred-pred gather J7).
-    val parentDepth = t.select(col("vertex").as("p_vertex"), col("depth").as("p_depth"))
+    val parentDepth =
+      bcast(t.select(col("vertex").as("p_vertex"), col("depth").as("p_depth")))
     val depthErrors = t
       .filter(col("pred") =!= -1L && col("vertex") =!= root)
       .join(parentDepth, col("pred") === col("p_vertex"), "left_outer")
@@ -97,8 +102,8 @@ object Validator {
 
     // 5: per-raw-edge depth checks + traversed-edge count w/ multiplicity
     // (two hash joins against the tree; reference J6 two-sided gather).
-    val du = t.select(col("vertex").as("u"), col("depth").as("du"))
-    val dv = t.select(col("vertex").as("v"), col("depth").as("dv"))
+    val du = bcast(t.select(col("vertex").as("u"), col("depth").as("du")))
+    val dv = bcast(t.select(col("vertex").as("v"), col("depth").as("dv")))
     val edgeChecks = rawEdges
       .join(du, col("src") === col("u"), "left_outer")
       .join(dv, col("dst") === col("v"), "left_outer")
