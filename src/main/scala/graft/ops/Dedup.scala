@@ -33,6 +33,50 @@ object Dedup {
   val BandRows = 4
   val HashMod = 2147483647L // 2^31-1: keeps (2k+1)*x + c*k inside Long
 
+  /** Hybrid-executor gate: corpora at or under this many documents run on
+    * the driver-local [[LocalDedup]] kernels (identical output — see
+    * LocalDedupSpec); larger corpora take the distributed shuffle
+    * pipelines below, which are the only shape that survives 100 TB.
+    * Override with `spark.graft.localDedupMaxDocs` (0 = always
+    * distributed). */
+  val LocalDedupDefaultMaxDocs = 100000L
+
+  /** Collect (doc_id, text) when the corpus is under the local gate. The
+    * count probe scans only the `doc_id` column, so probing a huge corpus
+    * never touches its text bytes. */
+  private def localDocs(docs: DataFrame): Option[(Array[Long], Array[String])] = {
+    if (docs.isStreaming) return None
+    val spark = docs.sparkSession
+    val gate = spark.conf.getOption("spark.graft.localDedupMaxDocs")
+      .map(_.toLong).getOrElse(LocalDedupDefaultMaxDocs)
+    if (gate <= 0) None
+    else if (docs.select("doc_id").count() > gate) None
+    else {
+      val rows = docs.select(col("doc_id"), col("text")).collect()
+      val ids = new Array[Long](rows.length)
+      val texts = new Array[String](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        ids(i) = rows(i).getLong(0)
+        texts(i) = rows(i).getString(1)
+        i += 1
+      }
+      Some((ids, texts))
+    }
+  }
+
+  /** Gate + kernel dispatch: run `f` on the collected corpus when it fits
+    * under the local gate; fall back to the distributed pipeline when the
+    * corpus is large, streaming, or the kernel's candidate enumeration
+    * overflows its in-memory budget. */
+  private def viaLocal(docs: DataFrame)
+                      (f: (Array[Long], Array[String]) => DataFrame)
+                      (distributed: => DataFrame): DataFrame =
+    localDocs(docs).flatMap { case (ids, texts) =>
+      try Some(f(ids, texts))
+      catch { case _: LocalDedup.Overflow => None }
+    }.getOrElse(distributed)
+
   /** Exact dedup: every doc mapped to the smallest doc_id sharing its
     * content digest. (doc_id, canonical_id, content_hash). */
   def exact(docs: DataFrame): DataFrame =
@@ -153,30 +197,48 @@ object Dedup {
     * all-co-shingle-pairs) comparison never happens. */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.8,
                    maxDf: Option[Long] = None): DataFrame = {
-    // the shingle table feeds the signature pass AND three scans inside
-    // jaccardFor — cache it once, checkpoint the (tiny) result before
-    // dropping the cache
-    val sh = TextOps.shingles(docs, 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val cands = lshCandidates(minhashSignatures(sh))
-      jaccardFor(cands, sh, maxDf)
-        .filter(col("jaccard") >= threshold)
-        .localCheckpoint(eager = true)
-    } finally sh.unpersist(blocking = false)
+    def dist = {
+      // the shingle table feeds the signature pass AND three scans inside
+      // jaccardFor — cache it once, checkpoint the (tiny) result before
+      // dropping the cache
+      val sh = TextOps.shingles(docs, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cands = lshCandidates(minhashSignatures(sh))
+        jaccardFor(cands, sh, maxDf)
+          .filter(col("jaccard") >= threshold)
+          .localCheckpoint(eager = true)
+      } finally sh.unpersist(blocking = false)
+    }
+    if (maxDf.nonEmpty) dist
+    else viaLocal(docs) { (ids, texts) =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      LocalDedup.minhashPairs(ids, texts, threshold)
+        .toDF("doc_a", "doc_b", "jaccard")
+    }(dist)
   }
 
   /** Standalone exact n-gram Jaccard dedup (no LSH): all pairs sharing a
     * shingle with jaccard ≥ threshold. */
   def ngramJaccardDedup(docs: DataFrame, threshold: Double = 0.8,
                         maxDf: Option[Long] = None): DataFrame = {
-    val sh = TextOps.shingles(docs, 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      jaccardPairs(sh, maxDf)
-        .filter(col("jaccard") >= threshold)
-        .localCheckpoint(eager = true)
-    } finally sh.unpersist(blocking = false)
+    def dist = {
+      val sh = TextOps.shingles(docs, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        jaccardPairs(sh, maxDf)
+          .filter(col("jaccard") >= threshold)
+          .localCheckpoint(eager = true)
+      } finally sh.unpersist(blocking = false)
+    }
+    if (maxDf.nonEmpty) dist
+    else viaLocal(docs) { (ids, texts) =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      LocalDedup.ngramJaccardPairs(ids, texts, threshold)
+        .toDF("doc_a", "doc_b", "jaccard")
+    }(dist)
   }
 
   /** 60-bit SimHash per document over distinct whitespace tokens: bit j is
@@ -184,7 +246,11 @@ object Dedup {
     *
     * One groupBy pass with 60 partial-aggregating bit-sum columns (no
     * 60× row explode — see [[minhashSignatures]]). */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame = viaLocal(docs) { (ids, texts) =>
+    val spark = docs.sparkSession
+    import spark.implicits._
+    LocalDedup.simhashSigs(ids, texts).toDF("doc_id", "simhash")
+  } {
     val toks = TextOps.tokenized(docs)
       .select(col("doc_id"), explode(col("tk")).as("tok")).distinct()
       .select(col("doc_id"), hash64(col("tok")).as("h"))
@@ -200,7 +266,13 @@ object Dedup {
   /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. Banded by the
     * four 15-bit chunks of the fingerprint (pigeonhole: distance ≤ 3 ⇒ some
     * chunk equal), so the join is on a bucket key, not all-pairs. */
-  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    viaLocal(docs) { (ids, texts) =>
+      val spark = docs.sparkSession
+      import spark.implicits._
+      LocalDedup.simhashPairs(ids, texts, maxHamming)
+        .toDF("doc_a", "doc_b", "hamming")
+    } {
     val sig = simhash(docs)
     val chunks = sig.withColumn("c", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", expr("shiftright(simhash, c * 15)") % (1L << 15))

@@ -1,0 +1,427 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+/**
+ * Driver-local dedup kernels — the small-corpus path of the hybrid
+ * executor, exactly mirroring the distributed [[Dedup]] column pipelines
+ * (same tokenization, md5-prefix hashing, banding, HALF_UP rounding), the
+ * way [[graft.bfs.LocalCsr]] mirrors the distributed BFS loop.
+ *
+ * Rationale: each distributed dedup query is 5-15 shuffle stages; below
+ * ~10⁵ documents the corpus is a single executor's working set and the
+ * per-stage scheduling floor dominates end-to-end latency. Above the gate
+ * (`spark.graft.localDedupMaxDocs`) the shuffle pipelines are the ONLY
+ * shape that survives corpus scale — the kernels never replace them, they
+ * short-circuit the regime where the reference's single-node engine
+ * operates. Equality specs (`LocalDedupSpec`) pin kernel ≡ DataFrame
+ * output on every path.
+ *
+ * All semantics deliberately match the column expressions 1:1:
+ *  - tokens: trim SPACES only (Spark StringTrim), split on `\s+`, drop
+ *    empties — NOT String.trim (which strips all control chars ≤ 0x20)
+ *  - shingles: `max(nTok − 2, 1)` clamped 3-slices, so a 0/1/2-token doc
+ *    yields exactly one (possibly empty) shingle, as
+ *    `sequence(1, greatest(size(tk)-2, 1))` does
+ *  - hash64: first 15 hex chars of md5 as a 60-bit Long
+ *  - round: BigDecimal HALF_UP at 6dp (Spark's Round on DoubleType)
+ *  - shingle identity is the STRING (interned to dense ints), never the
+ *    hash — common-shingle counts are join-on-string semantics
+ */
+object LocalDedup {
+
+  private val Threads = Runtime.getRuntime.availableProcessors()
+
+  /** Mirror of TextOps.tokens: trim 0x20 only, split `\s+`, drop empties. */
+  def tokens(text: String): Array[String] = {
+    var from = 0
+    var to = text.length
+    while (from < to && text.charAt(from) == ' ') from += 1
+    while (to > from && text.charAt(to - 1) == ' ') to -= 1
+    val trimmed = text.substring(from, to)
+    trimmed.split("\\s+", -1).filter(_.nonEmpty)
+  }
+
+  /** Mirror of TextOps.shingles: distinct word-3-gram strings. */
+  def shingleStrings(tk: Array[String], n: Int = 3): Array[String] = {
+    val count = math.max(tk.length - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < count) {
+      seen.add(tk.slice(i, math.min(i + n, tk.length)).mkString(" "))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** Mirror of Dedup.hash64: first 15 hex chars of md5 as a Long. */
+  def hash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 7.5 bytes, big-endian
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Mirror of Spark Round(double, 6): HALF_UP decimal rounding. */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Per-document interned shingle ids (sorted) + global id → hash table.
+    * Interning keys on the shingle STRING, so downstream set operations
+    * have exactly the distributed join-on-shingle semantics. */
+  private final class ShingleIndex(texts: Array[String]) {
+    val nDocs: Int = texts.length
+    private val interner = new ConcurrentHashMap[String, Integer]()
+    // per-doc distinct shingle strings, computed in parallel
+    private val perDoc = new Array[Array[String]](nDocs)
+    java.util.stream.IntStream.range(0, nDocs).parallel().forEach { d =>
+      perDoc(d) = shingleStrings(tokens(texts(d)))
+    }
+    // sequential interning pass (dense ids), then parallel hash of the
+    // distinct-shingle table
+    val docShingles: Array[Array[Int]] = {
+      val out = new Array[Array[Int]](nDocs)
+      var d = 0
+      while (d < nDocs) {
+        val ss = perDoc(d)
+        val ids = new Array[Int](ss.length)
+        var i = 0
+        while (i < ss.length) {
+          var id = interner.get(ss(i))
+          if (id == null) { id = interner.size(); interner.put(ss(i), id) }
+          ids(i) = id
+          i += 1
+        }
+        java.util.Arrays.sort(ids)
+        out(d) = ids
+        d += 1
+      }
+      out
+    }
+    val nShingles: Int = interner.size()
+    /** hash64 of every distinct shingle, indexed by interned id. */
+    val hashById: Array[Long] = {
+      val a = new Array[Long](nShingles)
+      val entries = new java.util.ArrayList(interner.entrySet())
+      java.util.stream.IntStream.range(0, entries.size()).parallel().forEach { i =>
+        val e = entries.get(i)
+        a(e.getValue.intValue()) = hash64(e.getKey)
+      }
+      a
+    }
+  }
+
+  /** Sorted-array intersection size. */
+  private def intersectionSize(a: Array[Int], b: Array[Int]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  private def jaccardOf(idx: ShingleIndex, a: Int, b: Int): Double = {
+    val sa = idx.docShingles(a)
+    val sb = idx.docShingles(b)
+    val c = intersectionSize(sa, sb)
+    round6(c.toDouble / (sa.length + sb.length - c))
+  }
+
+  /** MinHash+LSH near-dup pairs ≡ Dedup.minhashDedup(docs, threshold):
+    * (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold,
+    * restricted to banded-LSH candidates. */
+  def minhashPairs(ids: Array[Long], texts: Array[String], threshold: Double,
+                   k: Int = Dedup.MinhashK,
+                   bandRows: Int = Dedup.BandRows): Seq[(Long, Long, Double)] = {
+    val idx = new ShingleIndex(texts)
+    val mod = Dedup.HashMod
+    val nBands = k / bandRows
+    // per-doc band signature strings (parallel)
+    val bandSigs = new Array[Array[String]](idx.nDocs)
+    java.util.stream.IntStream.range(0, idx.nDocs).parallel().forEach { d =>
+      val sh = idx.docShingles(d)
+      val m = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        var best = Long.MaxValue
+        var s = 0
+        while (s < sh.length) {
+          val xv = idx.hashById(sh(s)) % mod
+          val v = (xv * (2 * i + 1) + i * 104729L) % mod
+          if (v < best) best = v
+          s += 1
+        }
+        m(i) = best
+        i += 1
+      }
+      bandSigs(d) = Array.tabulate(nBands) { b =>
+        val sb = new java.lang.StringBuilder()
+        var r = 0
+        while (r < bandRows) {
+          if (r > 0) sb.append(',')
+          sb.append(m(b * bandRows + r))
+          r += 1
+        }
+        sb.toString
+      }
+    }
+    // bucket join: same (band, sig) → candidate pair
+    val buckets = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
+    var d = 0
+    while (d < idx.nDocs) {
+      var b = 0
+      while (b < nBands) {
+        val key = b.toString + "|" + bandSigs(d)(b)
+        var lst = buckets.get(key)
+        if (lst == null) { lst = new java.util.ArrayList(); buckets.put(key, lst) }
+        lst.add(d)
+        b += 1
+      }
+      d += 1
+    }
+    val cands = new java.util.HashSet[Long]()
+    buckets.values().forEach { lst =>
+      var i = 0
+      while (i < lst.size()) {
+        var j = i + 1
+        while (j < lst.size()) {
+          val da = lst.get(i).intValue(); val db = lst.get(j).intValue()
+          if (ids(da) != ids(db)) {
+            val (x, y) = if (ids(da) < ids(db)) (da, db) else (db, da)
+            cands.add(x.toLong << 32 | y.toLong)
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    cands.forEach { enc =>
+      val a = (enc >>> 32).toInt; val b = (enc & 0xffffffffL).toInt
+      val jac = jaccardOf(idx, a, b)
+      if (jac >= threshold) out += ((ids(a), ids(b), jac))
+    }
+    out.toSeq
+  }
+
+  /** Exact all-co-shingle-pairs Jaccard ≡ Dedup.ngramJaccardDedup:
+    * (doc_a, doc_b, jaccard ≥ threshold) over every pair sharing ≥1
+    * shingle, via the in-memory inverted index. */
+  def ngramJaccardPairs(ids: Array[Long], texts: Array[String],
+                        threshold: Double): Seq[(Long, Long, Double)] = {
+    val idx = new ShingleIndex(texts)
+    // inverted index: shingle id → doc indices containing it (counted
+    // first so postings are primitive arrays, not boxed lists)
+    val plen = new Array[Int](idx.nShingles)
+    var d = 0
+    while (d < idx.nDocs) {
+      val sh = idx.docShingles(d)
+      var i = 0
+      while (i < sh.length) { plen(sh(i)) += 1; i += 1 }
+      d += 1
+    }
+    val postings = new Array[Array[Int]](idx.nShingles)
+    var s = 0
+    while (s < idx.nShingles) { postings(s) = new Array[Int](plen(s)); s += 1 }
+    java.util.Arrays.fill(plen, 0)
+    d = 0
+    while (d < idx.nDocs) {
+      val sh = idx.docShingles(d)
+      var i = 0
+      while (i < sh.length) {
+        val sid = sh(i)
+        postings(sid)(plen(sid)) = d
+        plen(sid) += 1
+        i += 1
+      }
+      d += 1
+    }
+    // Enumerate one encoded (a, b) key per (shared shingle, pair) in
+    // parallel stripes, then sort and run-length count: the run length IS
+    // the common-shingle count (exactly the distributed join + groupBy
+    // count), so no per-pair set intersection ever runs.
+    val nStripes = Threads * 4
+    val perStripe = new Array[Array[Long]](nStripes)
+    java.util.stream.IntStream.range(0, nStripes).parallel().forEach { st =>
+      var n = 0L
+      var s = st
+      while (s < idx.nShingles) {
+        val k = postings(s).length.toLong
+        n += k * (k - 1) / 2
+        s += nStripes
+      }
+      checkEnumerable(n)
+      val buf = new Array[Long](n.toInt)
+      var w = 0
+      s = st
+      while (s < idx.nShingles) {
+        val lst = postings(s)
+        var i = 0
+        while (i < lst.length) {
+          var j = i + 1
+          while (j < lst.length) {
+            val da = lst(i); val db = lst(j)
+            if (ids(da) != ids(db)) {
+              val (x, y) = if (ids(da) < ids(db)) (da, db) else (db, da)
+              buf(w) = x.toLong << 32 | y.toLong
+              w += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        s += nStripes
+      }
+      perStripe(st) = if (w == buf.length) buf else java.util.Arrays.copyOf(buf, w)
+    }
+    var total = 0L
+    perStripe.foreach(a => total += a.length)
+    checkEnumerable(total)
+    val all = new Array[Long](total.toInt)
+    var off = 0
+    perStripe.foreach { a =>
+      System.arraycopy(a, 0, all, off, a.length); off += a.length
+    }
+    java.util.Arrays.parallelSort(all)
+    scoreRuns(idx, ids, all, threshold)
+  }
+
+  /** Run-length scoring over a sorted pair-key array: each run of equal
+    * keys is one co-shingling pair, its length the common count. */
+  private def scoreRuns(idx: ShingleIndex, ids: Array[Long], all: Array[Long],
+                        threshold: Double): Seq[(Long, Long, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < all.length) {
+      val key = all(i)
+      var j = i + 1
+      while (j < all.length && all(j) == key) j += 1
+      val common = j - i
+      val a = (key >>> 32).toInt
+      val b = (key & 0xffffffffL).toInt
+      val na = idx.docShingles(a).length
+      val nb = idx.docShingles(b).length
+      val jac = round6(common.toDouble / (na + nb - common))
+      if (jac >= threshold) out += ((ids(a), ids(b), jac))
+      i = j
+    }
+    out.toSeq
+  }
+
+  /** 60-bit SimHash signatures ≡ Dedup.simhash: (doc_id, simhash); docs
+    * with zero tokens produce NO row (explode semantics). */
+  def simhashSigs(ids: Array[Long], texts: Array[String]): Seq[(Long, Long)] = {
+    val n = ids.length
+    val sigs = new Array[Long](n)
+    val present = new Array[Boolean](n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { d =>
+      val tk = tokens(texts(d))
+      if (tk.nonEmpty) {
+        val distinct = new java.util.HashSet[String]()
+        var i = 0
+        while (i < tk.length) { distinct.add(tk(i)); i += 1 }
+        val counts = new Array[Int](60)
+        distinct.forEach { t =>
+          val h = hash64(t)
+          var j = 0
+          while (j < 60) {
+            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        var sig = 0L
+        var j = 0
+        while (j < 60) { if (counts(j) > 0) sig |= 1L << j; j += 1 }
+        sigs(d) = sig
+        present(d) = true
+      }
+    }
+    (0 until n).collect { case d if present(d) => (ids(d), sigs(d)) }
+  }
+
+  /** SimHash banded near-dup pairs ≡ Dedup.simhashDedup:
+    * (doc_a, doc_b, hamming ≤ maxHamming) for pairs agreeing on any
+    * 15-bit chunk. */
+  def simhashPairs(ids: Array[Long], texts: Array[String],
+                   maxHamming: Int): Seq[(Long, Long, Long)] = {
+    val sigs = simhashSigs(ids, texts).toArray
+    val buckets = new java.util.HashMap[Long, java.util.ArrayList[Integer]]()
+    var i = 0
+    while (i < sigs.length) {
+      var c = 0
+      while (c < 4) {
+        val chunk = (sigs(i)._2 >>> (c * 15)) % (1L << 15)
+        val key = c.toLong << 32 | chunk
+        var lst = buckets.get(key)
+        if (lst == null) { lst = new java.util.ArrayList(); buckets.put(key, lst) }
+        lst.add(i)
+        c += 1
+      }
+      i += 1
+    }
+    // Enumerate encoded ordered INDEX pairs per bucket in parallel (doc
+    // ids may exceed 32 bits; indices cannot), then sort + unique — the
+    // distributed distinct() — and score each unique pair once.
+    val lists = new java.util.ArrayList(buckets.values())
+    val perBucket = new Array[Array[Long]](lists.size())
+    java.util.stream.IntStream.range(0, lists.size()).parallel().forEach { bi =>
+      val lst = lists.get(bi)
+      val n = lst.size().toLong * (lst.size() - 1) / 2
+      checkEnumerable(n)
+      val buf = new Array[Long](n.toInt)
+      var w = 0
+      var i = 0
+      while (i < lst.size()) {
+        var j = i + 1
+        while (j < lst.size()) {
+          val ii = lst.get(i).intValue(); val jj = lst.get(j).intValue()
+          if (sigs(ii)._1 != sigs(jj)._1) {
+            val (a, b) =
+              if (sigs(ii)._1 < sigs(jj)._1) (ii, jj) else (jj, ii)
+            buf(w) = a.toLong << 32 | b
+            w += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      perBucket(bi) = if (w == buf.length) buf else java.util.Arrays.copyOf(buf, w)
+    }
+    var total = 0L
+    perBucket.foreach(a => total += a.length)
+    checkEnumerable(total)
+    val all = new Array[Long](total.toInt)
+    var off = 0
+    perBucket.foreach { a =>
+      System.arraycopy(a, 0, all, off, a.length); off += a.length
+    }
+    java.util.Arrays.parallelSort(all)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var p = 0
+    while (p < all.length) {
+      val key = all(p)
+      var q = p + 1
+      while (q < all.length && all(q) == key) q += 1
+      val a = (key >>> 32).toInt
+      val b = (key & 0xffffffffL).toInt
+      val ham = java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2).toLong
+      if (ham <= maxHamming) out += ((sigs(a)._1, sigs(b)._1, ham))
+      p = q
+    }
+    out.toSeq
+  }
+
+  /** Thrown when a kernel's candidate-pair enumeration would exceed the
+    * in-memory budget; callers fall back to the distributed pipeline. */
+  final class Overflow extends RuntimeException(
+    "local dedup pair enumeration too large; use the distributed path")
+
+  private def checkEnumerable(n: Long): Unit =
+    if (n > (1L << 30)) throw new Overflow
+}
