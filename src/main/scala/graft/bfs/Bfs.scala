@@ -79,6 +79,11 @@ object Bfs {
     private[graft] def presetCsr(c: LocalCsr): Unit = synchronized {
       csrCache = c
     }
+    /** The kernel CSR if this graph took the local path — without
+      * triggering a build on distributed-path graphs. */
+    private[graft] def csrIfBuilt: Option[LocalCsr] = synchronized {
+      Option(csrCache)
+    }
     def unpersist(): Unit = {
       edges.unpersist(blocking = false)
       all.unpersist(blocking = false)
@@ -95,14 +100,34 @@ object Bfs {
     val edges =
       if (local) cached
       else cached.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val all = edges.select(col("src").as("vertex")).distinct()
+    if (local) {
+      // Hybrid-executor construction: build the local CSR up front (like
+      // the reference's construction stage) so per-run timings measure BFS
+      // only — and derive the vertex table from its sorted ids instead of
+      // paying a distinct() shuffle.
+      val csr = LocalCsr.build(edges)
+      val g = PreparedGraph(edges, vertexTableOf(spark, csr.ids),
+        csr.nVerts.toLong, nE)
+      g.presetCsr(csr)
+      g
+    } else {
+      val all = edges.select(col("src").as("vertex")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val g = PreparedGraph(edges, all, all.count(), nE)
+      cached.unpersist(blocking = false)
+      g
+    }
+  }
+
+  /** Distributed (vertex BIGINT) table from a driver-resident sorted id
+    * array: broadcast + range lookup. NEVER a LocalRelation /
+    * parallelize of boxed rows — those re-serialize the whole array into
+    * every job that scans the table. */
+  private def vertexTableOf(spark: SparkSession, ids: Array[Long]): DataFrame = {
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val idOf = udf((i: Long) => bcIds.value(i.toInt))
+    spark.range(ids.length.toLong).select(idOf(col("id")).as("vertex"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val g = PreparedGraph(edges, all, all.count(), nE)
-    if (!local) cached.unpersist(blocking = false)
-    // Hybrid-executor construction: build the local CSR up front (like the
-    // reference's construction stage) so per-run timings measure BFS only.
-    if (local) g.csr
-    g
   }
 
   /** [[prepare]] from a RAW edge list (loops/duplicates allowed). Under
@@ -120,10 +145,8 @@ object Bfs {
       val sym = noLoops.union(
         noLoops.select(col("dst").as("src"), col("src").as("dst")))
       val csr = LocalCsr.build(sym, dedupAdjacent = true)
-      import spark.implicits._
-      val all = spark.createDataset(csr.ids.toSeq).toDF("vertex")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val g = PreparedGraph(graft.etl.EdgeOps.cleanEdges(raw), all,
+      val g = PreparedGraph(graft.etl.EdgeOps.cleanEdges(raw),
+        vertexTableOf(spark, csr.ids),
         csr.nVerts.toLong, csr.nbrs.length.toLong)
       g.presetCsr(csr)
       g

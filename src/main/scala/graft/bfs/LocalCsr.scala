@@ -29,6 +29,84 @@ final class LocalCsr(val ids: Array[Long], val rowStarts: Array[Int],
 
   def nVerts: Int = ids.length
 
+  /** The cleaned symmetric edge set (original ids, both directions, no
+    * loops or duplicates — exactly EdgeOps.cleanEdges' relation) as a
+    * distributed DataFrame: broadcast arrays + range lookup, so no
+    * distinct() shuffle and no boxed LocalRelation re-serialization on
+    * downstream scans. */
+  def toCleanDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val srcDense = new Array[Int](nbrs.length)
+    var v = 0
+    while (v < nVerts) {
+      var k = rowStarts(v)
+      while (k < rowStarts(v + 1)) { srcDense(k) = v; k += 1 }
+      v += 1
+    }
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val bcSrc = spark.sparkContext.broadcast(srcDense)
+    val bcDst = spark.sparkContext.broadcast(nbrs)
+    import org.apache.spark.sql.functions.{col, udf}
+    val srcOf = udf((i: Long) => bcIds.value(bcSrc.value(i.toInt)))
+    val dstOf = udf((i: Long) => bcIds.value(bcDst.value(i.toInt)))
+    spark.range(nbrs.length.toLong)
+      .select(srcOf(col("id")).as("src"), dstOf(col("id")).as("dst"))
+  }
+
+  /** (vertex, degree) ≡ EdgeOps.degrees over the cleaned relation — the
+    * degree is a rowStarts difference, no groupBy shuffle. */
+  def degreesDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val bcRs = spark.sparkContext.broadcast(rowStarts)
+    import org.apache.spark.sql.functions.{col, udf}
+    val idOf = udf((i: Long) => bcIds.value(i.toInt))
+    val degOf = udf { (i: Long) =>
+      val rs = bcRs.value; (rs(i.toInt + 1) - rs(i.toInt)).toLong
+    }
+    spark.range(nVerts.toLong)
+      .select(idOf(col("id")).as("vertex"), degOf(col("id")).as("degree"))
+  }
+
+  /** (vertex, new_id) ≡ EdgeOps.reorderMap(clean, mode): 0/1 = vertex-id
+    * order (every CSR vertex has an edge, so isolated-last ≡ identity),
+    * 2 = degree descending, ties by vertex id. The permutation is
+    * computed in one driver-side packed sort; rows materialize
+    * distributed. */
+  def reorderDf(spark: org.apache.spark.sql.SparkSession,
+                mode: Int): DataFrame = {
+    require(mode >= 0 && mode <= 2, s"reorder mode $mode")
+    val bcIds = spark.sparkContext.broadcast(ids)
+    import org.apache.spark.sql.functions.{col, udf}
+    val idOf = udf((i: Long) => bcIds.value(i.toInt))
+    if (mode == 2) {
+      // pack (degree desc, dense id asc) into one sortable long:
+      // ids are sorted, so dense order == vertex-id order for ties
+      val packed = new Array[Long](nVerts)
+      var v = 0
+      while (v < nVerts) {
+        val deg = rowStarts(v + 1) - rowStarts(v)
+        packed(v) = ((Int.MaxValue - deg).toLong << 32) | v.toLong
+        v += 1
+      }
+      java.util.Arrays.parallelSort(packed)
+      val newId = new Array[Long](nVerts)
+      var k = 0
+      while (k < nVerts) { newId((packed(k) & 0xffffffffL).toInt) = k; k += 1 }
+      val bcNew = spark.sparkContext.broadcast(newId)
+      val newOf = udf((i: Long) => bcNew.value(i.toInt))
+      spark.range(nVerts.toLong)
+        .select(idOf(col("id")).as("vertex"), newOf(col("id")).as("new_id"))
+    } else
+      spark.range(nVerts.toLong)
+        .select(idOf(col("id")).as("vertex"), col("id").as("new_id"))
+  }
+
+  /** Single-row graph summary ≡ EdgeOps.graphCounts. */
+  def graphCountsDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((nVerts.toLong, ids.last, nbrs.length.toLong / 2))
+      .toDF("non_isolated_vertices", "max_used_vertex", "undirected_edge_count")
+  }
+
   /** Work (frontier out-edges / unvisited rows) above which a level runs
     * on the common ForkJoin pool instead of one thread. Fork/join +
     * CAS overhead beats the speedup below ~1M edge-work per level

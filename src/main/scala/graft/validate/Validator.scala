@@ -54,6 +54,21 @@ object Validator {
   def validate(spark: SparkSession, rawEdges: DataFrame, tree: DataFrame,
                root: Long, nGlobalVerts: Long,
                undirectedRaw: Option[DataFrame] = None): DataFrame = {
+    // Hybrid gate (same limit as the BFS executor): a raw list under
+    // spark.graft.localBfsMaxEdges validates in one in-memory pass via
+    // [[LocalValidator]] instead of ~8 join/aggregate stages. Falls back
+    // to the DataFrame path for streams, big lists, or trees whose pred
+    // values escape the tree's own vertex universe (only such degenerate
+    // trees need the general relational plan).
+    if (!rawEdges.isStreaming && !tree.isStreaming && undirectedRaw.isEmpty) {
+      val gate = graft.bfs.Bfs.localBfsMaxEdges(spark)
+      if (gate > 0 && rawEdges.count() <= gate) {
+        validateLocal(spark, rawEdges, tree, root, nGlobalVerts) match {
+          case Some(df) => return df
+          case None =>
+        }
+      }
+    }
     val t = tree.select("vertex", "pred", "depth")
     // One tree row per vertex: when the vertex universe fits, broadcast
     // the tree-side BUILD inputs (parentDepth, du, dv below) — the
@@ -121,6 +136,50 @@ object Validator {
       .crossJoin(depthErrors)
       .crossJoin(predEdgeMissing)
       .crossJoin(edgeChecks)
+  }
+
+  /** One-shot local validation: dense-map the tree, run the
+    * [[LocalValidator]] kernel, and wrap its counters as the same
+    * single-row DataFrame the relational plan produces. None when the
+    * tree's pred values cannot be dense-mapped (pred ∉ vertices ∪ {−1})
+    * or the root is absent — the caller then takes the DataFrame path. */
+  private def validateLocal(spark: SparkSession, rawEdges: DataFrame,
+                            tree: DataFrame, root: Long,
+                            nGlobalVerts: Long): Option[DataFrame] = {
+    val rows = tree.select("vertex", "pred", "depth").collect()
+    val n = rows.length
+    val order = (0 until n).sortBy(i => rows(i).getLong(0)).toArray
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(order(i)).getLong(0)
+      if (i > 0 && ids(i) == ids(i - 1)) return None // duplicate vertex row
+      i += 1
+    }
+    val rootDense = java.util.Arrays.binarySearch(ids, root)
+    if (rootDense < 0) return None
+    val pred = new Array[Int](n)
+    val depth = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val r = rows(order(i))
+      val p = r.getLong(1)
+      if (p == -1L) pred(i) = -1
+      else {
+        val d = java.util.Arrays.binarySearch(ids, p)
+        if (d < 0) return None // pred outside the vertex universe
+        pred(i) = d
+      }
+      depth(i) = if (r.isNullAt(2)) -1 else r.getLong(2).toInt
+      i += 1
+    }
+    val c = new LocalValidator(ids, rawEdges)
+      .validate(pred, depth, rootDense, nGlobalVerts)
+    import spark.implicits._
+    Some(Seq((c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7)))
+      .toDF("range_errors", "root_errors", "self_parent_errors",
+        "depth_presence_errors", "depth_chain_errors", "pred_edge_missing",
+        "edge_depth_errors", "edge_visit_count"))
   }
 
   /**

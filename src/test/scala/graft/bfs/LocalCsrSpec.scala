@@ -88,6 +88,25 @@ class LocalCsrSpec extends SparkSpec {
     } finally csr.parallelWork = 65536L
   }
 
+  test("csr-derived relational views equal the distributed operators") {
+    val clean = EdgeOps.cleanEdges(
+      EdgeOps.edgesFromLineitem(spark, "/root/testdata/sf0.001"))
+      .persist()
+    try {
+      val csr = LocalCsr.build(clean)
+      def same(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame, label: String): Unit =
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, label)
+      same(csr.toCleanDf(spark), clean, "toCleanDf")
+      same(csr.degreesDf(spark), EdgeOps.degrees(clean), "degreesDf")
+      for (mode <- 0 to 2)
+        same(csr.reorderDf(spark, mode), EdgeOps.reorderMap(clean, mode),
+          s"reorderDf mode $mode")
+      same(csr.graphCountsDf(spark), EdgeOps.graphCounts(clean),
+        "graphCountsDf")
+    } finally clean.unpersist()
+  }
+
   test("multi-root local path equals per-root local trees") {
     val clean = EdgeOps.cleanEdges(
       EdgeOps.edgesFromLineitem(spark, "/root/testdata/sf0.001"))

@@ -40,10 +40,22 @@ class LocalValidatorSpec extends SparkSpec {
 
           def compare(p: Array[Int], d: Array[Int], label: String): Unit = {
             val local = lv.validate(p, d, 0, maxV + 1)
-            val row = Validator.validate(spark, raw, denseTreeDf(csr.ids, p, d),
-              root, maxV + 1).head()
+            // force the relational plan — Validator.validate itself now
+            // routes small inputs to this kernel, which would make the
+            // comparison vacuous
+            spark.conf.set("spark.graft.localBfsMaxEdges", "0")
+            val row = try Validator.validate(spark, raw,
+              denseTreeDf(csr.ids, p, d), root, maxV + 1).head()
+            finally spark.conf.unset("spark.graft.localBfsMaxEdges")
             val df = (0 until row.length).map(row.getLong)
             assert(local.toSeq === df, s"seed=$seed $label: $local vs $df")
+            // and the gated entry point must agree with both, whichever
+            // path it picks (kernel for dense-mappable trees, relational
+            // fallback for corrupted ones)
+            val gatedRow = Validator.validate(spark, raw,
+              denseTreeDf(csr.ids, p, d), root, maxV + 1).head()
+            val gated = (0 until gatedRow.length).map(gatedRow.getLong)
+            assert(gated === df, s"seed=$seed $label gated: $gated vs $df")
           }
 
           compare(pred, depth, "valid tree")
@@ -74,5 +86,22 @@ class LocalValidatorSpec extends SparkSpec {
       }
       raw.unpersist()
     }
+  }
+
+  test("gated validate falls back for preds outside the vertex universe") {
+    val s = spark; import s.implicits._
+    val raw = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    // pred(2) = 99 is in [−1, nGlobalVerts) numerically impossible to
+    // dense-map — the kernel must decline and the relational plan count it
+    val tree = Seq((0L, 0L, Some(0L)), (1L, 0L, Some(1L)), (2L, 99L, Some(1L)))
+      .toDF("vertex", "pred", "depth")
+    val gated = Validator.validate(spark, raw, tree, 0L, 100L).head()
+    spark.conf.set("spark.graft.localBfsMaxEdges", "0")
+    val dist = try Validator.validate(spark, raw, tree, 0L, 100L).head()
+    finally spark.conf.unset("spark.graft.localBfsMaxEdges")
+    assert((0 until gated.length).map(gated.getLong) ===
+      (0 until dist.length).map(dist.getLong))
+    // the bogus pred shows up as chain + missing-edge errors either way
+    assert(gated.getLong(4) === 1L && gated.getLong(5) === 1L)
   }
 }
