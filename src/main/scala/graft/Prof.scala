@@ -49,6 +49,23 @@ object Prof {
     t("validate gated 2nd")(graft.validate.Validator.validate(spark, raw, tree, root, maxV + 1).count())
     t("tree collect")(tree.collect())
     t("q6 distinct collect")(clean.select("src").distinct().collect())
+    // dd kernels
+    val docsDf = spark.read.parquet(dir + "/documents.parquet")
+    t("docs count probe")(docsDf.select("doc_id").count())
+    val rows0 = t("docs collect")(docsDf.select(col("doc_id"), col("text")).collect())
+    val ids = rows0.map(_.getLong(0)); val texts = rows0.map(_.getString(1))
+    t("simhashSigs")(graft.ops.LocalDedup.simhashSigs(ids, texts))
+    t("simhashSigs #2")(graft.ops.LocalDedup.simhashSigs(ids, texts))
+    val sp = t("simhashPairs")(graft.ops.LocalDedup.simhashPairs(ids, texts, 3))
+    println(s"[prof]   simhash pairs = ${sp.size}")
+    locally { import spark.implicits._
+      t("simhash toDF count")(sp.toDF("doc_a","doc_b","hamming").count()) }
+    val np = t("ngramPairs")(graft.ops.LocalDedup.ngramJaccardPairs(ids, texts, 0.5))
+    println(s"[prof]   ngram pairs = ${np.size}")
+    val mp = t("minhashPairs")(graft.ops.LocalDedup.minhashPairs(ids, texts, 0.5))
+    println(s"[prof]   minhash pairs = ${mp.size}")
+    t("full dd_simhash query")(graft.ops.Dedup.simhashDedup(docsDf, 3).count())
+    t("full dd_ngram query")(graft.ops.Dedup.ngramJaccardDedup(docsDf, 0.5).count())
     spark.stop()
   }
 }

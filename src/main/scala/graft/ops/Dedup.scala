@@ -212,10 +212,10 @@ object Dedup {
     }
     if (maxDf.nonEmpty) dist
     else viaLocal(docs) { (ids, texts) =>
-      val spark = docs.sparkSession
-      import spark.implicits._
-      LocalDedup.minhashPairs(ids, texts, threshold)
-        .toDF("doc_a", "doc_b", "jaccard")
+      val r = LocalDedup.minhashPairs(ids, texts, threshold)
+      LocalDedup.shipDf(docs.sparkSession,
+        "doc_a" -> r.map(_._1).toArray, "doc_b" -> r.map(_._2).toArray,
+        "jaccard" -> r.map(_._3).toArray)
     }(dist)
   }
 
@@ -234,10 +234,10 @@ object Dedup {
     }
     if (maxDf.nonEmpty) dist
     else viaLocal(docs) { (ids, texts) =>
-      val spark = docs.sparkSession
-      import spark.implicits._
-      LocalDedup.ngramJaccardPairs(ids, texts, threshold)
-        .toDF("doc_a", "doc_b", "jaccard")
+      val r = LocalDedup.ngramJaccardPairs(ids, texts, threshold)
+      LocalDedup.shipDf(docs.sparkSession,
+        "doc_a" -> r.map(_._1).toArray, "doc_b" -> r.map(_._2).toArray,
+        "jaccard" -> r.map(_._3).toArray)
     }(dist)
   }
 
@@ -247,9 +247,9 @@ object Dedup {
     * One groupBy pass with 60 partial-aggregating bit-sum columns (no
     * 60× row explode — see [[minhashSignatures]]). */
   def simhash(docs: DataFrame): DataFrame = viaLocal(docs) { (ids, texts) =>
-    val spark = docs.sparkSession
-    import spark.implicits._
-    LocalDedup.simhashSigs(ids, texts).toDF("doc_id", "simhash")
+    val r = LocalDedup.simhashSigs(ids, texts)
+    LocalDedup.shipDf(docs.sparkSession,
+      "doc_id" -> r.map(_._1).toArray, "simhash" -> r.map(_._2).toArray)
   } {
     val toks = TextOps.tokenized(docs)
       .select(col("doc_id"), explode(col("tk")).as("tok")).distinct()
@@ -268,10 +268,10 @@ object Dedup {
     * chunk equal), so the join is on a bucket key, not all-pairs. */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     viaLocal(docs) { (ids, texts) =>
-      val spark = docs.sparkSession
-      import spark.implicits._
-      LocalDedup.simhashPairs(ids, texts, maxHamming)
-        .toDF("doc_a", "doc_b", "hamming")
+      val r = LocalDedup.simhashPairs(ids, texts, maxHamming)
+      LocalDedup.shipDf(docs.sparkSession,
+        "doc_a" -> r.map(_._1).toArray, "doc_b" -> r.map(_._2).toArray,
+        "hamming" -> r.map(_._3).toArray)
     } {
     val sig = simhash(docs)
     val chunks = sig.withColumn("c", explode(sequence(lit(0), lit(3))))
