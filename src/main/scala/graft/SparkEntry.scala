@@ -82,14 +82,22 @@ object SparkEntry {
   private def handle(s: SparkSession, dir: String): GraphHandle =
     handleCache.computeIfAbsent(dir, _ => {
       val raw = rawEdges(s, dir)
-      val root = raw.agg(min(col("src"))).head().getLong(0)
       // raw entry point: construction (symmetrize/dedup) happens inside
-      // the hybrid executor (in-kernel under the gate)
-      val g = Bfs.prepareRaw(raw)
+      // the hybrid executor (in-kernel under the gate); root = min raw
+      // src, from the same collected array
+      val (g, root) = Bfs.prepareRawWithRoot(raw)
       val r = Bfs.bfsMinParent(s, g, root)
-      val tree = r.tree.localCheckpoint(eager = true)
       val csr = g.csrIfBuilt
-      g.unpersist() // tree is checkpointed; the csr object survives
+      // Local-path trees are a range + broadcast-lookup plan — cheaper to
+      // rescan than to checkpoint. Distributed trees carry the iterative
+      // level-loop lineage and MUST be checkpointed while g is cached.
+      val tree =
+        if (csr.isDefined) r.tree
+        else {
+          val t = r.tree.localCheckpoint(eager = true)
+          g.unpersist()
+          t
+        }
       GraphHandle(root, tree, csr)
     })
 
@@ -197,8 +205,7 @@ object SparkEntry {
     // SSSP path, mpi/bfs.hpp:2569-2571).
     "sssp_dist" -> ((s, dir) => {
       val we = graft.bfs.Sssp.weightedEdgesFromLineitem(s, dir, 2000)
-      val root = we.agg(min(col("src"))).head().getLong(0)
-      graft.bfs.Sssp.sssp(s, we, root).select("vertex", "dist")
+      graft.bfs.Sssp.ssspFromMin(s, we).select("vertex", "dist")
     }),
 
     // Connected components on the same subgraph (hybrid: local

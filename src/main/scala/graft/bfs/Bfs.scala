@@ -137,20 +137,45 @@ object Bfs {
     * order — sortEdges then duplicate merge, graph_constructor.hpp:
     * 1363-1412). The distributed path falls back to the full
     * [[graft.etl.EdgeOps.cleanEdges]] + [[prepare]]. */
-  def prepareRaw(raw: DataFrame): PreparedGraph = {
+  def prepareRaw(raw: DataFrame): PreparedGraph = prepareRawInternal(raw)._1
+
+  /** [[prepareRaw]] + the benchmark query surface's canonical root
+    * (min raw src, self-loop-only vertices included). Under the gate the
+    * root falls out of the one collected array — no separate agg job. */
+  def prepareRawWithRoot(raw: DataFrame): (PreparedGraph, Long) = {
+    val (g, root) = prepareRawInternal(raw, needRoot = true)
+    (g, root.get)
+  }
+
+  private def prepareRawInternal(raw: DataFrame, needRoot: Boolean = false)
+      : (PreparedGraph, Option[Long]) = {
     val spark = raw.sparkSession
     val nRaw = raw.count()
     if (nRaw * 2 <= localBfsMaxEdges(spark)) {
-      val noLoops = raw.filter(col("src") =!= col("dst"))
-      val sym = noLoops.union(
-        noLoops.select(col("dst").as("src"), col("src").as("dst")))
-      val csr = LocalCsr.build(sym, dedupAdjacent = true)
+      // ONE primitive collect of the raw list; loop-drop, symmetrize and
+      // duplicate-merge happen in-kernel (the reference's construction
+      // order — sortEdges then merge, graph_constructor.hpp:1363-1412)
+      val flat = LocalCsr.collectPairs(raw)
+      val csr = LocalCsr.buildFromRawPairs(flat)
+      val root =
+        if (!needRoot) None
+        else {
+          var m = Long.MaxValue
+          var i = 0
+          while (i < flat.length) { if (flat(i) < m) m = flat(i); i += 2 }
+          Some(m)
+        }
       val g = PreparedGraph(graft.etl.EdgeOps.cleanEdges(raw),
         vertexTableOf(spark, csr.ids),
         csr.nVerts.toLong, csr.nbrs.length.toLong)
       g.presetCsr(csr)
-      g
-    } else prepare(graft.etl.EdgeOps.cleanEdges(raw))
+      (g, root)
+    } else {
+      val g = prepare(graft.etl.EdgeOps.cleanEdges(raw))
+      val root =
+        if (needRoot) Some(raw.agg(min(col("src"))).head().getLong(0)) else None
+      (g, root)
+    }
   }
 
   /**

@@ -329,53 +329,127 @@ object LocalCsr {
     * 1390-1408), so the input may carry parallel edges — a DataFrame
     * `distinct()` (a full shuffle) becomes unnecessary when the CSR is
     * the execution target anyway. */
-  def build(clean: DataFrame, dedupAdjacent: Boolean = false): LocalCsr = {
-    // Collect edges as ONE primitive long array per partition
-    // ([src,dst,src,dst,...]) — primitive arrays serialize compactly, no
-    // driver-side deserialization of millions of boxed tuples; reading
-    // InternalRow (queryExecution.toRdd) skips the Row conversion layer.
-    val chunks: Array[Array[Long]] = clean.select(col("src"), col("dst"))
+  def build(clean: DataFrame, dedupAdjacent: Boolean = false): LocalCsr =
+    fromPairs(collectPairs(clean), symmetrize = false, dedup = dedupAdjacent)
+
+  /** Build straight from a RAW flat pair array: drop self-loops,
+    * symmetrize, and merge duplicates in-kernel — the raw list is
+    * collected ONCE (vs collecting a DataFrame union that scans the
+    * source twice and ships both directions over the wire). */
+  def buildFromRawPairs(flat: Array[Long]): LocalCsr =
+    fromPairs(flat, symmetrize = true, dedup = true)
+
+  /** Collect (src, dst) pairs as ONE primitive long array
+    * ([src,dst,src,dst,...]) — primitive chunks serialize compactly, no
+    * driver-side deserialization of millions of boxed tuples; reading
+    * InternalRow (queryExecution.toRdd) skips the Row conversion layer. */
+  def collectPairs(df: DataFrame): Array[Long] = {
+    val chunks: Array[Array[Long]] = df.select(col("src"), col("dst"))
       .queryExecution.toRdd.mapPartitions { it =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
         it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
         Iterator.single(b.result())
       }.collect()
-    val nE = chunks.iterator.map(_.length).sum / 2
-    val flat = new Array[Long](nE * 2)
+    val flat = new Array[Long](chunks.iterator.map(_.length).sum)
     var off = 0
     chunks.foreach { c => System.arraycopy(c, 0, flat, off, c.length); off += c.length }
+    flat
+  }
+
+  /** Shared CSR core. `symmetrize = false` expects a symmetric loop-free
+    * input whose srcs cover every vertex (a cleaned relation);
+    * `symmetrize = true` takes a raw list, drops loops, and emits both
+    * directions. */
+  private def fromPairs(flat: Array[Long], symmetrize: Boolean,
+                        dedup: Boolean): LocalCsr = {
+    val nIn = flat.length / 2
+    val nStripes = Threads * 4
+    def stripe(st: Int): (Int, Int) =
+      ((nIn.toLong * st / nStripes).toInt, (nIn.toLong * (st + 1) / nStripes).toInt)
 
     // distinct sorted vertex ids via primitive parallel sort + in-place
-    // dedup (symmetric graph ⇒ srcs cover every vertex)
-    val srcs = new Array[Long](nE)
-    var i = 0
-    while (i < nE) { srcs(i) = flat(2 * i); i += 1 }
-    java.util.Arrays.parallelSort(srcs)
+    // dedup: srcs cover everything for symmetric input; for raw input,
+    // both endpoints of every non-loop edge
+    val endpoints =
+      if (!symmetrize) {
+        val a = new Array[Long](nIn)
+        var i = 0
+        while (i < nIn) { a(i) = flat(2 * i); i += 1 }
+        a
+      } else {
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        b.sizeHint(nIn * 2)
+        var i = 0
+        while (i < nIn) {
+          val s = flat(2 * i); val d = flat(2 * i + 1)
+          if (s != d) { b += s; b += d }
+          i += 1
+        }
+        b.result()
+      }
+    java.util.Arrays.parallelSort(endpoints)
     var nV0 = 0
-    i = 0
-    while (i < nE) {
-      if (nV0 == 0 || srcs(nV0 - 1) != srcs(i)) { srcs(nV0) = srcs(i); nV0 += 1 }
+    var i = 0
+    while (i < endpoints.length) {
+      if (nV0 == 0 || endpoints(nV0 - 1) != endpoints(i)) {
+        endpoints(nV0) = endpoints(i); nV0 += 1
+      }
       i += 1
     }
-    val ids = java.util.Arrays.copyOf(srcs, nV0)
+    val ids = java.util.Arrays.copyOf(endpoints, nV0)
 
-    // dense-map both endpoints (two binary searches per edge) in parallel
-    val enc = new Array[Long](nE)
-    val nStripes = Threads * 4
-    java.util.stream.IntStream.range(0, nStripes).parallel().forEach { st =>
-      val from = (nE.toLong * st / nStripes).toInt
-      val to = (nE.toLong * (st + 1) / nStripes).toInt
-      var j = from
-      while (j < to) {
-        val s = java.util.Arrays.binarySearch(ids, flat(2 * j))
-        val d = java.util.Arrays.binarySearch(ids, flat(2 * j + 1))
-        enc(j) = (s.toLong << 32) | (d.toLong & 0xffffffffL)
-        j += 1
+    // dense-map (two binary searches per edge) in parallel; raw input
+    // additionally emits the reverse direction per kept edge
+    val enc =
+      if (!symmetrize) {
+        val a = new Array[Long](nIn)
+        java.util.stream.IntStream.range(0, nStripes).parallel().forEach { st =>
+          val (from, to) = stripe(st)
+          var j = from
+          while (j < to) {
+            val s = java.util.Arrays.binarySearch(ids, flat(2 * j))
+            val d = java.util.Arrays.binarySearch(ids, flat(2 * j + 1))
+            a(j) = (s.toLong << 32) | (d.toLong & 0xffffffffL)
+            j += 1
+          }
+        }
+        a
+      } else {
+        // per-stripe non-loop counts → offsets → parallel fill
+        val counts = new Array[Int](nStripes)
+        java.util.stream.IntStream.range(0, nStripes).parallel().forEach { st =>
+          val (from, to) = stripe(st)
+          var c = 0
+          var j = from
+          while (j < to) { if (flat(2 * j) != flat(2 * j + 1)) c += 1; j += 1 }
+          counts(st) = c
+        }
+        val offs = new Array[Int](nStripes + 1)
+        var st = 0
+        while (st < nStripes) { offs(st + 1) = offs(st) + 2 * counts(st); st += 1 }
+        val a = new Array[Long](offs(nStripes))
+        java.util.stream.IntStream.range(0, nStripes).parallel().forEach { st =>
+          val (from, to) = stripe(st)
+          var w = offs(st)
+          var j = from
+          while (j < to) {
+            val s0 = flat(2 * j); val d0 = flat(2 * j + 1)
+            if (s0 != d0) {
+              val s = java.util.Arrays.binarySearch(ids, s0)
+              val d = java.util.Arrays.binarySearch(ids, d0)
+              a(w) = (s.toLong << 32) | (d.toLong & 0xffffffffL)
+              a(w + 1) = (d.toLong << 32) | (s.toLong & 0xffffffffL)
+              w += 2
+            }
+            j += 1
+          }
+        }
+        a
       }
-    }
     java.util.Arrays.parallelSort(enc)
+    val nE = enc.length
     val nKeep =
-      if (!dedupAdjacent) nE
+      if (!dedup) nE
       else {
         var n = 0
         i = 0

@@ -50,6 +50,20 @@ object Sssp {
     } finally cached.unpersist(blocking = false)
   }
 
+  /** [[sssp]] rooted at the graph's minimum vertex id, with the weighted
+    * edge set persisted ONCE for both the root scan and the traversal —
+    * calling `wedges.agg(min)` and then [[sssp]] separately re-runs the
+    * whole upstream pipeline (sort/limit/groupBy) twice. */
+  def ssspFromMin(spark: SparkSession, wedges: DataFrame): DataFrame = {
+    val cached = wedges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val local = cached.count() <= Bfs.localBfsMaxEdges(spark)
+      val root = cached.agg(min(col("src"))).head().getLong(0)
+      if (local) ssspLocal(spark, cached, root).localCheckpoint(eager = true)
+      else ssspDistributed(spark, cached, root)
+    } finally cached.unpersist(blocking = false)
+  }
+
   /** Local kernel: weighted adjacency collected as primitive chunks; the
     * SAME round-synchronous relaxation as the DataFrame loop (per round:
     * best lexicographic (dist, pred) candidate per target from the
