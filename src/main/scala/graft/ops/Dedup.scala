@@ -307,6 +307,14 @@ object Dedup {
     * sub-quadratic path (minhashDedup / simhashDedup / Similarity.ivfTopK),
     * with this as the exact within-bucket verifier. */
   def embeddingDedup(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    Similarity.localCorpus(embeddings) match {
+      case Some(c) =>
+        val r = LocalSimilarity.embeddingPairs(c, threshold)
+        return LocalDedup.shipDf(embeddings.sparkSession,
+          "vec_id_a" -> r.map(_._1).toArray, "vec_id_b" -> r.map(_._2).toArray,
+          "cosine" -> r.map(_._3).toArray)
+      case None =>
+    }
     val spark = embeddings.sparkSession
     import spark.implicits._
     val n = Similarity.withNorm(embeddings)

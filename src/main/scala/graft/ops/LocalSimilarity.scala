@@ -1,0 +1,130 @@
+package graft.ops
+
+/**
+ * Driver-local similarity kernels — the small-corpus path of the hybrid
+ * executor for [[Similarity]], mirroring the column pipelines exactly:
+ * float→double element casts, sequential index-order dot-product folds,
+ * HALF_UP 6dp cosine rounding, and (cosine desc, id asc) rank ordering.
+ * Equality specs: LocalSimilaritySpec.
+ *
+ * Each distributed ANN query is a broadcast join + window rank (plus a
+ * corpus-wide assignment pass for IVF); below ~10⁵ vectors the corpus is
+ * one executor's working set and per-stage scheduling dominates. The
+ * distributed pipelines remain the corpus-scale path.
+ */
+object LocalSimilarity {
+
+  /** (ids, double vectors, norms) — the collected `withNorm` relation. */
+  final class Corpus(val ids: Array[Long], val vecs: Array[Array[Double]]) {
+    val nrm: Array[Double] = vecs.map(v => math.sqrt(dot(v, v)))
+    def size: Int = ids.length
+  }
+
+  /** Sequential index-order fold — bit-identical to ArrayDotProduct /
+    * DuckDB list_dot_product. */
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def round6(x: Double): Double = LocalDedup.round6(x)
+
+  private def cosine(c: Corpus, a: Int, b: Int): Double =
+    round6(dot(c.vecs(a), c.vecs(b)) / (c.nrm(a) * c.nrm(b)))
+
+  /** Per-query top-k among candidate indices, ranked by
+    * (cosine desc, neighbor_id asc): (query_id, neighbor_id, rank,
+    * cosine) rows. */
+  private def topK(c: Corpus, query: Int, cands: Iterator[Int], k: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    val scored = cands.filter(_ != query)
+      .map(n => (c.ids(n), cosine(c, query, n))).toArray
+    java.util.Arrays.sort(scored, new java.util.Comparator[(Long, Double)] {
+      def compare(x: (Long, Double), y: (Long, Double)): Int = {
+        val byCos = java.lang.Double.compare(y._2, x._2)
+        if (byCos != 0) byCos else java.lang.Long.compare(x._1, y._1)
+      }
+    })
+    scored.take(k).zipWithIndex.map { case ((nid, cos), r) =>
+      (c.ids(query), nid, (r + 1).toLong, cos)
+    }.toSeq
+  }
+
+  /** ≡ Similarity.bruteForceTopK: exact cosine top-k for queries
+    * vec_id < nQueries over the whole corpus. */
+  def bruteForceTopK(c: Corpus, k: Int, nQueries: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    val queries = c.ids.indices.filter(i => c.ids(i) < nQueries)
+    val out = new Array[Seq[(Long, Long, Long, Double)]](queries.size)
+    java.util.stream.IntStream.range(0, queries.size).parallel().forEach { qi =>
+      out(qi) = topK(c, queries(qi), c.ids.indices.iterator, k)
+    }
+    out.toSeq.flatten
+  }
+
+  /** ≡ Dedup.embeddingDedup: all pairs (vec_id_a < vec_id_b) with
+    * rounded cosine ≥ threshold. */
+  def embeddingPairs(c: Corpus, threshold: Double): Seq[(Long, Long, Double)] = {
+    val order = c.ids.indices.sortBy(c.ids(_)).toArray
+    val out = new Array[Seq[(Long, Long, Double)]](order.length)
+    java.util.stream.IntStream.range(0, order.length).parallel().forEach { oi =>
+      val a = order(oi)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var oj = oi + 1
+      while (oj < order.length) {
+        val b = order(oj)
+        if (c.ids(a) != c.ids(b)) {
+          val cos = cosine(c, a, b)
+          if (cos >= threshold) buf += ((c.ids(a), c.ids(b), cos))
+        }
+        oj += 1
+      }
+      out(oi) = buf.toSeq
+    }
+    out.toSeq.flatten
+  }
+
+  /** ≡ Similarity.ivfTopK: centroids = vec_id < nCentroids; corpus
+    * assigned to nearest centroid by (rounded cosine desc, centroid_id
+    * asc); queries probe nProbe nearest cells; exact scoring within
+    * probed cells only. */
+  def ivfTopK(c: Corpus, k: Int, nQueries: Int, nCentroids: Int,
+              nProbe: Int): Seq[(Long, Long, Long, Double)] = {
+    val centIdx = c.ids.indices.filter(i => c.ids(i) < nCentroids).toArray
+    if (centIdx.isEmpty) return Seq.empty
+    // rank centroids for one vector: (rounded cosine desc, centroid_id asc)
+    def rankedCentroids(v: Int): Array[Int] =
+      centIdx.map(ci => (ci, cosine(c, v, ci)))
+        .sortBy { case (ci, cc) => (-cc, c.ids(ci)) }
+        .map(_._1)
+    // cell assignment (parallel over the corpus)
+    val assign = new Array[Int](c.size)
+    java.util.stream.IntStream.range(0, c.size).parallel().forEach { v =>
+      assign(v) = rankedCentroids(v)(0)
+    }
+    // per-cell member lists
+    val cells = new java.util.HashMap[Int, java.util.ArrayList[Integer]]()
+    var v = 0
+    while (v < c.size) {
+      var lst = cells.get(assign(v))
+      if (lst == null) { lst = new java.util.ArrayList(); cells.put(assign(v), lst) }
+      lst.add(v)
+      v += 1
+    }
+    val queries = c.ids.indices.filter(i => c.ids(i) < nQueries)
+    val out = new Array[Seq[(Long, Long, Long, Double)]](queries.size)
+    java.util.stream.IntStream.range(0, queries.size).parallel().forEach { qi =>
+      val q = queries(qi)
+      val probed = rankedCentroids(q).take(nProbe)
+      val cands = probed.iterator.flatMap { ci =>
+        val lst = cells.get(ci)
+        if (lst == null) Iterator.empty
+        else Iterator.range(0, lst.size()).map(lst.get(_).intValue())
+      }
+      out(qi) = topK(c, q, cands, k)
+    }
+    out.toSeq.flatten
+  }
+}

@@ -45,9 +45,43 @@ object Similarity {
   private def cosine(av: Column, an: Column, bv: Column, bn: Column): Column =
     round(dot(av, bv) / (an * bn), 6)
 
+  /** Hybrid-executor gate: corpora at or under this many vectors run on
+    * the driver-local [[LocalSimilarity]] kernels (identical output —
+    * LocalSimilaritySpec); larger corpora take the distributed pipelines.
+    * Override with `spark.graft.localAnnMaxVecs` (0 = always
+    * distributed). */
+  val LocalAnnDefaultMaxVecs = 100000L
+
+  private[ops] def localCorpus(embeddings: DataFrame): Option[LocalSimilarity.Corpus] = {
+    if (embeddings.isStreaming) return None
+    val spark = embeddings.sparkSession
+    val gate = spark.conf.getOption("spark.graft.localAnnMaxVecs")
+      .map(_.toLong).getOrElse(LocalAnnDefaultMaxVecs)
+    if (gate <= 0) None
+    else if (embeddings.select("vec_id").count() > gate) None
+    else {
+      val rows = embeddings.select(col("vec_id"), col("embedding")).collect()
+      val ids = rows.map(_.getLong(0))
+      // float→double per element, exactly the transform(...cast) column
+      val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      Some(new LocalSimilarity.Corpus(ids, vecs))
+    }
+  }
+
+  private def shipTopK(spark: org.apache.spark.sql.SparkSession,
+                       rows: Seq[(Long, Long, Long, Double)]): DataFrame =
+    LocalDedup.shipDf(spark,
+      "query_id" -> rows.map(_._1).toArray,
+      "neighbor_id" -> rows.map(_._2).toArray,
+      "rank" -> rows.map(_._3).toArray,
+      "cosine" -> rows.map(_._4).toArray)
+
   /** Exact cosine top-k: queries = vectors with vec_id < nQueries. */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
-                     nQueries: Int = 10): DataFrame = {
+                     nQueries: Int = 10): DataFrame = localCorpus(embeddings) match {
+    case Some(c) => shipTopK(embeddings.sparkSession,
+      LocalSimilarity.bruteForceTopK(c, k, nQueries))
+    case None =>
     val n = withNorm(embeddings)
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -64,7 +98,10 @@ object Similarity {
   /** IVF(-flat) approximate top-k. Probing is by query-to-centroid
     * cosine; candidates are scored exactly within probed cells. */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = localCorpus(embeddings) match {
+    case Some(c) => shipTopK(embeddings.sparkSession,
+      LocalSimilarity.ivfTopK(c, k, nQueries, nCentroids, nProbe))
+    case None =>
     val n = withNorm(embeddings)
     val cent = broadcast(
       n.filter(col("vec_id") < nCentroids)

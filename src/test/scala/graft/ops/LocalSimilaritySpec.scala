@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import graft.SparkSpec
+
+/** Equality specs for the hybrid ANN executor: the driver-local
+  * [[LocalSimilarity]] kernels must produce exactly the distributed
+  * pipelines' rows — scoring, rounding, and (cosine desc, id asc)
+  * tie-breaks included. */
+class LocalSimilaritySpec extends SparkSpec {
+
+  private def sorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toVector).toSeq.sortBy(_.mkString("|"))
+
+  private def bothWays(q: => DataFrame): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+    spark.conf.unset("spark.graft.localAnnMaxVecs")
+    val local = sorted(q)
+    spark.conf.set("spark.graft.localAnnMaxVecs", "0")
+    val dist = try sorted(q)
+    finally spark.conf.unset("spark.graft.localAnnMaxVecs")
+    (local, dist)
+  }
+
+  /** Random corpus with exact-duplicate vectors (cosine ties → id
+    * tie-break must match). */
+  private def corpus(n: Int, dims: Int, seed: Long): DataFrame = {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val base = Seq.fill(n)(Array.fill(dims)(rnd.nextFloat() * 2f - 1f))
+    val rows = base.zipWithIndex.map { case (v, i) =>
+      // every 4th vector duplicates its predecessor → guaranteed ties
+      (i.toLong, if (i % 4 == 3) base(i - 1) else v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: kernel ≡ distributed (ties included)") {
+    for (seed <- 1L to 3L) {
+      val (l, d) = bothWays(Similarity.bruteForceTopK(corpus(60, 8, seed), 5, 10))
+      assert(l === d, s"seed=$seed")
+      assert(l.size === 50)
+    }
+  }
+
+  test("ivfTopK: kernel ≡ distributed (assignment + probe ordering)") {
+    for (seed <- 1L to 3L) {
+      val (l, d) = bothWays(Similarity.ivfTopK(corpus(60, 8, seed), 5, 10, 16, 4))
+      assert(l === d, s"seed=$seed")
+      assert(l.nonEmpty)
+    }
+  }
+
+  test("embeddingDedup: kernel ≡ distributed block path (ties included)") {
+    for (seed <- 1L to 3L) {
+      val (l, d) = bothWays(Dedup.embeddingDedup(corpus(60, 8, seed), 0.3))
+      assert(l === d, s"seed=$seed")
+      assert(l.nonEmpty) // duplicated vectors → cosine-1 pairs exist
+    }
+  }
+
+  test("kernel ≡ distributed on sf0.001 embeddings") {
+    val t = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (lb, db) = bothWays(Similarity.bruteForceTopK(t, 5, 10))
+    assert(lb === db)
+    val (li, di) = bothWays(Similarity.ivfTopK(t, 5, 10, 16, 4))
+    assert(li === di)
+  }
+}
