@@ -84,12 +84,18 @@ object Graph500 {
     val g = Bfs.prepareRaw(raw)
     val tCon = (System.nanoTime() - t1) / 1e9
 
-    // Stage 3: deterministic root sample. The non-isolated vertex set is
-    // collected as a driver set — at SCALE≥26 swap for a broadcast Bloom
-    // filter over EdgeOps.degrees.
-    val maxV = g.all.agg(max(col("vertex"))).head().getLong(0)
-    val hasEdge = g.all.as[Long].collect().toSet
-    val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge.contains)
+    // Stage 3: deterministic root sample — straight off the kernel CSR's
+    // sorted ids in local mode; from the distributed vertex table above
+    // the gate (at SCALE≥26 swap for a broadcast Bloom filter over
+    // EdgeOps.degrees).
+    val (maxV, hasEdge): (Long, Long => Boolean) = g.csrIfBuilt match {
+      case Some(csr) if csr.nVerts > 0 =>
+        (csr.ids.last, v => java.util.Arrays.binarySearch(csr.ids, v) >= 0)
+      case _ =>
+        (g.all.agg(max(col("vertex"))).head().getLong(0),
+          g.all.as[Long].collect().toSet)
+    }
+    val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge)
 
     // Hybrid benchmark path mirroring the BFS executor's gate: under the
     // local-kernel size limit, each run is the in-memory CSR kernel and
@@ -106,7 +112,12 @@ object Graph500 {
     val nRemaining = nRoots - prior.size
     val localV =
       if (localMode && validate && nRemaining > 0)
-        Some(new LocalValidator(g.csr.ids, raw))
+        // reuse the construction stage's collected pair array — the raw
+        // list ships from the executors once, not twice
+        Some(g.takeRawPairs() match {
+          case Some(flat) => new LocalValidator(g.csr.ids, flat)
+          case None => new LocalValidator(g.csr.ids, raw)
+        })
       else None
     val undirected =
       if (!localMode && validate && nRemaining > 0) {
@@ -243,9 +254,14 @@ object Graph500 {
     val g = Bfs.prepareRaw(raw)
     val tCon = (System.nanoTime() - t1) / 1e9
 
-    val maxV = g.all.agg(max(col("vertex"))).head().getLong(0)
-    val hasEdge = g.all.as[Long].collect().toSet
-    val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge.contains)
+    val (maxV, hasEdge): (Long, Long => Boolean) = g.csrIfBuilt match {
+      case Some(csr) if csr.nVerts > 0 =>
+        (csr.ids.last, v => java.util.Arrays.binarySearch(csr.ids, v) >= 0)
+      case _ =>
+        (g.all.agg(max(col("vertex"))).head().getLong(0),
+          g.all.as[Long].collect().toSet)
+    }
+    val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge)
     val localMode = g.totalEdges <= Bfs.localBfsMaxEdges(spark)
 
     val (bfsWall, valWall, nedges, errors) =
@@ -253,7 +269,10 @@ object Graph500 {
         // all kernels back-to-back, then all validations (amortized raw
         // endpoint precompute), timed as walls; untimed warm-up first
         // (reference PRE_EXEC, mpi/main.cc:91-103), validator included
-        val lv = new LocalValidator(g.csr.ids, raw)
+        val lv = g.takeRawPairs() match {
+          case Some(flat) => new LocalValidator(g.csr.ids, flat)
+          case None => new LocalValidator(g.csr.ids, raw)
+        }
         val w0 = System.nanoTime()
         var wi = 0
         while (wi < 8 && System.nanoTime() - w0 < 1000000000L) {

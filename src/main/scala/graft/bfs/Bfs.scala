@@ -72,6 +72,14 @@ object Bfs {
   final case class PreparedGraph(edges: DataFrame, all: DataFrame,
                                  totalVerts: Long, totalEdges: Long) {
     @transient private var csrCache: LocalCsr = _
+    /** Raw flat pair array retained by prepareRaw's local path so the
+      * benchmark validator can dense-map the list without re-collecting
+      * it; cleared by takeRawPairs. */
+    @transient private[graft] var rawPairs: Option[Array[Long]] = None
+    /** Hand off (and release) the retained raw pair array. */
+    private[graft] def takeRawPairs(): Option[Array[Long]] = {
+      val r = rawPairs; rawPairs = None; r
+    }
     private[graft] def csr: LocalCsr = synchronized {
       if (csrCache == null) csrCache = LocalCsr.build(edges)
       csrCache
@@ -169,6 +177,7 @@ object Bfs {
         vertexTableOf(spark, csr.ids),
         csr.nVerts.toLong, csr.nbrs.length.toLong)
       g.presetCsr(csr)
+      g.rawPairs = Some(flat)
       (g, root)
     } else {
       val g = prepare(graft.etl.EdgeOps.cleanEdges(raw))

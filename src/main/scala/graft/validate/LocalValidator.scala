@@ -1,7 +1,6 @@
 package graft.validate
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
 
 /**
  * In-memory validation kernel — the hybrid fast path of [[Validator]]
@@ -28,38 +27,32 @@ import org.apache.spark.sql.functions.col
  *                   endpoint depth is NULL if the vertex is isolated
  *                   (absent from the cleaned graph) or unreached.
  */
-final class LocalValidator(clean_ids: Array[Long], rawEdges: DataFrame) {
+final class LocalValidator(clean_ids: Array[Long], rawPairs: Array[Long]) {
+
+  /** Collects the raw list itself (primitive chunks). Prefer the primary
+    * constructor when the flat pair array already exists (e.g. from the
+    * construction stage) — the list then ships from the executors ONCE. */
+  def this(clean_ids: Array[Long], rawEdges: DataFrame) =
+    this(clean_ids, graft.bfs.LocalCsr.collectPairs(rawEdges))
 
   // dense endpoint per raw edge; -1 = endpoint not in the cleaned graph
   private val (edgeU, edgeV) = {
-    val chunks: Array[Array[Long]] = rawEdges.select(col("src"), col("dst"))
-      .queryExecution.toRdd.mapPartitions { it =>
-        val b = new scala.collection.mutable.ArrayBuilder.ofLong
-        it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
-        Iterator.single(b.result())
-      }.collect()
-    val nE = chunks.iterator.map(_.length).sum / 2
+    val nE = rawPairs.length / 2
     val u = new Array[Int](nE)
     val v = new Array[Int](nE)
-    // chunk offsets, then dense-map every chunk in parallel (two binary
-    // searches per edge dominate construction otherwise)
-    val offsets = new Array[Int](chunks.length)
-    var acc = 0
-    var ci = 0
-    while (ci < chunks.length) {
-      offsets(ci) = acc; acc += chunks(ci).length / 2; ci += 1
-    }
-    java.util.stream.IntStream.range(0, chunks.length).parallel().forEach { c0 =>
-      val c = chunks(c0)
-      var i = offsets(c0)
-      var j = 0
-      while (j < c.length) {
-        val s = java.util.Arrays.binarySearch(clean_ids, c(j))
-        val d = java.util.Arrays.binarySearch(clean_ids, c(j + 1))
+    // dense-map in parallel stripes (two binary searches per edge
+    // dominate construction otherwise)
+    val nStripes = Runtime.getRuntime.availableProcessors() * 4
+    java.util.stream.IntStream.range(0, nStripes).parallel().forEach { st =>
+      val from = (nE.toLong * st / nStripes).toInt
+      val to = (nE.toLong * (st + 1) / nStripes).toInt
+      var i = from
+      while (i < to) {
+        val s = java.util.Arrays.binarySearch(clean_ids, rawPairs(2 * i))
+        val d = java.util.Arrays.binarySearch(clean_ids, rawPairs(2 * i + 1))
         u(i) = if (s < 0) -1 else s
         v(i) = if (d < 0) -1 else d
         i += 1
-        j += 2
       }
     }
     (u, v)
