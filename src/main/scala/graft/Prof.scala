@@ -60,6 +60,10 @@ object Prof {
     println(s"[prof]   simhash pairs = ${sp.size}")
     locally { import spark.implicits._
       t("simhash toDF count")(sp.toDF("doc_a","doc_b","hamming").count()) }
+    t("shingleIndex #1")(graft.ops.LocalDedup.buildIndex(texts))
+    val six = t("shingleIndex #2")(graft.ops.LocalDedup.buildIndex(texts))
+    println(s"[prof]   nShingles=" + six.nShingles)
+    t("ngramPairs #0")(graft.ops.LocalDedup.ngramJaccardPairs(ids, texts, 0.5))
     val np = t("ngramPairs")(graft.ops.LocalDedup.ngramJaccardPairs(ids, texts, 0.5))
     println(s"[prof]   ngram pairs = ${np.size}")
     val mp = t("minhashPairs")(graft.ops.LocalDedup.minhashPairs(ids, texts, 0.5))

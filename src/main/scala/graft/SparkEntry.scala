@@ -298,21 +298,30 @@ object SparkEntry {
     })
   )
 
+  // Small dimension-like tables scanned by many queries (9 over docs, 3
+  // over embeddings, 3 over events): persist once per sfDir.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def cachedTable(key: String)(load: => DataFrame): DataFrame =
+    tableCache.computeIfAbsent(key, _ =>
+      load.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    cachedTable(s"$dir/documents")(s.read.parquet(s"$dir/documents.parquet"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    cachedTable(s"$dir/embeddings")(s.read.parquet(s"$dir/embeddings.parquet"))
 
   /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
     * refuses natively; read nanos as long and truncate to microsecond
     * timestamps — exactly what DuckDB does when it loads the same file
     * (ns → µs TIMESTAMP), keeping the oracle comparison aligned. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    cachedTable(s"$dir/events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
 
   /** Deterministic pseudo run-stats: 64 smallest orders; bfs_time from
     * totalprice, nedge from orderkey (see q9 oracle). */

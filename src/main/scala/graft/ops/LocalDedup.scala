@@ -73,7 +73,7 @@ object LocalDedup {
   /** Per-document interned shingle ids (sorted) + global id → hash table.
     * Interning keys on the shingle STRING, so downstream set operations
     * have exactly the distributed join-on-shingle semantics. */
-  private final class ShingleIndex(texts: Array[String]) {
+  private[graft] final class ShingleIndex(texts: Array[String]) {
     val nDocs: Int = texts.length
     private val interner = new ConcurrentHashMap[String, Integer]()
     // per-doc distinct shingle strings, computed in parallel
@@ -114,6 +114,9 @@ object LocalDedup {
       a
     }
   }
+
+  private[graft] def buildIndex(texts: Array[String]): ShingleIndex =
+    new ShingleIndex(texts)
 
   /** Sorted-array intersection size. */
   private def intersectionSize(a: Array[Int], b: Array[Int]): Int = {
@@ -297,6 +300,11 @@ object LocalDedup {
   private def scoreRuns(idx: ShingleIndex, ids: Array[Long], all: Array[Long],
                         threshold: Double): Seq[(Long, Long, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    // ε-margin pre-filter: round6 (BigDecimal) costs ~0.5 µs and there
+    // can be millions of candidate runs for a handful of survivors;
+    // rounding moves a value by at most 5e-7, so no pair that rounds
+    // past the threshold is lost.
+    val eps = 1e-6
     var i = 0
     while (i < all.length) {
       val key = all(i)
@@ -307,8 +315,11 @@ object LocalDedup {
       val b = (key & 0xffffffffL).toInt
       val na = idx.docShingles(a).length
       val nb = idx.docShingles(b).length
-      val jac = round6(common.toDouble / (na + nb - common))
-      if (jac >= threshold) out += ((ids(a), ids(b), jac))
+      val raw = common.toDouble / (na + nb - common)
+      if (raw >= threshold - eps) {
+        val jac = round6(raw)
+        if (jac >= threshold) out += ((ids(a), ids(b), jac))
+      }
       i = j
     }
     out.toSeq

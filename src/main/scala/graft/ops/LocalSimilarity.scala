@@ -69,6 +69,10 @@ object LocalSimilarity {
   def embeddingPairs(c: Corpus, threshold: Double): Seq[(Long, Long, Double)] = {
     val order = c.ids.indices.sortBy(c.ids(_)).toArray
     val out = new Array[Seq[(Long, Long, Double)]](order.length)
+    // ε-margin pre-filter on the raw cosine: round6 (BigDecimal) per pair
+    // would dominate the O(n²) scan; rounding moves a value ≤ 5e-7, so no
+    // pair that rounds past the threshold is lost.
+    val eps = 1e-6
     java.util.stream.IntStream.range(0, order.length).parallel().forEach { oi =>
       val a = order(oi)
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
@@ -76,8 +80,11 @@ object LocalSimilarity {
       while (oj < order.length) {
         val b = order(oj)
         if (c.ids(a) != c.ids(b)) {
-          val cos = cosine(c, a, b)
-          if (cos >= threshold) buf += ((c.ids(a), c.ids(b), cos))
+          val raw = dot(c.vecs(a), c.vecs(b)) / (c.nrm(a) * c.nrm(b))
+          if (raw >= threshold - eps) {
+            val cos = round6(raw)
+            if (cos >= threshold) buf += ((c.ids(a), c.ids(b), cos))
+          }
         }
         oj += 1
       }
