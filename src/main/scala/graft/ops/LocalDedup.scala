@@ -433,7 +433,7 @@ object LocalDedup {
     * into each consuming job (~0.9 s at 270k rows); broadcast primitive
     * arrays ship once and the rows materialize in executors. */
   def shipDf(spark: org.apache.spark.sql.SparkSession,
-             cols: (String, Array[_ <: AnyVal])*): org.apache.spark.sql.DataFrame = {
+             cols: (String, Array[_])*): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, udf}
     val n = if (cols.isEmpty) 0 else cols.head._2.length
     val fields = cols.map { case (name, arr) =>
@@ -443,6 +443,10 @@ object LocalDedup {
           val f = udf((i: Long) => bc.value(i.toInt))
           f(col("id")).as(name)
         case a: Array[Double] =>
+          val bc = spark.sparkContext.broadcast(a)
+          val f = udf((i: Long) => bc.value(i.toInt))
+          f(col("id")).as(name)
+        case a: Array[String] =>
           val bc = spark.sparkContext.broadcast(a)
           val f = udf((i: Long) => bc.value(i.toInt))
           f(col("id")).as(name)

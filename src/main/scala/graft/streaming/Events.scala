@@ -24,12 +24,12 @@ object Events {
   /** Tumbling 1-hour windowed aggregation per event_type. Streaming-safe:
     * same groupBy(window(...)) works under readStream + watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
-    events
+    LocalEvents.windowedCounts(events).getOrElse(events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 6).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value")))
 
   /** Streaming variant: watermarked append-mode windowed aggregation.
     * Use under spark.readStream; late data beyond `watermark` is dropped
@@ -44,7 +44,8 @@ object Events {
     * inter-event gap exceeds 30 minutes. Deterministic ordering by
     * (ts, event_id); all arithmetic on integral microseconds so the
     * DuckDB oracle compares bit-exactly. */
-  def sessionize(events: DataFrame): DataFrame = {
+  def sessionize(events: DataFrame): DataFrame =
+    LocalEvents.sessionize(events).getOrElse {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
@@ -104,7 +105,8 @@ object Events {
 
   /** Top-k users by summed value within each event_type (rank by rounded
     * sum desc, then user_id — deterministic). */
-  def topUsers(events: DataFrame, k: Int = 3): DataFrame = {
+  def topUsers(events: DataFrame, k: Int = 3): DataFrame =
+    LocalEvents.topUsers(events, k).getOrElse {
     val sums = events.groupBy("event_type", "user_id")
       .agg(round(sum(col("value")), 6).as("total_value"))
     sums.withColumn("rank", row_number().over(

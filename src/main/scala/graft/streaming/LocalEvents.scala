@@ -1,0 +1,183 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-local kernels for the BATCH event-analytics transforms — the
+ * small-input path of the hybrid executor for [[Events]], following the
+ * LocalDedup/LocalSimilarity pattern. Streaming inputs and tables above
+ * `spark.graft.localEventsMaxRows` (default 1M; 0 disables) always take
+ * the distributed transforms, whose shuffle-per-key shapes are the
+ * 100 TB path.
+ *
+ * Semantics mirrored 1:1 (LocalEventsSpec pins equality):
+ *  - microsecond integral arithmetic (unix_micros) for windows/sessions
+ *  - session order (ts, event_id); new session when gap > 30 min
+ *  - sums rounded HALF_UP at 6dp; ranks by (rounded sum desc, id asc)
+ */
+object LocalEvents {
+
+  val LocalEventsDefaultMaxRows = 1000000L
+
+  private def round6(x: Double) = graft.ops.LocalDedup.round6(x)
+  private def shipDf(spark: SparkSession, cols: (String, Array[_])*) =
+    graft.ops.LocalDedup.shipDf(spark, cols: _*)
+
+  /** Collected (event_id, us, user_id, event_type, value) under the
+    * gate; None → take the distributed transform. */
+  private def localRows(events: DataFrame)
+      : Option[(Array[Long], Array[Long], Array[Long], Array[String], Array[Double])] = {
+    if (events.isStreaming) return None
+    val spark = events.sparkSession
+    val gate = spark.conf.getOption("spark.graft.localEventsMaxRows")
+      .map(_.toLong).getOrElse(LocalEventsDefaultMaxRows)
+    if (gate <= 0) None
+    else if (events.select("event_id").count() > gate) None
+    else {
+      val rows = events.select(col("event_id"), unix_micros(col("ts")),
+        col("user_id"), col("event_type"), col("value")).collect()
+      val n = rows.length
+      val eid = new Array[Long](n)
+      val us = new Array[Long](n)
+      val uid = new Array[Long](n)
+      val et = new Array[String](n)
+      val v = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val r = rows(i)
+        eid(i) = r.getLong(0); us(i) = r.getLong(1); uid(i) = r.getLong(2)
+        et(i) = r.getString(3); v(i) = r.getDouble(4)
+        i += 1
+      }
+      Some((eid, us, uid, et, v))
+    }
+  }
+
+  /** ≡ Events.windowedCounts (batch): tumbling 1-hour counts + rounded
+    * value sums per event_type. */
+  private[streaming] def windowedCounts(events: DataFrame): Option[DataFrame] =
+    localRows(events).map { case (_, us, _, et, v) =>
+      val hourUs = 3600L * 1000 * 1000
+      val m = new java.util.LinkedHashMap[(Long, String), (Long, Double)]()
+      var i = 0
+      while (i < us.length) {
+        val w = math.floorDiv(us(i), hourUs) * hourUs
+        val k = (w, et(i))
+        val prev = m.get(k)
+        if (prev == null) m.put(k, (1L, v(i)))
+        else m.put(k, (prev._1 + 1, prev._2 + v(i)))
+        i += 1
+      }
+      val n = m.size()
+      val wStart = new Array[Long](n)
+      val etype = new Array[String](n)
+      val cnt = new Array[Long](n)
+      val sum = new Array[Double](n)
+      var j = 0
+      m.forEach { (k, agg) =>
+        wStart(j) = k._1; etype(j) = k._2; cnt(j) = agg._1
+        sum(j) = round6(agg._2)
+        j += 1
+      }
+      shipDf(events.sparkSession, "w_start_us" -> wStart,
+        "event_type" -> etype, "n_events" -> cnt, "sum_value" -> sum)
+        .select(timestamp_micros(col("w_start_us")).as("w_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }
+
+  /** ≡ Events.sessionize: per-user gap-based sessions ordered by
+    * (ts, event_id). */
+  private[streaming] def sessionize(events: DataFrame): Option[DataFrame] =
+    localRows(events).map { case (eid, us, uid, _, v) =>
+      // group per user, order by (us, event_id)
+      val byUser = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < us.length) {
+        var b = byUser.get(uid(i))
+        if (b == null) {
+          b = scala.collection.mutable.ArrayBuffer.empty[Int]
+          byUser.put(uid(i), b)
+        }
+        b += i
+        i += 1
+      }
+      val outU = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outS = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outN = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outD = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outV = scala.collection.mutable.ArrayBuilder.make[Double]
+      byUser.forEach { (user, rows0) =>
+        val rows = rows0.sortBy(r => (us(r), eid(r)))
+        var k = 0
+        while (k < rows.length) {
+          // session = maximal run with inter-event gap ≤ 30 min
+          var end = k + 1
+          while (end < rows.length &&
+            us(rows(end)) - us(rows(end - 1)) <= Events.SessionGapUs) end += 1
+          var sum = 0.0
+          var j = k
+          while (j < end) { sum += v(rows(j)); j += 1 }
+          outU += user
+          outS += 0L // patched below: session_idx is per-user ordinal
+          outN += (end - k).toLong
+          outD += us(rows(end - 1)) - us(rows(k))
+          outV += round6(sum)
+          k = end
+        }
+      }
+      // assign per-user session ordinals (1-based, in time order — the
+      // running sum of new-session flags)
+      val u = outU.result(); val sArr = outS.result()
+      val ordinal = new java.util.HashMap[Long, Long]()
+      var p = 0
+      while (p < u.length) {
+        val nxt = ordinal.getOrDefault(u(p), 0L) + 1
+        ordinal.put(u(p), nxt)
+        sArr(p) = nxt
+        p += 1
+      }
+      shipDf(events.sparkSession, "user_id" -> u, "session_idx" -> sArr,
+        "n_events" -> outN.result(), "duration_us" -> outD.result(),
+        "sum_value" -> outV.result())
+    }
+
+  /** ≡ Events.topUsers: top-k users by rounded value sum per event_type,
+    * rank ties by user_id. */
+  private[streaming] def topUsers(events: DataFrame, k: Int): Option[DataFrame] =
+    localRows(events).map { case (_, _, uid, et, v) =>
+      val sums = new java.util.LinkedHashMap[(String, Long), Double]()
+      var i = 0
+      while (i < uid.length) {
+        val key = (et(i), uid(i))
+        val prev = sums.get(key)
+        sums.put(key, if (prev == null) v(i) else prev + v(i))
+        i += 1
+      }
+      val byType = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+      sums.forEach { (key, s) =>
+        var b = byType.get(key._1)
+        if (b == null) {
+          b = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+          byType.put(key._1, b)
+        }
+        b += ((key._2, round6(s)))
+      }
+      val outT = scala.collection.mutable.ArrayBuilder.make[String]
+      val outU = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outR = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outV = scala.collection.mutable.ArrayBuilder.make[Double]
+      byType.forEach { (etype, users) =>
+        val ranked = users.sortBy { case (user, total) => (-total, user) }
+        var r = 0
+        while (r < math.min(k, ranked.length)) {
+          outT += etype; outU += ranked(r)._1
+          outR += (r + 1).toLong; outV += ranked(r)._2
+          r += 1
+        }
+      }
+      shipDf(events.sparkSession, "event_type" -> outT.result(),
+        "user_id" -> outU.result(), "rank" -> outR.result(),
+        "total_value" -> outV.result())
+    }
+}
