@@ -73,7 +73,7 @@ object LocalDedup {
   /** Per-document interned shingle ids (sorted) + global id → hash table.
     * Interning keys on the shingle STRING, so downstream set operations
     * have exactly the distributed join-on-shingle semantics. */
-  private[graft] final class ShingleIndex(texts: Array[String]) {
+  private final class ShingleIndex(texts: Array[String]) {
     val nDocs: Int = texts.length
     private val interner = new ConcurrentHashMap[String, Integer]()
     // per-doc distinct shingle strings, computed in parallel
@@ -114,9 +114,6 @@ object LocalDedup {
       a
     }
   }
-
-  private[graft] def buildIndex(texts: Array[String]): ShingleIndex =
-    new ShingleIndex(texts)
 
   /** Sorted-array intersection size. */
   private def intersectionSize(a: Array[Int], b: Array[Int]): Int = {
