@@ -70,7 +70,9 @@ object SparkEntry {
     * scans). */
   private final case class GraphHandle(root: Long, tree: DataFrame,
                                        csr: Option[graft.bfs.LocalCsr],
-                                       levelSizes: Seq[(Int, Long)])
+                                       levelSizes: Seq[(Int, Long)],
+                                       rawPairs: Option[Array[Long]],
+                                       dense: Option[(Array[Int], Array[Int])])
 
   private val handleCache =
     new java.util.concurrent.ConcurrentHashMap[String, GraphHandle]()
@@ -87,7 +89,7 @@ object SparkEntry {
       // the hybrid executor (in-kernel under the gate); root = min raw
       // src, from the same collected array
       val (g, root) = Bfs.prepareRawWithRoot(raw)
-      val r = Bfs.bfsMinParent(s, g, root)
+      val (r, dense) = Bfs.bfsMinParentWithArrays(s, g, root)
       val csr = g.csrIfBuilt
       // Local-path trees are a range + broadcast-lookup plan — cheaper to
       // rescan than to checkpoint. Distributed trees carry the iterative
@@ -99,7 +101,7 @@ object SparkEntry {
           g.unpersist()
           t
         }
-      GraphHandle(root, tree, csr, r.levelSizes)
+      GraphHandle(root, tree, csr, r.levelSizes, g.takeRawPairs(), dense)
     })
 
   /** Cleaned edge set, materialized once per sfDir (six queries consume
@@ -188,10 +190,21 @@ object SparkEntry {
     // Q7 — byte-compat packed pred view (reference P5: depth≪48 | parent).
     "q7_packed_pred" -> ((s, dir) => Bfs.packedPred(tree(s, dir))),
 
-    // Q8 — Graph500 five-predicate validation of the Q7 tree.
+    // Q8 — Graph500 five-predicate validation of the Q7 tree. When the
+    // handle holds the kernel arrays, validation runs on them directly —
+    // no tree collect, no raw re-collect.
     "q8_validate" -> ((s, dir) => {
       val maxV = maxVertexOf(s, dir)
-      Validator.validate(s, rawEdges(s, dir), tree(s, dir), rootOf(s, dir), maxV + 1)
+      val h = handle(s, dir)
+      (h.csr, h.dense, h.rawPairs) match {
+        case (Some(csr), Some((pred, depth)), Some(flat)) if csr.nVerts > 0 =>
+          val c = new graft.validate.LocalValidator(csr.ids, flat)
+            .validate(pred, depth,
+              java.util.Arrays.binarySearch(csr.ids, h.root), maxV + 1)
+          Validator.countersDf(s, c)
+        case _ =>
+          Validator.validate(s, rawEdges(s, dir), h.tree, h.root, maxV + 1)
+      }
     }),
 
     // Q9 — Graph500 stat block incl. harmonic-mean TEPS over a deterministic

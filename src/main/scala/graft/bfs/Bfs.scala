@@ -216,6 +216,16 @@ object Bfs {
   /** Hybrid gate: in-memory CSR kernel when the graph fits, distributed
     * level loop otherwise. Identical min-parent trees either way. */
   def bfsMinParent(spark: SparkSession, g: PreparedGraph, root: Long): Result =
+    bfsMinParentWithArrays(spark, g, root)._1
+
+  /** [[bfsMinParent]] also returning the kernel's dense (pred, depth)
+    * arrays when the local path ran them — downstream consumers (e.g.
+    * one-shot validation) can then work on the arrays without collecting
+    * the tree DataFrame. None on the distributed path and on the
+    * absent-root fallback. */
+  def bfsMinParentWithArrays(spark: SparkSession, g: PreparedGraph,
+                             root: Long)
+      : (Result, Option[(Array[Int], Array[Int])]) =
     if (g.totalEdges <= localBfsMaxEdges(spark)) {
       val csr = g.csr
       if (java.util.Arrays.binarySearch(csr.ids, root) < 0) {
@@ -226,12 +236,13 @@ object Bfs {
         // never changes behavior.
         val tree = g.all.select(col("vertex"), lit(-1L).as("pred"),
           lit(null).cast("long").as("depth"))
-        Result(tree, Seq((0, 1L)))
+        (Result(tree, Seq((0, 1L))), None)
       } else {
         val (pred, depth, sizes) = csr.bfs(root)
-        Result(localTreeDf(spark, g, pred, depth), sizes)
+        (Result(localTreeDf(spark, g, pred, depth), sizes),
+          Some((pred, depth)))
       }
-    } else bfsMinParentDistributed(spark, g, root)
+    } else (bfsMinParentDistributed(spark, g, root), None)
 
   /** Dense kernel output → (vertex, pred, depth BIGINT) DataFrame, same
     * contract as the distributed loop. The kernel's arrays ship to

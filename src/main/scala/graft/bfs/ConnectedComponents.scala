@@ -91,14 +91,7 @@ object ConnectedComponents {
     val comp = new Array[Long](nV)
     v = 0
     while (v < nV) { comp(v) = ids(find(v)); v += 1 }
-    val bcIds = spark.sparkContext.broadcast(ids)
-    val bcComp = spark.sparkContext.broadcast(comp)
-    val compOf = udf { (vertex: Long) =>
-      bcComp.value(java.util.Arrays.binarySearch(bcIds.value, vertex))
-    }
-    import spark.implicits._
-    spark.createDataset(ids.toIndexedSeq).toDF("vertex")
-      .select(col("vertex"), compOf(col("vertex")).as("component"))
+    graft.functions.Ship.df(spark, "vertex" -> ids, "component" -> comp)
   }
 
   /** Distributed path (see [[components]]). */

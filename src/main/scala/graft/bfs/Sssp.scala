@@ -161,23 +161,22 @@ object Sssp {
       frontier = next.result()
     }
 
-    val bcIds = spark.sparkContext.broadcast(ids)
-    val bcDist = spark.sparkContext.broadcast(dist)
-    val bcPred = spark.sparkContext.broadcast(pred)
-    val distOf = udf { (vertex: Long) =>
-      val d = bcDist.value(java.util.Arrays.binarySearch(bcIds.value, vertex))
-      if (d == Long.MaxValue) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(d)
+    // reached vertices only (the distributed loop's dist table likewise
+    // contains only settled vertices)
+    val outV = new scala.collection.mutable.ArrayBuilder.ofLong
+    val outD = new scala.collection.mutable.ArrayBuilder.ofLong
+    val outP = new scala.collection.mutable.ArrayBuilder.ofLong
+    var vi = 0
+    while (vi < nV) {
+      if (dist(vi) != Inf) {
+        outV += ids(vi)
+        outD += dist(vi)
+        outP += (if (pred(vi) < 0) -1L else ids(pred(vi)))
+      }
+      vi += 1
     }
-    val predOf = udf { (vertex: Long) =>
-      val p = bcPred.value(java.util.Arrays.binarySearch(bcIds.value, vertex))
-      if (p < 0) -1L else bcIds.value(p)
-    }
-    wedges.select(col("src").as("vertex")).distinct()
-      .select(col("vertex"), distOf(col("vertex")).as("dist"),
-        predOf(col("vertex")).as("pred"))
-      .filter(col("dist").isNotNull)
-      .select(col("vertex"), col("dist").cast("long").as("dist"), col("pred"))
+    graft.functions.Ship.df(spark, "vertex" -> outV.result(),
+      "dist" -> outD.result(), "pred" -> outP.result())
   }
 
   /** Distributed frontier loop (see [[sssp]]). */

@@ -213,7 +213,7 @@ object Dedup {
     if (maxDf.nonEmpty) dist
     else viaLocal(docs) { (ids, texts) =>
       val r = LocalDedup.minhashPairs(ids, texts, threshold)
-      LocalDedup.shipDf(docs.sparkSession,
+      graft.functions.Ship.df(docs.sparkSession,
         "doc_a" -> r.map(_._1).toArray, "doc_b" -> r.map(_._2).toArray,
         "jaccard" -> r.map(_._3).toArray)
     }(dist)
@@ -235,7 +235,7 @@ object Dedup {
     if (maxDf.nonEmpty) dist
     else viaLocal(docs) { (ids, texts) =>
       val r = LocalDedup.ngramJaccardPairs(ids, texts, threshold)
-      LocalDedup.shipDf(docs.sparkSession,
+      graft.functions.Ship.df(docs.sparkSession,
         "doc_a" -> r.map(_._1).toArray, "doc_b" -> r.map(_._2).toArray,
         "jaccard" -> r.map(_._3).toArray)
     }(dist)
@@ -248,7 +248,7 @@ object Dedup {
     * 60× row explode — see [[minhashSignatures]]). */
   def simhash(docs: DataFrame): DataFrame = viaLocal(docs) { (ids, texts) =>
     val r = LocalDedup.simhashSigs(ids, texts)
-    LocalDedup.shipDf(docs.sparkSession,
+    graft.functions.Ship.df(docs.sparkSession,
       "doc_id" -> r.map(_._1).toArray, "simhash" -> r.map(_._2).toArray)
   } {
     val toks = TextOps.tokenized(docs)
@@ -269,7 +269,7 @@ object Dedup {
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     viaLocal(docs) { (ids, texts) =>
       val r = LocalDedup.simhashPairs(ids, texts, maxHamming)
-      LocalDedup.shipDf(docs.sparkSession,
+      graft.functions.Ship.df(docs.sparkSession,
         "doc_a" -> r.map(_._1).toArray, "doc_b" -> r.map(_._2).toArray,
         "hamming" -> r.map(_._3).toArray)
     } {
@@ -310,7 +310,7 @@ object Dedup {
     Similarity.localCorpus(embeddings) match {
       case Some(c) =>
         val r = LocalSimilarity.embeddingPairs(c, threshold)
-        return LocalDedup.shipDf(embeddings.sparkSession,
+        return graft.functions.Ship.df(embeddings.sparkSession,
           "vec_id_a" -> r.map(_._1).toArray, "vec_id_b" -> r.map(_._2).toArray,
           "cosine" -> r.map(_._3).toArray)
       case None =>

@@ -425,35 +425,6 @@ object LocalDedup {
     out.toSeq
   }
 
-  /** Ship kernel results as a distributed DataFrame via broadcast +
-    * range lookup. A Seq.toDF LocalRelation re-serializes every boxed row
-    * into each consuming job (~0.9 s at 270k rows); broadcast primitive
-    * arrays ship once and the rows materialize in executors. */
-  def shipDf(spark: org.apache.spark.sql.SparkSession,
-             cols: (String, Array[_])*): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, udf}
-    val n = if (cols.isEmpty) 0 else cols.head._2.length
-    val fields = cols.map { case (name, arr) =>
-      arr match {
-        case a: Array[Long] =>
-          val bc = spark.sparkContext.broadcast(a)
-          val f = udf((i: Long) => bc.value(i.toInt))
-          f(col("id")).as(name)
-        case a: Array[Double] =>
-          val bc = spark.sparkContext.broadcast(a)
-          val f = udf((i: Long) => bc.value(i.toInt))
-          f(col("id")).as(name)
-        case a: Array[String] =>
-          val bc = spark.sparkContext.broadcast(a)
-          val f = udf((i: Long) => bc.value(i.toInt))
-          f(col("id")).as(name)
-        case other =>
-          throw new IllegalArgumentException(s"unsupported ${other.getClass}")
-      }
-    }
-    spark.range(n.toLong).select(fields: _*)
-  }
-
   /** Thrown when a kernel's candidate-pair enumeration would exceed the
     * in-memory budget; callers fall back to the distributed pipeline. */
   final class Overflow extends RuntimeException(

@@ -70,7 +70,7 @@ object Similarity {
 
   private def shipTopK(spark: org.apache.spark.sql.SparkSession,
                        rows: Seq[(Long, Long, Long, Double)]): DataFrame =
-    LocalDedup.shipDf(spark,
+    graft.functions.Ship.df(spark,
       "query_id" -> rows.map(_._1).toArray,
       "neighbor_id" -> rows.map(_._2).toArray,
       "rank" -> rows.map(_._3).toArray,

@@ -22,7 +22,7 @@ object LocalEvents {
 
   private def round6(x: Double) = graft.ops.LocalDedup.round6(x)
   private def shipDf(spark: SparkSession, cols: (String, Array[_])*) =
-    graft.ops.LocalDedup.shipDf(spark, cols: _*)
+    graft.functions.Ship.df(spark, cols: _*)
 
   /** Collected (event_id, us, user_id, event_type, value) under the
     * gate; None → take the distributed transform. */

@@ -175,11 +175,17 @@ object Validator {
     }
     val c = new LocalValidator(ids, rawEdges)
       .validate(pred, depth, rootDense, nGlobalVerts)
+    Some(countersDf(spark, c))
+  }
+
+  /** The LocalValidator counter array as the single-row DataFrame the
+    * relational plan produces (same column names/order). */
+  private[graft] def countersDf(spark: SparkSession, c: Array[Long]): DataFrame = {
     import spark.implicits._
-    Some(Seq((c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7)))
+    Seq((c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7)))
       .toDF("range_errors", "root_errors", "self_parent_errors",
         "depth_presence_errors", "depth_chain_errors", "pred_edge_missing",
-        "edge_depth_errors", "edge_visit_count"))
+        "edge_depth_errors", "edge_visit_count")
   }
 
   /**
