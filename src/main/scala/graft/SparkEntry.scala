@@ -104,15 +104,18 @@ object SparkEntry {
       GraphHandle(root, tree, csr, r.levelSizes, g.takeRawPairs(), dense)
     })
 
-  /** Cleaned edge set, materialized once per sfDir (six queries consume
-    * it; Verify/Bench run them in one session). Local-path graphs emit it
-    * straight from the kernel CSR — identical relation, no shuffle. */
+  /** Cleaned edge set, one per sfDir. Local-path graphs emit it straight
+    * from the kernel CSR — identical relation, no shuffle, and cheap
+    * enough to rescan that materializing it would cost more than every
+    * consumer combined. The distributed form (shuffling distinct) is
+    * checkpointed once. */
   private def clean(s: SparkSession, dir: String): DataFrame =
     cleanCache.computeIfAbsent(dir, _ =>
-      (handle(s, dir).csr match {
+      handle(s, dir).csr match {
         case Some(csr) if csr.nVerts > 0 => csr.toCleanDf(s)
         case _ => EdgeOps.cleanEdges(rawEdges(s, dir))
-      }).localCheckpoint(eager = true))
+          .localCheckpoint(eager = true)
+      })
 
   private def rootOf(s: SparkSession, dir: String): Long = handle(s, dir).root
 
