@@ -34,5 +34,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (128 GiB box): at benchmark SCALE 20 the kernel arrays +
+  // Spark block store put ~3 GB live in the heap, and a small heap's GC
+  // pauses land in individual BFS run times (8g: median 106 ms, max
+  // 0.5 s; 24g: median 75 ms, max 0.1 s) — which the harmonic-mean TEPS
+  // amplifies ~2.5×.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // G1's default 200 ms pause target lets a single mixed collection eat
+  // 2-3× a SCALE-20 BFS run; a 50 ms target trades it for shorter, more
+  // frequent pauses that the per-run timings absorb.
+  "-XX:MaxGCPauseMillis=50",
 )
