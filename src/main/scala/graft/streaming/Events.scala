@@ -106,14 +106,24 @@ object Events {
   /** Top-k users by summed value within each event_type (rank by rounded
     * sum desc, then user_id — deterministic). */
   def topUsers(events: DataFrame, k: Int = 3): DataFrame =
-    LocalEvents.topUsers(events, k).getOrElse {
-    val sums = events.groupBy("event_type", "user_id")
+    LocalEvents.topUsers(events, k).getOrElse(
+      rankTopUsers(userValueSums(events), k))
+
+  /** The stateful half of top-k: running per-(event_type, user) value
+    * sums. Streaming-safe — under readStream this is an update-mode
+    * aggregation whose state Spark checkpoints. */
+  def userValueSums(events: DataFrame): DataFrame =
+    events.groupBy("event_type", "user_id")
       .agg(round(sum(col("value")), 6).as("total_value"))
+
+  /** The rank half of top-k (window functions are unsupported on
+    * streaming aggregates — under streaming apply this per micro-batch
+    * via foreachBatch over [[userValueSums]]'s running state). */
+  def rankTopUsers(sums: DataFrame, k: Int): DataFrame =
     sums.withColumn("rank", row_number().over(
         Window.partitionBy("event_type")
           .orderBy(col("total_value").desc, col("user_id"))))
       .filter(col("rank") <= k)
       .select(col("event_type"), col("user_id"),
         col("rank").cast("long").as("rank"), col("total_value"))
-  }
 }

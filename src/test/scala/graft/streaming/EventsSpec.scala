@@ -82,4 +82,30 @@ class EventsSpec extends SparkSpec {
       assert(spark.sql("SELECT * FROM evw").count() === 2)
     } finally q.stop()
   }
+
+  test("streaming top-k: update-mode sums + per-batch rank across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val ranked = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long, Double)]]
+    val q = Events.userValueSums(mem.toDF())
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ranked += Events.rankTopUsers(batch, 2).orderBy("event_type", "rank")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+        ()
+      }
+      .start()
+    try {
+      mem.addData(Ev(0, ts(0), 1, "a", 5.0), Ev(1, ts(1), 2, "a", 3.0))
+      q.processAllAvailable()
+      // user 1 leads after batch 1
+      assert(ranked.last === Seq(("a", 1L, 1L, 5.0), ("a", 2L, 2L, 3.0)))
+      // batch 2: user 2 overtakes via accumulated state
+      mem.addData(Ev(2, ts(2), 2, "a", 4.0))
+      q.processAllAvailable()
+      assert(ranked.last === Seq(("a", 2L, 1L, 7.0), ("a", 1L, 2L, 5.0)))
+    } finally q.stop()
+  }
 }
