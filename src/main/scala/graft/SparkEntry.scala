@@ -230,8 +230,12 @@ object SparkEntry {
     // 2000-line lineitem subgraph (completes the reference's stubbed
     // SSSP path, mpi/bfs.hpp:2569-2571).
     "sssp_dist" -> ((s, dir) => {
-      val we = graft.bfs.Sssp.weightedEdgesFromLineitem(s, dir, 2000)
-      graft.bfs.Sssp.ssspFromMin(s, we).select("vertex", "dist")
+      val sub = s.read.parquet(s"$dir/lineitem.parquet")
+        .orderBy("l_orderkey", "l_linenumber").limit(2000)
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      graft.bfs.Sssp.ssspFromMinRaw(s, sub).select("vertex", "dist")
     }),
 
     // Connected components on the same subgraph (hybrid: local

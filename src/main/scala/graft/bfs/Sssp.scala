@@ -64,6 +64,97 @@ object Sssp {
     } finally cached.unpersist(blocking = false)
   }
 
+  /** [[ssspFromMin]] from a RAW directed weighted list (loops and
+    * duplicate edges allowed): under the gate, loop-drop, symmetrization
+    * and min-weight duplicate merge happen in-kernel from ONE collected
+    * triple array — no groupBy shuffle, no separate root agg (the
+    * reference's construction order, like [[Bfs.prepareRaw]]). */
+  /** Above this raw size the in-kernel min-weight merge (a comparator
+    * sort over (pair, w)) stops paying; the groupBy construction +
+    * gate-dispatched relaxation take over. */
+  val RawKernelMaxEdges = 4000000L
+
+  def ssspFromMinRaw(spark: SparkSession, raw: DataFrame): DataFrame = {
+    val cached = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cached.count() > RawKernelMaxEdges)
+        ssspFromMin(spark, weightedEdges(cached))
+      else {
+        val flat = collectTriples(cached)
+        val nIn = flat.length / 3
+        // vertex ids = endpoints of non-loop edges; root = their minimum
+        val eb = new scala.collection.mutable.ArrayBuilder.ofLong
+        var i = 0
+        while (i < nIn) {
+          val a = flat(3 * i); val b = flat(3 * i + 1)
+          if (a != b) { eb += a; eb += b }
+          i += 1
+        }
+        val endpoints = eb.result()
+        if (endpoints.isEmpty)
+          return graft.functions.Ship.df(spark,
+            "vertex" -> Array.empty[Long], "dist" -> Array.empty[Long],
+            "pred" -> Array.empty[Long])
+        java.util.Arrays.sort(endpoints)
+        var nV = 0
+        i = 0
+        while (i < endpoints.length) {
+          if (nV == 0 || endpoints(nV - 1) != endpoints(i)) {
+            endpoints(nV) = endpoints(i); nV += 1
+          }
+          i += 1
+        }
+        val ids = java.util.Arrays.copyOf(endpoints, nV)
+        val root = ids(0)
+        // both directions per non-loop edge, sorted by (src, dst, w) so
+        // the min-weight duplicate survives the adjacent merge
+        val encV = new Array[Long](2 * nIn) // (sDense<<32 | dDense), aligned with ws
+        val ws = new Array[Long](2 * nIn)
+        val ord = new Array[Integer](2 * nIn)
+        var m = 0
+        i = 0
+        while (i < nIn) {
+          val a = flat(3 * i); val b = flat(3 * i + 1); val w = flat(3 * i + 2)
+          if (a != b) {
+            val s = java.util.Arrays.binarySearch(ids, a)
+            val d = java.util.Arrays.binarySearch(ids, b)
+            encV(m) = (s.toLong << 32) | (d.toLong & 0xffffffffL); ws(m) = w; m += 1
+            encV(m) = (d.toLong << 32) | (s.toLong & 0xffffffffL); ws(m) = w; m += 1
+          }
+          i += 1
+        }
+        i = 0
+        while (i < m) { ord(i) = i; i += 1 }
+        java.util.Arrays.sort(ord, 0, m, new java.util.Comparator[Integer] {
+          def compare(x: Integer, y: Integer): Int = {
+            val byKey = java.lang.Long.compare(encV(x), encV(y))
+            if (byKey != 0) byKey else java.lang.Long.compare(ws(x), ws(y))
+          }
+        })
+        // adjacent merge: first (= min-w) entry per (src, dst) wins
+        val rowStarts = new Array[Int](nV + 1)
+        val dstB = new scala.collection.mutable.ArrayBuilder.ofInt
+        val wB = new scala.collection.mutable.ArrayBuilder.ofLong
+        var prev = -1L
+        i = 0
+        while (i < m) {
+          val k = ord(i).intValue()
+          if (encV(k) != prev) {
+            prev = encV(k)
+            rowStarts((encV(k) >>> 32).toInt + 1) += 1
+            dstB += (encV(k) & 0xffffffffL).toInt
+            wB += ws(k)
+          }
+          i += 1
+        }
+        var v = 0
+        while (v < nV) { rowStarts(v + 1) += rowStarts(v); v += 1 }
+        relaxOnCsr(spark, ids, rowStarts, dstB.result(), wB.result(), root)
+          .localCheckpoint(eager = true)
+      }
+    } finally cached.unpersist(blocking = false)
+  }
+
   /** Local kernel: weighted adjacency collected as primitive chunks; the
     * SAME round-synchronous relaxation as the DataFrame loop (per round:
     * best lexicographic (dist, pred) candidate per target from the
@@ -71,17 +162,8 @@ object Sssp {
     * the deterministic pred tree is identical. */
   private[graft] def ssspLocal(spark: SparkSession, wedges: DataFrame,
                                root: Long): DataFrame = {
-    import spark.implicits._
-    val chunks: Array[Array[Long]] = wedges.select("src", "dst", "w")
-      .queryExecution.toRdd.mapPartitions { it =>
-        val b = new scala.collection.mutable.ArrayBuilder.ofLong
-        it.foreach { r => b += r.getLong(0); b += r.getLong(1); b += r.getLong(2) }
-        Iterator.single(b.result())
-      }.collect()
-    val nE = chunks.iterator.map(_.length).sum / 3
-    val flat = new Array[Long](nE * 3)
-    var off = 0
-    chunks.foreach { c => System.arraycopy(c, 0, flat, off, c.length); off += c.length }
+    val flat = collectTriples(wedges)
+    val nE = flat.length / 3
 
     // sorted distinct vertex ids (symmetric ⇒ srcs cover all)
     val srcs = new Array[Long](nE)
@@ -95,9 +177,6 @@ object Sssp {
       i += 1
     }
     val ids = java.util.Arrays.copyOf(srcs, nV)
-
-    val r0 = java.util.Arrays.binarySearch(ids, root)
-    if (r0 < 0) return Seq((root, 0L, root)).toDF("vertex", "dist", "pred")
 
     // CSR (counting sort by src; intra-row order irrelevant — every
     // candidate is min-merged explicitly)
@@ -120,6 +199,31 @@ object Sssp {
       fill(s) += 1
       i += 1
     }
+    relaxOnCsr(spark, ids, rowStarts, adjDst, adjW, root)
+  }
+
+  /** Collect (src, dst, w) triples as one flat primitive array. */
+  private def collectTriples(wedges: DataFrame): Array[Long] = {
+    val chunks: Array[Array[Long]] = wedges.select("src", "dst", "w")
+      .queryExecution.toRdd.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => b += r.getLong(0); b += r.getLong(1); b += r.getLong(2) }
+        Iterator.single(b.result())
+      }.collect()
+    val flat = new Array[Long](chunks.iterator.map(_.length).sum)
+    var off = 0
+    chunks.foreach { c => System.arraycopy(c, 0, flat, off, c.length); off += c.length }
+    flat
+  }
+
+  /** Round-synchronous relaxation over a weighted CSR (see [[ssspLocal]]). */
+  private def relaxOnCsr(spark: SparkSession, ids: Array[Long],
+                         rowStarts: Array[Int], adjDst: Array[Int],
+                         adjW: Array[Long], root: Long): DataFrame = {
+    import spark.implicits._
+    val nV = ids.length
+    val r0 = java.util.Arrays.binarySearch(ids, root)
+    if (r0 < 0) return Seq((root, 0L, root)).toDF("vertex", "dist", "pred")
 
     val Inf = Long.MaxValue
     val dist = Array.fill(nV)(Inf)

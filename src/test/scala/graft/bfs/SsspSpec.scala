@@ -74,4 +74,27 @@ class SsspSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 0L, 0L), (1L, 3L, 3L), (2L, 1L, 0L),
       (3L, 2L, 2L)))
   }
+
+  test("ssspFromMinRaw equals weightedEdges + ssspFromMin (8 seeds)") {
+    val s = spark; import s.implicits._
+    for (seed <- 400L until 408L) {
+      val rnd = new scala.util.Random(seed)
+      // raw list WITH loops and duplicate (src,dst) pairs at different
+      // weights — the kernel's min-weight merge must match groupBy.min
+      val raw = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong,
+          (rnd.nextInt(9) + 1).toLong))
+        .toDF("src", "dst", "w").persist()
+      try {
+        if (raw.filter(org.apache.spark.sql.functions.col("src") =!=
+            org.apache.spark.sql.functions.col("dst")).count() > 0) {
+          val viaRaw = graft.bfs.Sssp.ssspFromMinRaw(spark, raw)
+            .collect().map(_.toSeq.toVector).toSet
+          val viaComposed = graft.bfs.Sssp.ssspFromMin(spark,
+              graft.bfs.Sssp.weightedEdges(raw))
+            .collect().map(_.toSeq.toVector).toSet
+          assert(viaRaw === viaComposed, s"seed=$seed")
+        }
+      } finally raw.unpersist()
+    }
+  }
 }
