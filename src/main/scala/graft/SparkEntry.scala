@@ -82,8 +82,14 @@ object SparkEntry {
   private def rawEdges(s: SparkSession, dir: String): DataFrame =
     EdgeOps.edgesFromLineitem(s, dir)
 
+  /** Cache keys carry the session identity: cached DataFrames are bound
+    * to the SparkSession that built them, and a fresh session in the same
+    * JVM must not be served another session's (dead) plans. */
+  private def cacheKey(s: SparkSession, dir: String): String =
+    System.identityHashCode(s).toHexString + "|" + dir
+
   private def handle(s: SparkSession, dir: String): GraphHandle =
-    handleCache.computeIfAbsent(dir, _ => {
+    handleCache.computeIfAbsent(cacheKey(s, dir), _ => {
       val raw = rawEdges(s, dir)
       // raw entry point: construction (symmetrize/dedup) happens inside
       // the hybrid executor (in-kernel under the gate); root = min raw
@@ -110,7 +116,7 @@ object SparkEntry {
     * consumer combined. The distributed form (shuffling distinct) is
     * checkpointed once. */
   private def clean(s: SparkSession, dir: String): DataFrame =
-    cleanCache.computeIfAbsent(dir, _ =>
+    cleanCache.computeIfAbsent(cacheKey(s, dir), _ =>
       handle(s, dir).csr match {
         case Some(csr) if csr.nVerts > 0 => csr.toCleanDf(s)
         case _ => EdgeOps.cleanEdges(rawEdges(s, dir))
@@ -337,17 +343,19 @@ object SparkEntry {
       load.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    cachedTable(s"$dir/documents")(s.read.parquet(s"$dir/documents.parquet"))
+    cachedTable(cacheKey(s, s"$dir/documents"))(
+      s.read.parquet(s"$dir/documents.parquet"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    cachedTable(s"$dir/embeddings")(s.read.parquet(s"$dir/embeddings.parquet"))
+    cachedTable(cacheKey(s, s"$dir/embeddings"))(
+      s.read.parquet(s"$dir/embeddings.parquet"))
 
   /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
     * refuses natively; read nanos as long and truncate to microsecond
     * timestamps — exactly what DuckDB does when it loads the same file
     * (ns → µs TIMESTAMP), keeping the oracle comparison aligned. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    cachedTable(s"$dir/events") {
+    cachedTable(cacheKey(s, s"$dir/events")) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
