@@ -344,11 +344,13 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     cachedTable(cacheKey(s, s"$dir/documents"))(
-      s.read.parquet(s"$dir/documents.parquet"))
+      // cache only the columns the dedup/text/multimodal consumers read
+      // — the parquet scan feeding the cache then prunes to 2 of 5 cols
+      s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     cachedTable(cacheKey(s, s"$dir/embeddings"))(
-      s.read.parquet(s"$dir/embeddings.parquet"))
+      s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"))
 
   /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
     * refuses natively; read nanos as long and truncate to microsecond
@@ -359,6 +361,7 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
     }
 
   /** Deterministic pseudo run-stats: 64 smallest orders; bfs_time from
