@@ -14,8 +14,10 @@ package graft.ops
  */
 object LocalSimilarity {
 
-  /** (ids, double vectors, norms) — the collected `withNorm` relation. */
-  final class Corpus(val ids: Array[Long], val vecs: Array[Array[Double]]) {
+  /** (ids, double vectors, norms) — the collected `withNorm` relation.
+    * Serializable: topKForQueryStream broadcasts it to executors. */
+  final class Corpus(val ids: Array[Long], val vecs: Array[Array[Double]])
+      extends Serializable {
     val nrm: Array[Double] = vecs.map(v => math.sqrt(dot(v, v)))
     def size: Int = ids.length
   }
@@ -49,6 +51,26 @@ object LocalSimilarity {
     })
     scored.take(k).zipWithIndex.map { case ((nid, cos), r) =>
       (c.ids(query), nid, (r + 1).toLong, cos)
+    }.toSeq
+  }
+
+  /** Top-k for ONE external vector against the corpus — the map-side
+    * unit of Similarity.topKForQueryStream. Same scoring/ordering as
+    * [[topK]]; a corpus member with the query's id is excluded (self). */
+  def topKForVector(c: Corpus, queryId: Long, v: Array[Double],
+                    k: Int): Seq[(Long, Long, Long, Double)] = {
+    val nrm = math.sqrt(dot(v, v))
+    val scored = c.ids.indices.iterator.filter(c.ids(_) != queryId)
+      .map(n => (c.ids(n), round6(dot(v, c.vecs(n)) / (nrm * c.nrm(n)))))
+      .toArray
+    java.util.Arrays.sort(scored, new java.util.Comparator[(Long, Double)] {
+      def compare(x: (Long, Double), y: (Long, Double)): Int = {
+        val byCos = java.lang.Double.compare(y._2, x._2)
+        if (byCos != 0) byCos else java.lang.Long.compare(x._1, y._1)
+      }
+    })
+    scored.take(k).zipWithIndex.map { case ((nid, cos), r) =>
+      (queryId, nid, (r + 1).toLong, cos)
     }.toSeq
   }
 

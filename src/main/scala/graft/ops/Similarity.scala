@@ -146,6 +146,38 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** STREAMING-safe ANN: score each incoming query row against a
+    * BROADCAST corpus map-side and emit its top-k — stateless and
+    * shuffle-free, so it runs identically on a batch DataFrame and under
+    * `readStream` (per-query top-k needs no cross-row state, unlike the
+    * window rank in [[bruteForceTopK]]). Queries carry
+    * (vec_id, embedding); the corpus is a static embeddings table
+    * collected once. Output contract and ordering exactly match
+    * [[bruteForceTopK]] restricted to the same query rows:
+    * (query_id, neighbor_id, rank, cosine), rank by (rounded cosine
+    * desc, neighbor_id asc), self-matches excluded. */
+  def topKForQueryStream(queries: DataFrame, corpus: DataFrame,
+                         k: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(!corpus.isStreaming, "corpus must be a static table")
+    val rows = corpus.select(col("vec_id"), col("embedding")).collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val c = new LocalSimilarity.Corpus(ids, vecs)
+    val bc = spark.sparkContext.broadcast(c)
+    val scoreOne = udf { (queryId: Long, emb: Seq[Float]) =>
+      LocalSimilarity.topKForVector(bc.value, queryId,
+        emb.toArray.map(_.toDouble), k)
+        .map { case (_, nid, rank, cos) => (nid, rank, cos) }
+    }
+    queries
+      .select(col("vec_id").as("query_id"),
+        explode(scoreOne(col("vec_id"), col("embedding"))).as("hit"))
+      .select(col("query_id"), col("hit._1").as("neighbor_id"),
+        col("hit._2").as("rank"), col("hit._3").as("cosine"))
+  }
+
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
   private def topK(scored: DataFrame, k: Int): DataFrame =
     scored.withColumn("rank", row_number().over(

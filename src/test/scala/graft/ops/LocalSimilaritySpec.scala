@@ -65,4 +65,36 @@ class LocalSimilaritySpec extends SparkSpec {
     val (li, di) = bothWays(Similarity.ivfTopK(t, 5, 10, 16, 4))
     assert(li === di)
   }
+
+  test("topKForQueryStream ≡ bruteForceTopK on the same queries (batch)") {
+    val t = corpus(60, 8, 9L)
+    val queries = t.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val viaStreamOp = sorted(Similarity.topKForQueryStream(queries, t, 5))
+    val viaBrute = sorted(Similarity.bruteForceTopK(t, 5, 10))
+    assert(viaStreamOp === viaBrute)
+  }
+
+  test("topKForQueryStream scores queries under Structured Streaming") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val staticCorpus = corpus(30, 8, 10L).persist()
+    try {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val qdf = mem.toDF().toDF("vec_id", "embedding")
+      val q = Similarity.topKForQueryStream(qdf, staticCorpus, 3)
+        .writeStream.format("memory").queryName("annhits").outputMode("append")
+        .start()
+      try {
+        val qvec = staticCorpus.filter($"vec_id" === 0L)
+          .select("embedding").head().getSeq[Float](0).toArray
+        mem.addData((1000L, qvec))
+        q.processAllAvailable()
+        val hits = spark.sql("SELECT * FROM annhits ORDER BY rank").collect()
+        assert(hits.length === 3)
+        // the query duplicates corpus vector 0 → its top hit is vec 0 at
+        // cosine 1 (and its duplicate partner from the every-4th rule)
+        assert(hits(0).getLong(1) === 0L && hits(0).getDouble(3) === 1.0)
+      } finally q.stop()
+    } finally staticCorpus.unpersist()
+  }
 }
