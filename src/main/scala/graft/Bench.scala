@@ -29,6 +29,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     localMax.foreach(v => spark.conf.set("spark.graft.localBfsMaxEdges", v))
+    // SPARK_GRAFT_FORCE_DISTRIBUTED=1: zero every hybrid gate (see Verify)
+    if (sys.env.getOrElse("SPARK_GRAFT_FORCE_DISTRIBUTED", "0") == "1")
+      for (gate <- Seq("localBfsMaxEdges", "localDedupMaxDocs",
+          "localAnnMaxVecs", "localEventsMaxRows"))
+        spark.conf.set(s"spark.graft.$gate", "0")
 
     // dev knob: SPARK_GRAFT_ONLY=q7_bfs,dd_minhash times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
