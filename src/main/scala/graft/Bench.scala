@@ -56,9 +56,17 @@ object Bench {
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))
     val warmupSec = if (!warmupOn) 0.0 else {
       val w0 = System.nanoTime()
-      selected.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+      // warm-up queries run CONCURRENTLY — they are independent, the
+      // SparkSession is thread-safe, the shared per-dir caches are
+      // computeIfAbsent-atomic, and the point is JIT/codegen coverage,
+      // not timing. Cuts ~15 s of sequential sf0.001 wall to ~5 s.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val futs = selected.toSeq.map { case (_, fn) =>
+        Future { try { fn(spark, warmDir).count() } catch { case _: Throwable => } }
       }
+      Await.result(Future.sequence(futs), Duration.Inf)
       (System.nanoTime() - w0) / 1e9
     }
     val results = if (!queriesOn) Map.empty[String, Double]
