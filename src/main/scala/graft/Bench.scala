@@ -31,9 +31,7 @@ object Bench {
     localMax.foreach(v => spark.conf.set("spark.graft.localBfsMaxEdges", v))
     // SPARK_GRAFT_FORCE_DISTRIBUTED=1: zero every hybrid gate (see Verify)
     if (sys.env.getOrElse("SPARK_GRAFT_FORCE_DISTRIBUTED", "0") == "1")
-      for (gate <- Seq("localBfsMaxEdges", "localDedupMaxDocs",
-          "localAnnMaxVecs", "localEventsMaxRows"))
-        spark.conf.set(s"spark.graft.$gate", "0")
+      Gates.forceDistributed(spark)
 
     // dev knob: SPARK_GRAFT_ONLY=q7_bfs,dd_minhash times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -62,11 +60,21 @@ object Bench {
       // not timing. Cuts ~15 s of sequential sf0.001 wall to ~5 s.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val futs = selected.toSeq.map { case (_, fn) =>
-        Future { try { fn(spark, warmDir).count() } catch { case _: Throwable => } }
+      import scala.concurrent.duration._
+      // a failed warm-up is a diagnostic (its first real execution lands
+      // in the timed number), and a hung one must not stall the bench —
+      // log and bound, degrade to proceeding without full warm-up
+      val futs = selected.toSeq.map { case (name, fn) =>
+        Future {
+          try { fn(spark, warmDir).count() } catch { case e: Throwable =>
+            System.err.println(s"[bench] warm-up $name failed: $e")
+          }
+        }
       }
-      Await.result(Future.sequence(futs), Duration.Inf)
+      try Await.result(Future.sequence(futs), 10.minutes)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        System.err.println("[bench] warm-up timed out; proceeding unwarmed")
+      }
       (System.nanoTime() - w0) / 1e9
     }
     val results = if (!queriesOn) Map.empty[String, Double]

@@ -74,22 +74,33 @@ object SparkEntry {
                                        rawPairs: Option[Array[Long]],
                                        dense: Option[(Array[Int], Array[Int])])
 
-  private val handleCache =
-    new java.util.concurrent.ConcurrentHashMap[String, GraphHandle]()
-  private val cleanCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Per-session cache: cached DataFrames are bound to the SparkSession
+    * that built them, so the outer map keys on the session OBJECT
+    * (reference equality — no identity-hash collisions between live
+    * sessions), and entries whose session has stopped are evicted on the
+    * next access, so a long-lived JVM doesn't accumulate dead plans,
+    * broadcasts, or retained kernel arrays across sessions. */
+  private final class SessionCache[V] {
+    private val bySession = new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[String, V]]()
+    def get(s: SparkSession, key: String)(build: => V): V = {
+      val it = bySession.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+      bySession
+        .computeIfAbsent(s,
+          _ => new java.util.concurrent.ConcurrentHashMap[String, V]())
+        .computeIfAbsent(key, _ => build)
+    }
+  }
+
+  private val handleCache = new SessionCache[GraphHandle]
+  private val cleanCache = new SessionCache[DataFrame]
 
   private def rawEdges(s: SparkSession, dir: String): DataFrame =
     EdgeOps.edgesFromLineitem(s, dir)
 
-  /** Cache keys carry the session identity: cached DataFrames are bound
-    * to the SparkSession that built them, and a fresh session in the same
-    * JVM must not be served another session's (dead) plans. */
-  private def cacheKey(s: SparkSession, dir: String): String =
-    System.identityHashCode(s).toHexString + "|" + dir
-
   private def handle(s: SparkSession, dir: String): GraphHandle =
-    handleCache.computeIfAbsent(cacheKey(s, dir), _ => {
+    handleCache.get(s, dir) {
       val raw = rawEdges(s, dir)
       // raw entry point: construction (symmetrize/dedup) happens inside
       // the hybrid executor (in-kernel under the gate); root = min raw
@@ -108,7 +119,7 @@ object SparkEntry {
           t
         }
       GraphHandle(root, tree, csr, r.levelSizes, g.takeRawPairs(), dense)
-    })
+    }
 
   /** Cleaned edge set, one per sfDir. Local-path graphs emit it straight
     * from the kernel CSR — identical relation, no shuffle, and cheap
@@ -116,12 +127,13 @@ object SparkEntry {
     * consumer combined. The distributed form (shuffling distinct) is
     * checkpointed once. */
   private def clean(s: SparkSession, dir: String): DataFrame =
-    cleanCache.computeIfAbsent(cacheKey(s, dir), _ =>
+    cleanCache.get(s, dir) {
       handle(s, dir).csr match {
         case Some(csr) if csr.nVerts > 0 => csr.toCleanDf(s)
         case _ => EdgeOps.cleanEdges(rawEdges(s, dir))
           .localCheckpoint(eager = true)
-      })
+      }
+    }
 
   private def rootOf(s: SparkSession, dir: String): Long = handle(s, dir).root
 
@@ -336,20 +348,20 @@ object SparkEntry {
 
   // Small dimension-like tables scanned by many queries (9 over docs, 3
   // over embeddings, 3 over events): persist once per sfDir.
-  private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def cachedTable(key: String)(load: => DataFrame): DataFrame =
-    tableCache.computeIfAbsent(key, _ =>
+  private val tableCache = new SessionCache[DataFrame]
+  private def cachedTable(s: SparkSession, key: String)
+                         (load: => DataFrame): DataFrame =
+    tableCache.get(s, key)(
       load.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    cachedTable(cacheKey(s, s"$dir/documents"))(
+    cachedTable(s, s"$dir/documents")(
       // cache only the columns the dedup/text/multimodal consumers read
       // — the parquet scan feeding the cache then prunes to 2 of 5 cols
       s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    cachedTable(cacheKey(s, s"$dir/embeddings"))(
+    cachedTable(s, s"$dir/embeddings")(
       s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"))
 
   /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
@@ -357,7 +369,7 @@ object SparkEntry {
     * timestamps — exactly what DuckDB does when it loads the same file
     * (ns → µs TIMESTAMP), keeping the oracle comparison aligned. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    cachedTable(cacheKey(s, s"$dir/events")) {
+    cachedTable(s, s"$dir/events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

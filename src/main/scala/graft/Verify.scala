@@ -19,9 +19,7 @@ object Verify {
     // oracle exercises the distributed (cluster-scale) plans end-to-end
     // instead of the driver-local kernels.
     if (sys.env.getOrElse("SPARK_GRAFT_FORCE_DISTRIBUTED", "0") == "1")
-      for (gate <- Seq("localBfsMaxEdges", "localDedupMaxDocs",
-          "localAnnMaxVecs", "localEventsMaxRows"))
-        spark.conf.set(s"spark.graft.$gate", "0")
+      Gates.forceDistributed(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

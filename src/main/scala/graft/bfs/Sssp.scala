@@ -74,10 +74,18 @@ object Sssp {
     * gate-dispatched relaxation take over. */
   val RawKernelMaxEdges = 4000000L
 
+  /** Conf-controlled raw-kernel gate (`spark.graft.localSsspMaxEdges`,
+    * 0 = always distributed) so whole-suite forced-distributed runs
+    * (Bench/Verify/Explain zero every `spark.graft.local*` gate) actually
+    * exercise the distributed SSSP path too. */
+  def localSsspMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.localSsspMaxEdges")
+      .map(_.toLong).getOrElse(RawKernelMaxEdges)
+
   def ssspFromMinRaw(spark: SparkSession, raw: DataFrame): DataFrame = {
     val cached = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (cached.count() > RawKernelMaxEdges)
+      if (cached.count() > localSsspMaxEdges(spark))
         ssspFromMin(spark, weightedEdges(cached))
       else {
         val flat = collectTriples(cached)

@@ -13,6 +13,10 @@ object Ship {
 
   def df(spark: SparkSession, cols: (String, Array[_])*): DataFrame = {
     val n = if (cols.isEmpty) 0 else cols.head._2.length
+    // fail at the ship site, not with an opaque AIOOBE inside whichever
+    // query first scans a ragged row
+    require(cols.forall(_._2.length == n),
+      s"Ship.df: ragged columns ${cols.map(c => c._1 -> c._2.length)}")
     val fields = cols.map { case (name, arr) =>
       arr match {
         case a: Array[Long] =>

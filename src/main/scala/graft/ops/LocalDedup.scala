@@ -185,6 +185,15 @@ object LocalDedup {
       }
       d += 1
     }
+    // budget check BEFORE enumerating (like ngram/simhash): a heavily
+    // duplicated corpus under the doc gate can still explode pairwise —
+    // Overflow routes it to the distributed pipeline instead of OOMing.
+    var nPairs = 0L
+    buckets.values().forEach { lst =>
+      val k = lst.size().toLong
+      nPairs += k * (k - 1) / 2
+    }
+    checkEnumerable(nPairs)
     val cands = new java.util.HashSet[Long]()
     buckets.values().forEach { lst =>
       var i = 0
