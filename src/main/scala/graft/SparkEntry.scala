@@ -193,15 +193,19 @@ object SparkEntry {
     "q6_roots" -> ((s, dir) => {
       import s.implicits._
       val maxV = maxVertexOf(s, dir)
-      val hasEdge: Long => Boolean = handle(s, dir).csr match {
+      // local path: probe the kernel CSR's sorted ids; distributed path:
+      // executor-built broadcast Bloom probe + exact confirm — the vertex
+      // set never transits the driver (reference's distributed has_edge,
+      // mpi/benchmark_helper.hpp:475-508)
+      val roots = handle(s, dir).csr match {
         case Some(csr) if csr.nVerts > 0 =>
-          v => java.util.Arrays.binarySearch(csr.ids, v) >= 0
+          graft.gen.Kronecker.sampleRoots(16, maxV + 1,
+            v => java.util.Arrays.binarySearch(csr.ids, v) >= 0)
         case _ =>
-          clean(s, dir).select("src").distinct()
-            .collect().map(_.getLong(0)).toSet
+          graft.gen.Kronecker.sampleRootsDistributed(
+            clean(s, dir).select("src"), "src", 16, maxV + 1)
       }
-      graft.gen.Kronecker.sampleRoots(16, maxV + 1, hasEdge)
-        .zipWithIndex.map { case (r, i) => (i.toLong, r) }.toSeq
+      roots.zipWithIndex.map { case (r, i) => (i.toLong, r) }.toSeq
         .toDF("idx", "root")
     }),
 

@@ -85,17 +85,19 @@ object Graph500 {
     val tCon = (System.nanoTime() - t1) / 1e9
 
     // Stage 3: deterministic root sample — straight off the kernel CSR's
-    // sorted ids in local mode; from the distributed vertex table above
-    // the gate (at SCALE≥26 swap for a broadcast Bloom filter over
-    // EdgeOps.degrees).
-    val (maxV, hasEdge): (Long, Long => Boolean) = g.csrIfBuilt match {
+    // sorted ids in local mode; above the gate, an executor-built
+    // broadcast Bloom filter probe with exact confirmation
+    // (Kronecker.sampleRootsDistributed) — the vertex set never transits
+    // the driver.
+    val (maxV, roots): (Long, Array[Long]) = g.csrIfBuilt match {
       case Some(csr) if csr.nVerts > 0 =>
-        (csr.ids.last, v => java.util.Arrays.binarySearch(csr.ids, v) >= 0)
+        (csr.ids.last, Kronecker.sampleRoots(nRoots, csr.ids.last + 1,
+          v => java.util.Arrays.binarySearch(csr.ids, v) >= 0))
       case _ =>
-        (g.all.agg(max(col("vertex"))).head().getLong(0),
-          g.all.as[Long].collect().toSet)
+        val mv = g.all.agg(max(col("vertex"))).head().getLong(0)
+        (mv, Kronecker.sampleRootsDistributed(g.all.toDF("vertex"),
+          "vertex", nRoots, mv + 1))
     }
-    val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge)
 
     // Hybrid benchmark path mirroring the BFS executor's gate: under the
     // local-kernel size limit, each run is the in-memory CSR kernel and
@@ -254,14 +256,15 @@ object Graph500 {
     val g = Bfs.prepareRaw(raw)
     val tCon = (System.nanoTime() - t1) / 1e9
 
-    val (maxV, hasEdge): (Long, Long => Boolean) = g.csrIfBuilt match {
+    val (maxV, roots): (Long, Array[Long]) = g.csrIfBuilt match {
       case Some(csr) if csr.nVerts > 0 =>
-        (csr.ids.last, v => java.util.Arrays.binarySearch(csr.ids, v) >= 0)
+        (csr.ids.last, Kronecker.sampleRoots(nRoots, csr.ids.last + 1,
+          v => java.util.Arrays.binarySearch(csr.ids, v) >= 0))
       case _ =>
-        (g.all.agg(max(col("vertex"))).head().getLong(0),
-          g.all.as[Long].collect().toSet)
+        val mv = g.all.agg(max(col("vertex"))).head().getLong(0)
+        (mv, Kronecker.sampleRootsDistributed(g.all.toDF("vertex"),
+          "vertex", nRoots, mv + 1))
     }
-    val roots = Kronecker.sampleRoots(nRoots, maxV + 1, hasEdge)
     val localMode = g.totalEdges <= Bfs.localBfsMaxEdges(spark)
 
     val (bfsWall, valWall, nedges, errors) =

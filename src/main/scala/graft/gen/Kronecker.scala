@@ -206,4 +206,54 @@ object Kronecker {
     }
     roots.toArray
   }
+
+  /**
+   * [[sampleRoots]] against a DISTRIBUTED vertex table with NO driver-side
+   * collect of the vertex set — the Spark analogue of the reference's
+   * distributed has_edge probe (mpi/benchmark_helper.hpp:475-508, which
+   * rejects candidates against a partitioned bitmap).
+   *
+   * An executor-built broadcast Bloom filter answers the rejection probes;
+   * because the PRNG consumes two draws per candidate REGARDLESS of the
+   * answer, the probe sequence depends on answers only through duplicate
+   * rejection and termination — so the (pure-CPU, driver-side) sampling
+   * pass is simply re-run, each round exactly confirming every
+   * newly-probed candidate with one pushed-down `IN` membership scan,
+   * until a pass consumed only exact answers. A Bloom false positive can
+   * therefore never leak into the accepted roots, and the rounds converge
+   * (the exactly-answered probe prefix grows every round; with fpp 0.1%
+   * two passes is the norm).
+   *
+   * `vertices` may contain duplicates (e.g. the `src` column of a
+   * symmetrized edge list); only membership is consulted.
+   */
+  def sampleRootsDistributed(vertices: DataFrame, vertexCol: String,
+                             nRoots: Int, nGlobalVerts: Long,
+                             seed1: Long = DefaultSeed1,
+                             seed2: Long = DefaultSeed2): Array[Long] = {
+    import org.apache.spark.sql.functions.col
+    // expected distinct items: nGlobalVerts bounds it; cap the sketch at
+    // 2^28 expected (~460 MB at 0.1% fpp) — beyond that the fpp degrades
+    // gracefully and the exact-confirm loop still guarantees correctness
+    val expected = math.max(1024L, math.min(nGlobalVerts, 1L << 28))
+    val bloom = vertices.stat.bloomFilter(vertexCol, expected, 0.001)
+    val memo = scala.collection.mutable.HashMap.empty[Long, Boolean]
+    var result: Array[Long] = null
+    while (result == null) {
+      val probedNew = scala.collection.mutable.LinkedHashSet.empty[Long]
+      val roots = sampleRoots(nRoots, nGlobalVerts,
+        v => memo.getOrElse(v, { probedNew += v; bloom.mightContain(v) }),
+        seed1, seed2)
+      if (probedNew.isEmpty) result = roots
+      else {
+        val cand = probedNew.toSeq
+        val present = vertices
+          .filter(col(vertexCol).isInCollection(cand))
+          .select(vertexCol).distinct()
+          .collect().map(_.getLong(0)).toSet
+        cand.foreach(v => memo(v) = present(v))
+      }
+    }
+    result
+  }
 }

@@ -46,4 +46,21 @@ class KroneckerSpec extends SparkSpec {
     assert(r1.forall(has))
     assert(r1.toSet.size === 16)
   }
+
+  test("distributed root sampling ≡ exact-set sampling, no vertex collect") {
+    import spark.implicits._
+    // sparse vertex universe (non-multiples of 3 under 4096, with dups as
+    // a symmetrized src column would have)
+    val verts = (0L until 4096L).filter(_ % 3 != 0)
+    val vertDf = (verts ++ verts.reverse).toDF("v")
+    val exactSet = verts.toSet
+    val exact = Kronecker.sampleRoots(16, 4096, exactSet)
+    val dist = Kronecker.sampleRootsDistributed(vertDf, "v", 16, 4096)
+    assert(dist.sameElements(exact))
+    // degenerate: universe smaller than requested roots → counter cap
+    val tiny = Seq(1L, 2L, 4L).toDF("v")
+    val dTiny = Kronecker.sampleRootsDistributed(tiny, "v", 16, 8)
+    val eTiny = Kronecker.sampleRoots(16, 8, Set(1L, 2L, 4L))
+    assert(dTiny.sameElements(eTiny))
+  }
 }
