@@ -288,8 +288,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Corpora up to this many vectors use the broadcast block-scoring path. */
+  /** Corpora up to this many vectors use the broadcast block-scoring path.
+    * Override with `spark.graft.embeddingBlockMaxVecs` (0 = always the
+    * hyperplane-LSH path). NOT a hybrid-executor gate: it picks between
+    * two distributed strategies, exact-block vs approximate-LSH. */
   val EmbeddingBlockLimit = 200000L
+
+  /** Signed-random-projection (hyperplane) LSH banding for the
+    * above-block-limit path: [[HyperplaneBands]] bands of
+    * [[HyperplaneBandBits]] sign bits each. A sign bit is
+    * sign(v · r) for a deterministic Rademacher (±1-component) hyperplane
+    * r; P(two vectors at cosine c agree on a bit) = 1 − acos(c)/π
+    * (Charikar, STOC'02 — the same argument behind [[simhash]]). At the
+    * default 0.95 threshold that is ≈0.90 per bit, so candidate recall is
+    * 1 − (1 − 0.90¹⁶)¹⁶ ≈ 0.96, rising to ≈0.999 at cosine 0.98 — the
+    * ε-recall tradeoff every LSH dedup path here accepts. */
+  val HyperplaneBands = 16
+  val HyperplaneBandBits = 16
+
+  /** splitmix64 finalizer — deterministic Rademacher component source. */
+  private[ops] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The [[HyperplaneBands]] band keys of one vector: band index folded
+    * into the key so one equi-join column carries (band, signature). */
+  private[ops] def hyperplaneBandKeys(v: Seq[Double]): Array[Long] = {
+    val keys = new Array[Long](HyperplaneBands)
+    var b = 0
+    while (b < HyperplaneBands) {
+      var key = 0L
+      var j = 0
+      while (j < HyperplaneBandBits) {
+        val plane = (b * HyperplaneBandBits + j).toLong
+        var s = 0.0
+        var i = 0
+        while (i < v.length) {
+          // unique mix input per (plane, dim): plane·2^32 + plane + i
+          if ((mix64(plane * 0x100000001L + i) & 1L) == 0L) s += v(i)
+          else s -= v(i)
+          i += 1
+        }
+        if (s > 0) key |= 1L << j
+        j += 1
+      }
+      keys(b) = (b.toLong << HyperplaneBandBits) | key
+      b += 1
+    }
+    keys
+  }
 
   /** Embedding cosine near-dup pairs (vec_id_a < vec_id_b, cos ≥ threshold).
     * Dot products via a sequential index-order fold so results are
@@ -302,10 +352,14 @@ object Dedup {
     * in a broadcast ([[EmbeddingBlockLimit]]), each partition streams its
     * vectors against the broadcast block in a tight fused loop — no
     * shuffle, no per-pair array copies; pairs above (threshold − ε) are
-    * the only rows ever materialized. Beyond that, this falls back to the
-    * Catalyst cross-join — but at corpus scale the right tool is the
-    * sub-quadratic path (minhashDedup / simhashDedup / Similarity.ivfTopK),
-    * with this as the exact within-bucket verifier. */
+    * the only rows ever materialized.
+    *
+    * Beyond the block limit (or on a stream), candidates come from
+    * hyperplane-LSH banding ([[hyperplaneBandKeys]]): a narrow map emits
+    * 16 band keys per vector, candidates are the bucket-equi-join (never
+    * a cartesian product), and exact cosine verification touches ONLY the
+    * candidate pairs — the same candidates-then-verify shape as
+    * [[minhashDedup]], with the same ε recall loss. */
   def embeddingDedup(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
     Similarity.localCorpus(embeddings) match {
       case Some(c) =>
@@ -317,11 +371,21 @@ object Dedup {
     }
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val blockLimit = spark.conf.getOption("spark.graft.embeddingBlockMaxVecs")
+      .map(_.toLong).getOrElse(EmbeddingBlockLimit)
     val n = Similarity.withNorm(embeddings)
-    if (embeddings.isStreaming || n.count() > EmbeddingBlockLimit) {
-      val a = n.select(col("vec_id").as("vec_id_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = n.select(col("vec_id").as("vec_id_b"), col("v").as("vb"), col("nrm").as("nb"))
-      a.crossJoin(b).filter(col("vec_id_a") < col("vec_id_b"))
+    if (embeddings.isStreaming || n.count() > blockLimit) {
+      val bandKeysUdf = udf((v: Seq[Double]) => hyperplaneBandKeys(v))
+      val sigs = n.select(col("vec_id"), explode(bandKeysUdf(col("v"))).as("bk"))
+      val sa = sigs.select(col("vec_id").as("vec_id_a"), col("bk"))
+      val sb = sigs.select(col("vec_id").as("vec_id_b"), col("bk"))
+      val cands = sa.join(sb, "bk").filter(col("vec_id_a") < col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b").distinct()
+      val va = n.select(col("vec_id").as("vec_id_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val vb = n.select(col("vec_id").as("vec_id_b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      cands.join(va, "vec_id_a").join(vb, "vec_id_b")
         .select(col("vec_id_a"), col("vec_id_b"),
           round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
             .as("cosine"))

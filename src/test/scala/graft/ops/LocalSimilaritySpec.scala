@@ -58,6 +58,38 @@ class LocalSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingDedup above the block limit: hyperplane-LSH, no cartesian") {
+    val t = corpus(120, 8, 5L)
+    // exact reference from the block path (local kernels off)
+    spark.conf.set("spark.graft.localAnnMaxVecs", "0")
+    try {
+      val exact = sorted(Dedup.embeddingDedup(t, 0.9))
+      // force the LSH path: block limit 0
+      spark.conf.set("spark.graft.embeddingBlockMaxVecs", "0")
+      val lsh = Dedup.embeddingDedup(t, 0.9)
+      val plan = lsh.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      val got = sorted(lsh)
+      // LSH finds a subset of the exact pairs; every found pair carries
+      // the bit-identical exact cosine
+      val exactSet = exact.map(_.mkString("|")).toSet
+      assert(got.forall(r => exactSet(r.mkString("|"))))
+      // the every-4th-duplicate pairs sit at cosine 1.0: identical vectors
+      // share every band signature, so LSH recall on them is exactly 1
+      val dupPairs = exact.filter(_.last == 1.0)
+      val gotSet = got.map(_.mkString("|")).toSet
+      assert(dupPairs.nonEmpty && dupPairs.forall(r => gotSet(r.mkString("|"))))
+      // overall recall stays high at this threshold (deterministic: fixed
+      // corpus, fixed hyperplanes)
+      assert(got.size >= (exact.size * 0.8).toInt,
+        s"recall ${got.size}/${exact.size}")
+    } finally {
+      spark.conf.unset("spark.graft.embeddingBlockMaxVecs")
+      spark.conf.unset("spark.graft.localAnnMaxVecs")
+    }
+  }
+
   test("kernel ≡ distributed on sf0.001 embeddings") {
     val t = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (lb, db) = bothWays(Similarity.bruteForceTopK(t, 5, 10))
