@@ -178,12 +178,55 @@ object Similarity {
         col("hit._2").as("rank"), col("hit._3").as("cosine"))
   }
 
-  /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id). */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
-    scored.withColumn("rank", row_number().over(
+  /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id).
+    *
+    * Map-side partial top-k first: each scan partition keeps at most k
+    * candidates per query in a bounded heap, so the per-query exchange
+    * receives O(k · queries · partitions) rows — NOT the full scored
+    * corpus — and no single task ever sorts a corpus-sized partition
+    * (with 10 queries the naive window shuffles ALL scored rows into 10
+    * tasks). The final window ranks only the tiny merged survivor set;
+    * top-k of the union of per-partition top-k is exactly the global
+    * top-k under the same total order, so results are unchanged. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val partial = scored
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // head = weakest kept candidate: cosine asc, neighbor_id desc
+        val weakestFirst = new java.util.Comparator[(Long, Double)] {
+          def compare(x: (Long, Double), y: (Long, Double)): Int = {
+            val byCos = java.lang.Double.compare(x._2, y._2)
+            if (byCos != 0) byCos else java.lang.Long.compare(y._1, x._1)
+          }
+        }
+        val heaps = new java.util.HashMap[
+          Long, java.util.PriorityQueue[(Long, Double)]]()
+        it.foreach { case (q, nid, c) =>
+          var h = heaps.get(q)
+          if (h == null) {
+            h = new java.util.PriorityQueue[(Long, Double)](k + 1, weakestFirst)
+            heaps.put(q, h)
+          }
+          if (h.size < k) h.offer((nid, c))
+          else if (weakestFirst.compare((nid, c), h.peek()) > 0) {
+            h.poll(); h.offer((nid, c))
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        heaps.forEach { (q, h) =>
+          h.forEach { case (nid, c) => out += ((q, nid, c)) }
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    partial.withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cosine"))
+  }
 }
