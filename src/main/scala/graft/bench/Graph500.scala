@@ -75,13 +75,14 @@ object Graph500 {
     // scans it with duplicates/self-loops retained (validate.hpp:703-721).
     val raw = Kronecker.generate(spark, scale, edgeFactor)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    raw.count()
+    val nRaw = raw.count()
     val tGen = (System.nanoTime() - t0) / 1e9
 
     // Stage 2: construction — clean + one shuffle, shared by all runs
-    // (the reference's cached CSR, mpi/main.cc:58-61).
+    // (the reference's cached CSR, mpi/main.cc:58-61). Stage 1's count
+    // feeds the gate, so construction starts at the collect.
     val t1 = System.nanoTime()
-    val g = Bfs.prepareRaw(raw)
+    val g = Bfs.prepareRaw(raw, knownCount = nRaw)
     val tCon = (System.nanoTime() - t1) / 1e9
 
     // Stage 3: deterministic root sample — straight off the kernel CSR's
@@ -249,11 +250,11 @@ object Graph500 {
     val t0 = System.nanoTime()
     val raw = Kronecker.generate(spark, scale)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    raw.count()
+    val nRaw = raw.count()
     val tGen = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
-    val g = Bfs.prepareRaw(raw)
+    val g = Bfs.prepareRaw(raw, knownCount = nRaw)
     val tCon = (System.nanoTime() - t1) / 1e9
 
     val (maxV, roots): (Long, Array[Long]) = g.csrIfBuilt match {

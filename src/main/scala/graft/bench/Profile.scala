@@ -1,0 +1,62 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import graft.bfs.{Bfs, LocalCsr}
+import graft.gen.Kronecker
+
+/** Throwaway construction profiler (dev tool). */
+object Profile {
+  private def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scale = if (args.nonEmpty) args(0).toInt else 18
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- graph500 construction at SCALE ----
+    for (round <- 1 to 3) {
+      println(s"== scale $scale round $round ==")
+      val raw = t("generate+persist+count") {
+        val r = Kronecker.generate(spark, scale)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count()
+        r
+      }
+      val nRaw = t("count-cached")(raw.count())
+      val flat = t("collectPairs")(LocalCsr.collectPairs(raw))
+      println(s"  nRaw=$nRaw flatLen=${flat.length}")
+      val csr = t("buildFromRawPairs")(LocalCsr.buildFromRawPairs(flat))
+      println(s"  nV=${csr.nVerts} nE=${csr.nbrs.length}")
+      val g = t("prepareRaw-total")(Bfs.prepareRaw(raw))
+      t("first-bfs")(g.csr.bfs(csr.ids(0)))
+      raw.unpersist(blocking = true)
+      g.unpersist()
+    }
+
+    // ---- sf0.1 handle build ----
+    for (round <- 1 to 3) {
+      println(s"== sf0.1 handle round $round ==")
+      val raw2 = t("rawEdges(sf0.1)") {
+        graft.etl.EdgeOps.edgesFromLineitem(spark, "/root/testdata/sf0.1")
+      }
+      val n2 = t("raw.count")(raw2.count())
+      println(s"  nRaw=$n2")
+      val flat2 = t("collectPairs")(LocalCsr.collectPairs(raw2))
+      val csr2 = t("buildFromRawPairs")(LocalCsr.buildFromRawPairs(flat2))
+      val (g2, root) = t("prepareRawWithRoot")(Bfs.prepareRawWithRoot(raw2))
+      t("bfsMinParentWithArrays")(Bfs.bfsMinParentWithArrays(spark, g2, root))
+      println(s"  nV=${csr2.nVerts}")
+      g2.unpersist()
+    }
+    spark.stop()
+  }
+}

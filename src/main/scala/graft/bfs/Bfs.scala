@@ -145,45 +145,70 @@ object Bfs {
     * order — sortEdges then duplicate merge, graph_constructor.hpp:
     * 1363-1412). The distributed path falls back to the full
     * [[graft.etl.EdgeOps.cleanEdges]] + [[prepare]]. */
-  def prepareRaw(raw: DataFrame): PreparedGraph = prepareRawInternal(raw)._1
+  def prepareRaw(raw: DataFrame, knownCount: Long = -1L): PreparedGraph =
+    prepareRawInternal(raw, knownCount = knownCount)._1
 
   /** [[prepareRaw]] + the benchmark query surface's canonical root
     * (min raw src, self-loop-only vertices included). Under the gate the
     * root falls out of the one collected array — no separate agg job. */
-  def prepareRawWithRoot(raw: DataFrame): (PreparedGraph, Long) = {
-    val (g, root) = prepareRawInternal(raw, needRoot = true)
+  def prepareRawWithRoot(raw: DataFrame,
+                         knownCount: Long = -1L): (PreparedGraph, Long) = {
+    val (g, root) = prepareRawInternal(raw, needRoot = true,
+      knownCount = knownCount)
     (g, root.get)
   }
 
-  private def prepareRawInternal(raw: DataFrame, needRoot: Boolean = false)
+  private def prepareRawInternal(raw: DataFrame, needRoot: Boolean = false,
+                                 knownCount: Long = -1L)
       : (PreparedGraph, Option[Long]) = {
     val spark = raw.sparkSession
-    val nRaw = raw.count()
-    if (nRaw * 2 <= localBfsMaxEdges(spark)) {
-      // ONE primitive collect of the raw list; loop-drop, symmetrize and
-      // duplicate-merge happen in-kernel (the reference's construction
-      // order — sortEdges then merge, graph_constructor.hpp:1363-1412)
-      val flat = LocalCsr.collectPairs(raw)
-      val csr = LocalCsr.buildFromRawPairs(flat)
-      val root =
-        if (!needRoot) None
-        else {
-          var m = Long.MaxValue
-          var i = 0
-          while (i < flat.length) { if (flat(i) < m) m = flat(i); i += 2 }
-          Some(m)
-        }
-      val g = PreparedGraph(graft.etl.EdgeOps.cleanEdges(raw),
-        vertexTableOf(spark, csr.ids),
-        csr.nVerts.toLong, csr.nbrs.length.toLong)
-      g.presetCsr(csr)
-      g.rawPairs = Some(flat)
-      (g, root)
-    } else {
+    val gate = localBfsMaxEdges(spark)
+    def distributed(): (PreparedGraph, Option[Long]) = {
       val g = prepare(graft.etl.EdgeOps.cleanEdges(raw))
       val root =
         if (needRoot) Some(raw.agg(min(col("src"))).head().getLong(0)) else None
       (g, root)
+    }
+    // Gate probe WITHOUT a dedicated count job where possible: callers
+    // that already counted (benchmark stage 1 counts the persisted raw
+    // list) pass the count; otherwise a Catalyst stats estimate small
+    // enough to collect directly skips the probe — the count then falls
+    // out of the collected array. 4 B/row is a conservative lower bound
+    // on two-long-column source bytes (vs 16 B in the flat array), so the
+    // worst-case direct collect stays within ~2× the gate's in-memory
+    // budget; a post-collect re-check falls back to the distributed path
+    // on a mis-estimate. Genuinely large inputs estimate large and keep
+    // the cheap count probe — nothing corpus-sized is ever collected.
+    val nRawKnown: Long =
+      if (knownCount >= 0L) knownCount
+      else {
+        val est = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est <= BigInt(gate) * 4) -1L else raw.count()
+      }
+    if (nRawKnown >= 0L && nRawKnown * 2 > gate) distributed()
+    else {
+      // ONE primitive collect of the raw list; loop-drop, symmetrize and
+      // duplicate-merge happen in-kernel (the reference's construction
+      // order — sortEdges then merge, graph_constructor.hpp:1363-1412)
+      val flat = LocalCsr.collectPairs(raw)
+      if (flat.length > gate) distributed() // stats under-estimated
+      else {
+        val csr = LocalCsr.buildFromRawPairs(flat)
+        val root =
+          if (!needRoot) None
+          else {
+            var m = Long.MaxValue
+            var i = 0
+            while (i < flat.length) { if (flat(i) < m) m = flat(i); i += 2 }
+            Some(m)
+          }
+        val g = PreparedGraph(graft.etl.EdgeOps.cleanEdges(raw),
+          vertexTableOf(spark, csr.ids),
+          csr.nVerts.toLong, csr.nbrs.length.toLong)
+        g.presetCsr(csr)
+        g.rawPairs = Some(flat)
+        (g, root)
+      }
     }
   }
 
