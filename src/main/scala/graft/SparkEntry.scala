@@ -315,6 +315,13 @@ object SparkEntry {
     // IVF-bucketed approximate top-5 (the scale path).
     "sim_ivf" -> ((s, dir) => ops.Similarity.ivfTopK(emb(s, dir), 5, 10, 16, 4)),
 
+    // IVF with trained centroids (deterministic sampled k-means, 3 Lloyd
+    // iterations). k-means is not SQL-expressible → rows-only oracle;
+    // recall vs sim_brute is pinned ≥ the stand-in's in
+    // LocalSimilaritySpec.
+    "sim_ivf_kmeans" -> ((s, dir) =>
+      ops.Similarity.ivfTopK(emb(s, dir), 5, 10, 16, 4, nIter = 3)),
+
     // Language-ID marker scores + argmax prediction.
     "tx_langid" -> ((s, dir) => ops.TextOps.langId(docs(s, dir))),
 

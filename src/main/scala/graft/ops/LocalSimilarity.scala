@@ -118,16 +118,31 @@ object LocalSimilarity {
   /** ≡ Similarity.ivfTopK: centroids = vec_id < nCentroids; corpus
     * assigned to nearest centroid by (rounded cosine desc, centroid_id
     * asc); queries probe nProbe nearest cells; exact scoring within
-    * probed cells only. */
+    * probed cells only. Delegates to [[ivfTopKWithCentroids]] with the
+    * stand-in centroid vectors in id order (index ties ≡ id ties). */
   def ivfTopK(c: Corpus, k: Int, nQueries: Int, nCentroids: Int,
               nProbe: Int): Seq[(Long, Long, Long, Double)] = {
-    val centIdx = c.ids.indices.filter(i => c.ids(i) < nCentroids).toArray
-    if (centIdx.isEmpty) return Seq.empty
+    val centIdx = c.ids.indices.filter(i => c.ids(i) < nCentroids)
+      .sortBy(c.ids(_)).toArray
+    ivfTopKWithCentroids(c, centIdx.map(c.vecs(_)), k, nQueries, nProbe)
+  }
+
+  /** IVF probe/score against EXPLICIT centroid vectors (centroid_id =
+    * array index — trained centroids, or the stand-in's vectors in id
+    * order). Assignment/probe by (rounded cosine desc, centroid_id asc),
+    * exact scoring within probed cells — mirrors the distributed
+    * pipeline 1:1. */
+  def ivfTopKWithCentroids(c: Corpus, cents: Array[Array[Double]], k: Int,
+                           nQueries: Int, nProbe: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    if (cents.isEmpty) return Seq.empty
+    val cnrm = cents.map(v => math.sqrt(dot(v, v)))
     // rank centroids for one vector: (rounded cosine desc, centroid_id asc)
     def rankedCentroids(v: Int): Array[Int] =
-      centIdx.map(ci => (ci, cosine(c, v, ci)))
-        .sortBy { case (ci, cc) => (-cc, c.ids(ci)) }
-        .map(_._1)
+      cents.indices.map(ci =>
+          (ci, round6(dot(c.vecs(v), cents(ci)) / (c.nrm(v) * cnrm(ci)))))
+        .sortBy { case (ci, cc) => (-cc, ci) }
+        .map(_._1).toArray
     // cell assignment (parallel over the corpus)
     val assign = new Array[Int](c.size)
     java.util.stream.IntStream.range(0, c.size).parallel().forEach { v =>

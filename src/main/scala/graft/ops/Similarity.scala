@@ -96,18 +96,99 @@ object Similarity {
   }
 
   /** IVF(-flat) approximate top-k. Probing is by query-to-centroid
-    * cosine; candidates are scored exactly within probed cells. */
+    * cosine; candidates are scored exactly within probed cells.
+    *
+    * `nIter = 0` (the oracle-checked default) uses the deterministic
+    * stand-in centroids — the first `nCentroids` corpus vectors by id.
+    * `nIter > 0` trains centroids with [[trainCentroids]] (sampled
+    * spherical k-means, deterministic) and probes against them; output
+    * contract is identical, recall is measured against
+    * [[bruteForceTopK]] in LocalSimilaritySpec. */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = localCorpus(embeddings) match {
-    case Some(c) => shipTopK(embeddings.sparkSession,
-      LocalSimilarity.ivfTopK(c, k, nQueries, nCentroids, nProbe))
-    case None =>
-    val n = withNorm(embeddings)
-    val cent = broadcast(
-      n.filter(col("vec_id") < nCentroids)
-        .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
-          col("nrm").as("cn")))
+              nCentroids: Int = 16, nProbe: Int = 4,
+              nIter: Int = 0): DataFrame = {
+    if (nIter > 0) {
+      val cents = trainCentroids(embeddings, nCentroids, nIter)
+      return localCorpus(embeddings) match {
+        case Some(c) => shipTopK(embeddings.sparkSession,
+          LocalSimilarity.ivfTopKWithCentroids(c, cents, k, nQueries, nProbe))
+        case None =>
+          val spark = embeddings.sparkSession
+          import spark.implicits._
+          // tiny (nCentroids rows): a LocalRelation is fine, it is
+          // broadcast into every consumer anyway
+          val centDf = cents.zipWithIndex
+            .map { case (v, i) => (i.toLong, v) }.toSeq
+            .toDF("centroid_id", "cv")
+            .select(col("centroid_id"), col("cv"), l2norm(col("cv")).as("cn"))
+          ivfTopKDistributed(withNorm(embeddings), broadcast(centDf),
+            k, nQueries, nProbe)
+      }
+    }
+    localCorpus(embeddings) match {
+      case Some(c) => shipTopK(embeddings.sparkSession,
+        LocalSimilarity.ivfTopK(c, k, nQueries, nCentroids, nProbe))
+      case None =>
+        val n = withNorm(embeddings)
+        val cent = broadcast(
+          n.filter(col("vec_id") < nCentroids)
+            .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+              col("nrm").as("cn")))
+        ivfTopKDistributed(n, cent, k, nQueries, nProbe)
+    }
+  }
 
+  /** Deterministic sampled spherical k-means: Lloyd's iterations on the
+    * first `sampleSize` corpus vectors by id (a distributed top-S — the
+    * corpus itself is never collected), initialized from the stand-in
+    * (first `nCentroids` sample vectors), assignment by (cosine desc,
+    * centroid index asc), update = element-wise mean (empty cells keep
+    * their previous centroid). No RNG at all, so results are
+    * reproducible across partitionings and runs — the determinism
+    * contract every operator here carries. Returns centroid vectors
+    * indexed 0..nCentroids-1. */
+  def trainCentroids(embeddings: DataFrame, nCentroids: Int, nIter: Int,
+                     sampleSize: Int = 4096): Array[Array[Double]] = {
+    val sample = withNorm(embeddings)
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .select(col("v"), col("nrm"))
+      .collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    if (sample.isEmpty) return Array.empty
+    var cents = sample.take(nCentroids).map(_._1.clone())
+    var it = 0
+    while (it < nIter) {
+      val cnrm = cents.map(v => math.sqrt(LocalSimilarity.dot(v, v)))
+      val dims = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { case (v, nrm) =>
+        var best = 0
+        var bestCos = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          val cos = LocalSimilarity.dot(v, cents(ci)) / (nrm * cnrm(ci))
+          if (cos > bestCos) { bestCos = cos; best = ci }
+          ci += 1
+        }
+        val s = sums(best)
+        var d = 0
+        while (d < dims) { s(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { ci =>
+        if (counts(ci) == 0) cents(ci)
+        else sums(ci).map(_ / counts(ci))
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
+  /** The IVF assignment/probe/score pipeline against an explicit (tiny,
+    * broadcast) centroid table (centroid_id, cv, cn). */
+  private def ivfTopKDistributed(n: DataFrame, cent: DataFrame, k: Int,
+                                 nQueries: Int, nProbe: Int): DataFrame = {
     // cell assignment: nearest centroid per corpus vector (map-side vs
     // broadcast centroids; rank-1 window keyed by vec_id — at scale this
     // is argmax via a partial-aggregable max_by, kept as window here for

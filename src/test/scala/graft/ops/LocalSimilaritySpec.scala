@@ -58,6 +58,70 @@ class LocalSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK trained (k-means): kernel ≡ distributed") {
+    for (seed <- 1L to 3L) {
+      val (l, d) = bothWays(
+        Similarity.ivfTopK(corpus(60, 8, seed), 5, 10, 16, 4, nIter = 3))
+      assert(l === d, s"seed=$seed")
+      assert(l.nonEmpty)
+    }
+  }
+
+  /** Trained-centroid quality at sf0.1. Recall-vs-stand-in is not a fair
+    * bar on this workload: the driver queries (vec_id < 10) ARE stand-in
+    * centroids (vec_id < 16), so each query probes its own perfectly
+    * centered cell — an artifact a real query set doesn't have. The
+    * durable k-means benefits asserted instead: a recall floor against
+    * brute force, and better cell BALANCE (max cell fraction bounds the
+    * worst probe cost — the quantity that matters when a cell is a
+    * shuffle partition at corpus scale). */
+  test("trained IVF: recall floor + better cell balance than stand-in (sf0.1)") {
+    val t = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .persist()
+    try {
+      def pairs(df: DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Similarity.bruteForceTopK(t, 5, 10))
+      val trained = pairs(Similarity.ivfTopK(t, 5, 10, 16, 4, nIter = 3))
+      val rTrained = (trained & exact).size.toDouble / exact.size
+      info(f"trained recall@4probes $rTrained%.3f")
+      assert(rTrained >= 0.9, f"trained recall $rTrained%.3f < 0.9")
+
+      // cell balance: assign the full corpus to each centroid set
+      val rows = t.select("vec_id", "embedding").collect()
+        .sortBy(_.getLong(0))
+      val ids = rows.map(_.getLong(0))
+      val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      val c = new LocalSimilarity.Corpus(ids, vecs)
+      def maxCellFrac(cents: Array[Array[Double]]): Double = {
+        val cnrm = cents.map(v => math.sqrt(LocalSimilarity.dot(v, v)))
+        val counts = new Array[Long](cents.length)
+        var i = 0
+        while (i < c.size) {
+          var best = 0
+          var bestCos = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cents.length) {
+            val cos = LocalSimilarity.dot(c.vecs(i), cents(ci)) /
+              (c.nrm(i) * cnrm(ci))
+            if (cos > bestCos) { bestCos = cos; best = ci }
+            ci += 1
+          }
+          counts(best) += 1
+          i += 1
+        }
+        counts.max.toDouble / c.size
+      }
+      val standCents = vecs.take(16)
+      val trainedCents = Similarity.trainCentroids(t, 16, 3)
+      val fStand = maxCellFrac(standCents)
+      val fTrained = maxCellFrac(trainedCents)
+      info(f"max cell fraction stand-in $fStand%.3f trained $fTrained%.3f")
+      assert(fTrained <= fStand,
+        f"trained max cell $fTrained%.3f worse than stand-in $fStand%.3f")
+    } finally t.unpersist()
+  }
+
   test("embeddingDedup above the block limit: hyperplane-LSH, no cartesian") {
     val t = corpus(120, 8, 5L)
     // exact reference from the block path (local kernels off)
