@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  *
  *   - `array_dot(a, b)`  — codegen'd sequential dot product
  *   - `kron_edge(scale, i)` — deterministic Graph500 edge generation
+ *   - `poly_fingerprint(text)` — codegen'd rolling-hash fingerprint
  *
  * Activate with `.config("spark.sql.extensions",
  * "graft.functions.GraftExtensions")` (comma-composable with other
@@ -29,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "kron_edge takes 2 arguments")
         KronEdge(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("poly_fingerprint"),
+      new ExpressionInfo(classOf[StringPolyHash].getName, "poly_fingerprint"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "poly_fingerprint takes 1 argument")
+        StringPolyHash(children.head)
       }))
   }
 }

@@ -99,12 +99,12 @@ object TextOps {
 
   /** Polynomial rolling-hash fingerprint over the document's code points:
     * h = fold(h * 31 + codepoint) mod 1e9+7 — cheap, order-sensitive,
-    * SQL-mirrorable. */
+    * SQL-mirrorable. Native codegen expression
+    * ([[graft.functions.StringPolyHash]]) — the HOF formulation it
+    * replaces allocated a per-character array and ran interpreted. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      aggregate(
-        transform(split(col("text"), ""), c => ascii(c).cast("long")),
-        lit(0L),
-        (h, cp) => (h * 31L + cp) % 1000000007L).as("fingerprint"))
+      graft.functions.StringPolyHash.fingerprint(col("text"))
+        .as("fingerprint"))
 }

@@ -33,4 +33,37 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(sqlEdges.sorted.toSeq === dsEdges.sorted.toSeq)
   }
+
+  test("poly_fingerprint ≡ the HOF fold it replaces; stays in codegen") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, ""), (3L, "  padded  "),
+      (4L, "a"), (5L, "Zz9!?.,\n\ttab"), (6L, "héllo wörld"),
+      (7L, "日本語テキスト"), (8L, "mixed 日本 ascii"))
+      .toDF("doc_id", "text")
+    // reference fold over code points (the DuckDB oracle's ord semantics)
+    val expected = docs.collect().map { r =>
+      var h = 0L
+      r.getString(1).codePoints().forEach(cp => h = (h * 31L + cp) % 1000000007L)
+      r.getLong(0) -> h
+    }.toMap
+    val got = docs.select(col("doc_id"),
+        StringPolyHash.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // NULL in, NULL out; SQL registration works
+    assert(spark.sql("SELECT poly_fingerprint(CAST(NULL AS STRING))")
+      .head().isNullAt(0))
+    // the scan+project stays one WholeStageCodegen span (no interpreted
+    // HOF lambda in the plan) — checked on a parquet-backed table; a
+    // LocalRelation input would be constant-folded to a LocalTableScan
+    val plan = graft.ops.TextOps.fingerprint(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    // "*(1)" is the WholeStageCodegen stage marker in the simple string
+    assert(plan.contains("*(1) Project") && plan.contains("poly_fingerprint"),
+      plan)
+    assert(!plan.toLowerCase.contains("lambdafunction"), plan)
+  }
 }
