@@ -32,6 +32,9 @@ object Bench {
     // SPARK_GRAFT_FORCE_DISTRIBUTED=1: zero every hybrid gate (see Verify)
     if (sys.env.getOrElse("SPARK_GRAFT_FORCE_DISTRIBUTED", "0") == "1")
       Gates.forceDistributed(spark)
+    // SPARK_GRAFT_BFS2D=RxC: time the 2D-grid distributed BFS layout
+    sys.env.get("SPARK_GRAFT_BFS2D")
+      .foreach(g => spark.conf.set("spark.graft.bfs2dGrid", g))
 
     // dev knob: SPARK_GRAFT_ONLY=q7_bfs,dd_minhash times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")

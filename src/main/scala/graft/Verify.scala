@@ -20,6 +20,9 @@ object Verify {
     // instead of the driver-local kernels.
     if (sys.env.getOrElse("SPARK_GRAFT_FORCE_DISTRIBUTED", "0") == "1")
       Gates.forceDistributed(spark)
+    // SPARK_GRAFT_BFS2D=RxC: audit the 2D-grid distributed BFS layout
+    sys.env.get("SPARK_GRAFT_BFS2D")
+      .foreach(g => spark.conf.set("spark.graft.bfs2dGrid", g))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -63,6 +63,25 @@ object Bfs {
     spark.conf.getOption("spark.graft.localBfsMaxEdges")
       .map(_.toLong).getOrElse(LocalBfsMaxEdgesDefault)
 
+  /** Optional 2D edge-grid layout for the distributed loop — the Spark
+    * analogue of the reference's EdgePartition2D
+    * (mpi/graph_constructor.hpp:18-22). `spark.graft.bfs2dGrid = "RxC"`
+    * partitions edges by (src-block, dst-block); each top-down level then
+    * replicates the frontier C ways (the row allgather) instead of
+    * broadcasting it everywhere, and the edge table never re-shuffles.
+    * Wins when frontiers exceed the broadcast cap on wide clusters —
+    * replication cost C·|frontier| vs executors·|frontier|; at local[32]
+    * scale the 1D broadcast path is faster, which is why this is a
+    * toggle, not the default. */
+  def grid2d(spark: SparkSession): Option[(Int, Int)] =
+    spark.conf.getOption("spark.graft.bfs2dGrid").flatMap { s =>
+      s.split("x") match {
+        case Array(r, c) if r.trim.toInt > 0 && c.trim.toInt > 0 =>
+          Some((r.trim.toInt, c.trim.toInt))
+        case _ => None
+      }
+    }
+
   /** The reference's cached CSR analogue: the big table shuffled ONCE
     * (hash-partitioned by src) + the vertex set, both persisted and shared
     * by every BFS run of a benchmark (reference builds Graph2DCSR once,
@@ -107,7 +126,19 @@ object Bfs {
     // physical layout there, so pre-partitioning the DataFrame buys nothing.
     val edges =
       if (local) cached
-      else cached.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      else grid2d(spark) match {
+        case Some((r, c)) =>
+          // 2D grid layout (see grid2d): one shuffle onto (src-block,
+          // dst-block); the level loop joins on the block keys + src, so
+          // this exchange is the only one the edge table ever pays.
+          cached
+            .withColumn("sb", pmod(hash(col("src")), lit(r)))
+            .withColumn("db", pmod(hash(col("dst")), lit(c)))
+            .repartition(r * c, col("sb"), col("db"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        case None =>
+          cached.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      }
     if (local) {
       // Hybrid-executor construction: build the local CSR up front (like
       // the reference's construction stage) so per-run timings measure BFS
@@ -361,13 +392,36 @@ object Bfs {
                 broadcast(frontier.select(col("vertex").as("f")))
               else frontier.select(col("vertex").as("f")),
               col("pred") === col("f"), "left_semi")
-        } else {
-          val frontierSide =
-            if (frontierSize <= BroadcastLimit) broadcast(frontier) else frontier
-          edges
-            .join(frontierSide, edges("src") === frontierSide("vertex"))
-            .select(edges("dst").as("vertex"), edges("src").as("pred"))
-            .join(recentSide("v"), col("vertex") === col("v"), "left_anti")
+        } else grid2d(spark)
+          // the 2D branch needs the grid LAYOUT, not just the conf — a
+          // graph prepared under the local gate (or before the conf was
+          // set) has no block columns and takes the 1D join
+          .filter(_ => edges.columns.contains("sb") &&
+            edges.columns.contains("db")) match {
+          case Some((r, c)) =>
+            // 2D top-down: replicate each frontier vertex to the C
+            // dst-blocks of its src-row (the row-wise allgather,
+            // replication factor C — not one copy per executor as
+            // broadcast would), then equi-join on (sb, db, src): the
+            // grid-partitioned edge table satisfies the join's
+            // distribution on its (sb, db) subset, so it never
+            // re-shuffles; only the C·|frontier| replica set moves.
+            val fRep = frontier
+              .withColumn("sb", pmod(hash(col("vertex")), lit(r)))
+              .select(col("vertex"), col("sb"),
+                explode(sequence(lit(0), lit(c - 1))).as("db"))
+            edges
+              .join(fRep, Seq("sb", "db").map(k => edges(k) === fRep(k))
+                .reduce(_ && _) && edges("src") === fRep("vertex"))
+              .select(edges("dst").as("vertex"), edges("src").as("pred"))
+              .join(recentSide("v"), col("vertex") === col("v"), "left_anti")
+          case None =>
+            val frontierSide =
+              if (frontierSize <= BroadcastLimit) broadcast(frontier) else frontier
+            edges
+              .join(frontierSide, edges("src") === frontierSide("vertex"))
+              .select(edges("dst").as("vertex"), edges("src").as("pred"))
+              .join(recentSide("v"), col("vertex") === col("v"), "left_anti")
         }
 
       val next = discovered
