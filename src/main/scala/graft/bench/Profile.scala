@@ -13,7 +13,27 @@ object Profile {
     r
   }
 
+  /** `runMain graft.bench.Profile queries <sfDir> <q1,q2,...>`: run each
+    * named SparkEntry query 3× and print per-iteration times —
+    * steady-state vs first-touch attribution. */
+  def profileQueries(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val names = if (args.length > 2) args(2).split(",").toSeq
+      else Seq("ev_sessions", "ev_window", "ev_topusers", "cc_components",
+        "dd_ngram", "dd_minhash", "dd_simhash", "q10_level_sizes")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- names; i <- 1 to 3)
+      t(s"$n#$i")(graft.SparkEntry.queries(n)(spark, sfDir).count())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("queries")) { profileQueries(args); return }
     val scale = if (args.nonEmpty) args(0).toInt else 18
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

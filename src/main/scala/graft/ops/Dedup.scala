@@ -41,6 +41,14 @@ object Dedup {
     * distributed). */
   val LocalDedupDefaultMaxDocs = 100000L
 
+  /** Collected corpora keyed weakly on the DataFrame instance — the five
+    * dedup kernels consume the same per-dir cached docs table; identity
+    * hits skip the count probe and collect entirely (immutable
+    * DataFrames ⇒ never stale; gate re-checked against the cached length,
+    * so 0 still forces distributed). */
+  private val docsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, (Array[Long], Array[String])]())
+
   /** Collect (doc_id, text) when the corpus is under the local gate. The
     * count probe scans only the `doc_id` column, so probing a huge corpus
     * never touches its text bytes. */
@@ -49,8 +57,11 @@ object Dedup {
     val spark = docs.sparkSession
     val gate = spark.conf.getOption("spark.graft.localDedupMaxDocs")
       .map(_.toLong).getOrElse(LocalDedupDefaultMaxDocs)
-    if (gate <= 0) None
-    else if (docs.select("doc_id").count() > gate) None
+    if (gate <= 0) return None
+    val cached = docsCache.get(docs)
+    if (cached != null)
+      return if (cached._1.length <= gate) Some(cached) else None
+    if (docs.select("doc_id").count() > gate) None
     else {
       val rows = docs.select(col("doc_id"), col("text")).collect()
       val ids = new Array[Long](rows.length)
@@ -61,6 +72,7 @@ object Dedup {
         texts(i) = rows(i).getString(1)
         i += 1
       }
+      docsCache.put(docs, (ids, texts))
       Some((ids, texts))
     }
   }

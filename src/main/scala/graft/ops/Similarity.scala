@@ -52,19 +52,31 @@ object Similarity {
     * distributed). */
   val LocalAnnDefaultMaxVecs = 100000L
 
+  /** Collected corpora keyed weakly on the DataFrame instance — the ANN
+    * and embedding-dedup kernels share the per-dir cached embeddings
+    * table; identity hits skip the count probe and collect (immutable
+    * DataFrames ⇒ never stale; gate re-checked against the cached size). */
+  private val corpusCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, LocalSimilarity.Corpus]())
+
   private[ops] def localCorpus(embeddings: DataFrame): Option[LocalSimilarity.Corpus] = {
     if (embeddings.isStreaming) return None
     val spark = embeddings.sparkSession
     val gate = spark.conf.getOption("spark.graft.localAnnMaxVecs")
       .map(_.toLong).getOrElse(LocalAnnDefaultMaxVecs)
-    if (gate <= 0) None
-    else if (embeddings.select("vec_id").count() > gate) None
+    if (gate <= 0) return None
+    val cached = corpusCache.get(embeddings)
+    if (cached != null)
+      return if (cached.size <= gate) Some(cached) else None
+    if (embeddings.select("vec_id").count() > gate) None
     else {
       val rows = embeddings.select(col("vec_id"), col("embedding")).collect()
       val ids = rows.map(_.getLong(0))
       // float→double per element, exactly the transform(...cast) column
       val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
-      Some(new LocalSimilarity.Corpus(ids, vecs))
+      val c = new LocalSimilarity.Corpus(ids, vecs)
+      corpusCache.put(embeddings, c)
+      Some(c)
     }
   }
 

@@ -24,16 +24,33 @@ object LocalEvents {
   private def shipDf(spark: SparkSession, cols: (String, Array[_])*) =
     graft.functions.Ship.df(spark, cols: _*)
 
+  private type Rows =
+    (Array[Long], Array[Long], Array[Long], Array[String], Array[Double])
+
+  /** Collected rows keyed on the DataFrame INSTANCE (weakly — entries
+    * die with the DataFrame): the three batch kernels all consume the
+    * same per-dir cached events table, and without this each query paid
+    * its own count probe + 100k-row collect (~0.3 s each at sf0.1) for
+    * byte-identical arrays. DataFrames are immutable, so an identity hit
+    * can never serve stale data; the gate is re-checked per call against
+    * the cached length (no job), so flipping
+    * `spark.graft.localEventsMaxRows` to 0 still forces the distributed
+    * path. */
+  private val rowsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Rows]())
+
   /** Collected (event_id, us, user_id, event_type, value) under the
     * gate; None → take the distributed transform. */
-  private def localRows(events: DataFrame)
-      : Option[(Array[Long], Array[Long], Array[Long], Array[String], Array[Double])] = {
+  private def localRows(events: DataFrame): Option[Rows] = {
     if (events.isStreaming) return None
     val spark = events.sparkSession
     val gate = spark.conf.getOption("spark.graft.localEventsMaxRows")
       .map(_.toLong).getOrElse(LocalEventsDefaultMaxRows)
-    if (gate <= 0) None
-    else if (events.select("event_id").count() > gate) None
+    if (gate <= 0) return None
+    val cached = rowsCache.get(events)
+    if (cached != null)
+      return if (cached._1.length <= gate) Some(cached) else None
+    if (events.select("event_id").count() > gate) None
     else {
       val rows = events.select(col("event_id"), unix_micros(col("ts")),
         col("user_id"), col("event_type"), col("value")).collect()
@@ -50,7 +67,9 @@ object LocalEvents {
         et(i) = r.getString(3); v(i) = r.getDouble(4)
         i += 1
       }
-      Some((eid, us, uid, et, v))
+      val out = (eid, us, uid, et, v)
+      rowsCache.put(events, out)
+      Some(out)
     }
   }
 
