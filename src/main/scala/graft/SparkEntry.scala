@@ -295,6 +295,10 @@ object SparkEntry {
     // MinHash+LSH near-dup pairs, exact-Jaccard verified.
     "dd_minhash" -> ((s, dir) => ops.Dedup.minhashDedup(docs(s, dir), 0.5)),
 
+    // Near-dup clusters: minhash pairs → connected components → canonical
+    // doc per cluster (the terminal step of a dedup pipeline).
+    "dd_clusters" -> ((s, dir) => ops.Dedup.dedupClusters(docs(s, dir), 0.5)),
+
     // SimHash fingerprints (full hash check of the 60-bit signatures).
     "dd_simhash_sig" -> ((s, dir) => ops.Dedup.simhash(docs(s, dir))),
 
@@ -591,6 +595,36 @@ object SparkEntry {
         |SELECT j.doc_a, j.doc_b, j.jaccard
         |FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
         |WHERE j.jaccard >= 0.5""".stripMargin),
+
+    // dd_minhash's pair pipeline + recursive min-label walk over the pair
+    // graph (the cc_components oracle pattern) + left join back to
+    // documents for singletons.
+    "dd_clusters" -> (ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, hx AS (SELECT doc_id,
+        |           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS xv
+        |         FROM sh),
+        |sigidx AS (SELECT doc_id, xv, unnest(generate_series(0, 31)) AS i FROM hx),
+        |msig AS (SELECT doc_id, i, min(((2*i+1)*xv + i*104729) % 2147483647) AS m
+        |         FROM sigidx GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, CAST(i/4 AS INT) AS band,
+        |            string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
+        |          FROM msig GROUP BY doc_id, CAST(i/4 AS INT)),
+        |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b
+        |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT j.doc_a, j.doc_b
+        |          FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        |          WHERE j.jaccard >= 0.5),
+        |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |dwalk(vertex, lab) AS (
+        |  SELECT DISTINCT src, src FROM dedges
+        |  UNION
+        |  SELECT e.dst, w.lab FROM dwalk w JOIN dedges e ON e.src = w.vertex
+        |),
+        |comp AS (SELECT vertex, min(lab) AS component FROM dwalk GROUP BY vertex)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id
+        |FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id""".stripMargin),
 
     "dd_simhash_sig" -> (SimhashCte + "SELECT doc_id, simhash FROM ssig"),
 

@@ -231,6 +231,28 @@ object Dedup {
     }(dist)
   }
 
+  /** Near-dup CLUSTERS — the terminal canonicalization step of a dedup
+    * pipeline: MinHash+LSH verified pairs ([[minhashDedup]]) form an
+    * undirected graph; connected components
+    * ([[graft.bfs.ConnectedComponents]]) elect each cluster's min doc_id
+    * as its canonical document; documents in no pair map to themselves.
+    * (doc_id, canonical_id).
+    *
+    * Composes two operators that already hold at corpus scale: bucketed
+    * LSH pair generation (never all-pairs) and O(log d)-round
+    * pointer-jumping components over the pair graph — which is tiny
+    * relative to the corpus (near-dup pairs, not documents). */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    val pairs = minhashDedup(docs, threshold)
+    val comp = graft.bfs.ConnectedComponents.componentsRaw(spark,
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("vertex"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+  }
+
   /** Standalone exact n-gram Jaccard dedup (no LSH): all pairs sharing a
     * shingle with jaccard ≥ threshold. */
   def ngramJaccardDedup(docs: DataFrame, threshold: Double = 0.8,

@@ -95,6 +95,17 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedupClusters: transitive closure to min-id canonical, singletons self") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs((0L, base), (1L, base), (2L, base + " extra"),
+      (3L, "completely different words entirely unrelated content here now"))
+    val got = Dedup.dedupClusters(d, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0-1 identical, 0-2 near-dup → one cluster canonicalized to 0, even
+    // if 1-2 was never a direct pair (transitivity via components)
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+  }
+
   test("jaccard pairs: exact value") {
     val d = docs((0L, "a b c d"), (1L, "a b c e"))
     // shingles: {abc,bcd} vs {abc,bce} => J = 1/3
