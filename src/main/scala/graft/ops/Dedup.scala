@@ -242,10 +242,15 @@ object Dedup {
     * LSH pair generation (never all-pairs) and O(log d)-round
     * pointer-jumping components over the pair graph — which is tiny
     * relative to the corpus (near-dup pairs, not documents). */
-  def dedupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val spark = docs.sparkSession
-    val pairs = minhashDedup(docs, threshold)
-    val comp = graft.bfs.ConnectedComponents.componentsRaw(spark,
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    clustersFromPairs(docs, minhashDedup(docs, threshold))
+
+  /** [[dedupClusters]] from an already-computed pair set (doc_a, doc_b,
+    * ...) — callers that materialized the pairs for their own output
+    * (the driver runs `dd_minhash` and `dd_clusters` over the same
+    * corpus) skip recomputing the LSH pipeline. */
+  def clustersFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = graft.bfs.ConnectedComponents.componentsRaw(docs.sparkSession,
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     docs.select(col("doc_id"))
       .join(comp, col("doc_id") === col("vertex"), "left_outer")
