@@ -48,6 +48,14 @@ class GoldenContentSpec extends SparkSpec {
     assert(digest(query("s7_weighted")) === (16384L, 8241580007641L))
   }
 
+  test("sim_ivf_kmeans content digest (sf0.001)") {
+    // rows-only for the driver (k-means is not SQL-expressible) but fully
+    // deterministic: kernel ≡ distributed is pinned in
+    // LocalSimilaritySpec, and this digest pins the content itself —
+    // centroid-training drift (sample, init, iteration count) fails here.
+    assert(digest(query("sim_ivf_kmeans")) === (50L, 24916634366L))
+  }
+
   test("q6_roots exact roots (sf0.001)") {
     val got = query("q6_roots").orderBy("idx").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
