@@ -327,6 +327,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** STREAMING near-dup suppression: per-document 60-bit SimHash computed
+    * in a narrow per-row map (no cross-row aggregation, so the transform
+    * runs identically under `readStream`), then
+    * `dropDuplicatesWithinWatermark` on the signature — only the FIRST
+    * document per signature within the event-time watermark survives.
+    * Suppresses signature-equal (Hamming-0) near-dups, the streaming
+    * analogue of [[simhashDedup]]'s exact-collision bucket; state is
+    * watermark-bounded like [[exactStream]], so it runs forever on an
+    * unbounded ingest stream. Zero-token documents carry no signature
+    * and pass through undeduplicated (explode semantics of the batch
+    * pipeline). Signatures are bit-identical to [[simhash]]
+    * (LocalDedupSpec pins the kernel ≡ column pipeline). */
+  def simhashStream(docs: DataFrame, tsCol: String = "ts",
+                    watermark: String = "1 hour"): DataFrame = {
+    val sigOf = udf((text: String) =>
+      LocalDedup.simhashOf(text).map(java.lang.Long.valueOf).orNull)
+    docs.withColumn("simhash", sigOf(col("text")))
+      // zero-token docs get a unique negative key (signatures are 60-bit
+      // non-negative) so they are never suppressed — and never collide
+      // with each other, which deduplicating on a NULL signature would do
+      .withColumn("dedup_key",
+        coalesce(col("simhash"), -col("doc_id") - 1))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("dedup_key")
+      .drop("dedup_key")
+  }
+
   /** Corpora up to this many vectors use the broadcast block-scoring path.
     * Override with `spark.graft.embeddingBlockMaxVecs` (0 = always the
     * hyperplane-LSH path). NOT a hybrid-executor gate: it picks between

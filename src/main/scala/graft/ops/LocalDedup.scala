@@ -331,6 +331,29 @@ object LocalDedup {
     out.toSeq
   }
 
+  /** 60-bit SimHash of ONE document; None for zero-token docs (the
+    * explode semantics of the column pipeline). */
+  def simhashOf(text: String): Option[Long] = {
+    val tk = tokens(text)
+    if (tk.isEmpty) return None
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < tk.length) { distinct.add(tk(i)); i += 1 }
+    val counts = new Array[Int](60)
+    distinct.forEach { t =>
+      val h = hash64(t)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (counts(j) > 0) sig |= 1L << j; j += 1 }
+    Some(sig)
+  }
+
   /** 60-bit SimHash signatures ≡ Dedup.simhash: (doc_id, simhash); docs
     * with zero tokens produce NO row (explode semantics). */
   def simhashSigs(ids: Array[Long], texts: Array[String]): Seq[(Long, Long)] = {
@@ -338,23 +361,7 @@ object LocalDedup {
     val sigs = new Array[Long](n)
     val present = new Array[Boolean](n)
     java.util.stream.IntStream.range(0, n).parallel().forEach { d =>
-      val tk = tokens(texts(d))
-      if (tk.nonEmpty) {
-        val distinct = new java.util.HashSet[String]()
-        var i = 0
-        while (i < tk.length) { distinct.add(tk(i)); i += 1 }
-        val counts = new Array[Int](60)
-        distinct.forEach { t =>
-          val h = hash64(t)
-          var j = 0
-          while (j < 60) {
-            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-            j += 1
-          }
-        }
-        var sig = 0L
-        var j = 0
-        while (j < 60) { if (counts(j) > 0) sig |= 1L << j; j += 1 }
+      simhashOf(texts(d)).foreach { sig =>
         sigs(d) = sig
         present(d) = true
       }

@@ -85,6 +85,40 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash suppression: first doc per signature survives") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Dedup.simhashStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("sh_stream")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      val base = "the quick brown fox jumps over the lazy dog"
+      mem.addData((1L, t(0), base), (2L, t(1), "unrelated text here"),
+        (3L, t(1), ""))
+      q.processAllAvailable()
+      // same signature arriving later (identical tokens, different order
+      // of duplicate words does not change the distinct-token simhash),
+      // plus another zero-token doc — which must NOT be suppressed
+      mem.addData((4L, t(2), base), (5L, t(3), ""))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, simhash FROM sh_stream").collect()
+      val ids = rows.map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 3L, 5L), s"got $ids")
+      // surviving signature equals the batch simhash pipeline's
+      val sig1 = rows.find(_.getLong(0) == 1L).get.getLong(1)
+      val batchSig = Dedup.simhash(Seq((1L, base)).toDF("doc_id", "text"))
+        .head().getLong(1)
+      assert(sig1 === batchSig)
+      // zero-token docs carry no signature
+      assert(rows.filter(r => r.getLong(0) == 3L || r.getLong(0) == 5L)
+        .forall(_.isNullAt(1)))
+    } finally q.stop()
+  }
+
   test("minhash LSH finds identical and near-identical docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val d = docs((0L, base), (1L, base), (2L, base + " extra"),
