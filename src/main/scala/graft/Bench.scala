@@ -76,6 +76,9 @@ object Bench {
       }
       try Await.result(Future.sequence(futs), 10.minutes)
       catch { case _: java.util.concurrent.TimeoutException =>
+        // kill the hung warm-up jobs too — left running they'd contend
+        // with the timed pass and skew every recorded number
+        spark.sparkContext.cancelAllJobs()
         System.err.println("[bench] warm-up timed out; proceeding unwarmed")
       }
       (System.nanoTime() - w0) / 1e9

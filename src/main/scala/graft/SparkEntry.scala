@@ -164,7 +164,14 @@ object SparkEntry {
     tree(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Declaration-ordered (ListMap): Bench times queries in iteration
+    * order, and shared intermediates (graph handle, minhash pair set,
+    * cached tables) are paid by whichever consumer runs first — source
+    * order makes that attribution deterministic and comparable across
+    * rounds (a plain HashMap would reshuffle it whenever a query is
+    * added). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     // Q1 — deterministic Kronecker generation (scale 10); structural
     // invariants are unit-tested, MRG is not SQL-expressible → rows check.
     "q1_generate" -> ((s, _) => graft.gen.Kronecker.generate(s, 10)),

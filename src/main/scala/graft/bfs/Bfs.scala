@@ -75,11 +75,19 @@ object Bfs {
     * toggle, not the default. */
   def grid2d(spark: SparkSession): Option[(Int, Int)] =
     spark.conf.getOption("spark.graft.bfs2dGrid").flatMap { s =>
-      s.split("x") match {
-        case Array(r, c) if r.trim.toInt > 0 && c.trim.toInt > 0 =>
-          Some((r.trim.toInt, c.trim.toInt))
-        case _ => None
-      }
+      val parsed = scala.util.Try {
+        s.split("x") match {
+          case Array(r, c) if r.trim.toInt > 0 && c.trim.toInt > 0 =>
+            Some((r.trim.toInt, c.trim.toInt))
+          case _ => None
+        }
+      }.toOption.flatten
+      // warn instead of silently running 1D — an operator who set the
+      // knob must not read 1D numbers believing they measured 2D
+      if (parsed.isEmpty)
+        System.err.println(s"[graft] ignoring unparseable " +
+          s"spark.graft.bfs2dGrid='$s' (want RxC, e.g. 4x8); running 1D")
+      parsed
     }
 
   /** The reference's cached CSR analogue: the big table shuffled ONCE
@@ -204,17 +212,21 @@ object Bfs {
     // that already counted (benchmark stage 1 counts the persisted raw
     // list) pass the count; otherwise a Catalyst stats estimate small
     // enough to collect directly skips the probe — the count then falls
-    // out of the collected array. 4 B/row is a conservative lower bound
-    // on two-long-column source bytes (vs 16 B in the flat array), so the
-    // worst-case direct collect stays within ~2× the gate's in-memory
-    // budget; a post-collect re-check falls back to the distributed path
-    // on a mis-estimate. Genuinely large inputs estimate large and keep
-    // the cheap count probe — nothing corpus-sized is ever collected.
+    // out of the collected array, and a post-collect re-check falls back
+    // to the distributed path on a mis-estimate. The estimate is
+    // compressed SOURCE bytes, which sorted/dictionary-encoded parquet
+    // can push far below 4 B/row — so the shortcut additionally requires
+    // a small ABSOLUTE estimate (64 MB): even at a pathological 1 B/row
+    // the mis-estimated collect is bounded by ~64M rows (~1 GB flat,
+    // inside the gate's documented kernel budget) before the re-check
+    // rejects it. Anything estimating larger keeps the cheap count
+    // probe — nothing corpus-sized is ever collected.
     val nRawKnown: Long =
       if (knownCount >= 0L) knownCount
       else {
         val est = raw.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (est <= BigInt(gate) * 4) -1L else raw.count()
+        if (est <= BigInt(gate) * 4 && est <= BigInt(64L << 20)) -1L
+        else raw.count()
       }
     if (nRawKnown >= 0L && nRawKnown * 2 > gate) distributed()
     else {

@@ -247,10 +247,26 @@ object Kronecker {
       if (probedNew.isEmpty) result = roots
       else {
         val cand = probedNew.toSeq
-        val present = vertices
-          .filter(col(vertexCol).isInCollection(cand))
-          .select(vertexCol).distinct()
-          .collect().map(_.getLong(0)).toSet
+        // small candidate sets confirm via a pushed-down IN scan; a
+        // sparse id space can reject thousands-to-millions of probes per
+        // pass, where a multi-million-literal IN predicate would blow up
+        // the plan — those confirm with one broadcast semi-join against
+        // a candidate table instead
+        val present: Set[Long] =
+          if (cand.size <= 1000)
+            vertices.filter(col(vertexCol).isInCollection(cand))
+              .select(vertexCol).distinct()
+              .collect().map(_.getLong(0)).toSet
+          else {
+            val spark = vertices.sparkSession
+            import spark.implicits._
+            vertices.join(
+                org.apache.spark.sql.functions.broadcast(
+                  cand.toDF(vertexCol)),
+                Seq(vertexCol), "left_semi")
+              .select(vertexCol).distinct()
+              .collect().map(_.getLong(0)).toSet
+          }
         cand.foreach(v => memo(v) = present(v))
       }
     }

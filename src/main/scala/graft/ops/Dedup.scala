@@ -341,8 +341,11 @@ object Dedup {
     * (LocalDedupSpec pins the kernel ≡ column pipeline). */
   def simhashStream(docs: DataFrame, tsCol: String = "ts",
                     watermark: String = "1 hour"): DataFrame = {
+    // null-safe: a NULL text row must not kill a forever-running stream —
+    // it behaves like a zero-token doc (no signature, never suppressed)
     val sigOf = udf((text: String) =>
-      LocalDedup.simhashOf(text).map(java.lang.Long.valueOf).orNull)
+      if (text == null) null
+      else LocalDedup.simhashOf(text).map(java.lang.Long.valueOf).orNull)
     docs.withColumn("simhash", sigOf(col("text")))
       // zero-token docs get a unique negative key (signatures are 60-bit
       // non-negative) so they are never suppressed — and never collide
@@ -380,22 +383,40 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
+  /** Per-dimension Rademacher multiplier tables (±1.0 per (plane, dim)),
+    * derived from [[mix64]] once per JVM and dimension — the signs are
+    * input-independent, and recomputing the hash per (vector, plane,
+    * dim) triple would put 256·dim mix64 calls in every UDF invocation.
+    * Keyed by dim (embedding width), computed deterministically, so the
+    * keys are identical on every executor. */
+  private val signTables =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def signTable(dims: Int): Array[Array[Double]] =
+    signTables.computeIfAbsent(dims, _ =>
+      Array.tabulate(HyperplaneBands * HyperplaneBandBits, dims) {
+        (plane, i) =>
+          // unique mix input per (plane, dim): plane·2^32 + plane + i
+          if ((mix64(plane.toLong * 0x100000001L + i) & 1L) == 0L) 1.0
+          else -1.0
+      })
+
   /** The [[HyperplaneBands]] band keys of one vector: band index folded
     * into the key so one equi-join column carries (band, signature). */
   private[ops] def hyperplaneBandKeys(v: Seq[Double]): Array[Long] = {
+    val va = v.toArray
+    val signs = signTable(va.length)
     val keys = new Array[Long](HyperplaneBands)
     var b = 0
     while (b < HyperplaneBands) {
       var key = 0L
       var j = 0
       while (j < HyperplaneBandBits) {
-        val plane = (b * HyperplaneBandBits + j).toLong
+        val row = signs(b * HyperplaneBandBits + j)
         var s = 0.0
         var i = 0
-        while (i < v.length) {
-          // unique mix input per (plane, dim): plane·2^32 + plane + i
-          if ((mix64(plane * 0x100000001L + i) & 1L) == 0L) s += v(i)
-          else s -= v(i)
+        while (i < va.length) {
+          s += row(i) * va(i)
           i += 1
         }
         if (s > 0) key |= 1L << j

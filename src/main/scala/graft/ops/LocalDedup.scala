@@ -188,6 +188,11 @@ object LocalDedup {
     // budget check BEFORE enumerating (like ngram/simhash): a heavily
     // duplicated corpus under the doc gate can still explode pairwise —
     // Overflow routes it to the distributed pipeline instead of OOMing.
+    // The per-band sum overcounts distinct pairs (a pair sharing all
+    // bands counts nBands×) — intentionally conservative: the HashSet
+    // holds distinct pairs but the enumeration WORK is per-band, and a
+    // corpus within a factor nBands of the budget is already a
+    // multi-GB driver set better served by the distributed path.
     var nPairs = 0L
     buckets.values().forEach { lst =>
       val k = lst.size().toLong
