@@ -398,8 +398,33 @@ object LocalCsr {
     }
     val ids = java.util.Arrays.copyOf(endpoints, nV0)
 
-    // dense-map (two binary searches per edge) in parallel; raw input
-    // additionally emits the reverse direction per kept edge
+    // open-addressed id→dense table for the mapping passes: a binary
+    // search costs log2(nV) dependent cache misses PER LOOKUP (20+ at
+    // SCALE 20) and the passes do two lookups per edge — linear probing
+    // at 50% load does ~1-2. Sequential fill (|V| inserts, ~ms), shared
+    // read-only by the parallel stripes.
+    // ≤50% load: ~1.5 probes per hit, 12 B/slot (24 MB at SCALE 20's
+    // 645k vertices; bounded by 2× the CSR's own id array at the gate)
+    val cap = java.lang.Integer.highestOneBit(math.max(2, nV0) * 2 - 1) << 1
+    val mask = cap - 1
+    val tKeys = new Array[Long](cap)
+    val tVals = new Array[Int](cap)
+    java.util.Arrays.fill(tVals, -1)
+    i = 0
+    while (i < nV0) {
+      var h = ((ids(i) * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+      while (tVals(h) >= 0) h = (h + 1) & mask
+      tKeys(h) = ids(i); tVals(h) = i
+      i += 1
+    }
+    def dense(x: Long): Int = {
+      var h = ((x * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+      while (tKeys(h) != x || tVals(h) < 0) h = (h + 1) & mask
+      tVals(h)
+    }
+
+    // dense-map in parallel; raw input additionally emits the reverse
+    // direction per kept edge
     val enc =
       if (!symmetrize) {
         val a = new Array[Long](nIn)
@@ -407,8 +432,8 @@ object LocalCsr {
           val (from, to) = stripe(st)
           var j = from
           while (j < to) {
-            val s = java.util.Arrays.binarySearch(ids, flat(2 * j))
-            val d = java.util.Arrays.binarySearch(ids, flat(2 * j + 1))
+            val s = dense(flat(2 * j))
+            val d = dense(flat(2 * j + 1))
             a(j) = (s.toLong << 32) | (d.toLong & 0xffffffffL)
             j += 1
           }
@@ -435,8 +460,8 @@ object LocalCsr {
           while (j < to) {
             val s0 = flat(2 * j); val d0 = flat(2 * j + 1)
             if (s0 != d0) {
-              val s = java.util.Arrays.binarySearch(ids, s0)
-              val d = java.util.Arrays.binarySearch(ids, d0)
+              val s = dense(s0)
+              val d = dense(d0)
               a(w) = (s.toLong << 32) | (d.toLong & 0xffffffffL)
               a(w + 1) = (d.toLong << 32) | (s.toLong & 0xffffffffL)
               w += 2
