@@ -96,6 +96,62 @@ class KernelFuzzSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("ANN kernels ≡ distributed on random corpora incl. edge shapes (6 seeds)") {
+    val s = spark; import s.implicits._
+    for (seed <- 0L until 6L) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(80)
+      val dims = 2 + rnd.nextInt(14)
+      val base = Seq.fill(n)(Array.fill(dims)(rnd.nextFloat() * 2f - 1f))
+      val rows = base.zipWithIndex.map { case (v, i) =>
+        // duplicates (ties) and a scaled copy (cosine-1 but distinct)
+        if (i % 4 == 3) (i.toLong, base(i - 1))
+        else if (i % 7 == 6) (i.toLong, base(i - 2).map(_ * 2f))
+        else (i.toLong, v)
+      }
+      val emb = rows.toDF("vec_id", "embedding").persist()
+      try {
+        val k = 1 + rnd.nextInt(6)
+        val nQ = 1 + rnd.nextInt(n)
+        val nC = 1 + rnd.nextInt(n)
+        val nP = 1 + rnd.nextInt(nC)
+        for ((name, q) <- Seq[(String, () => DataFrame)](
+          ("brute", () => Similarity.bruteForceTopK(emb, k, nQ)),
+          ("ivf", () => Similarity.ivfTopK(emb, k, nQ, nC, nP)),
+          ("ivf_kmeans", () => Similarity.ivfTopK(emb, k, nQ, nC, nP, nIter = 2)),
+          ("emb_pairs", () => Dedup.embeddingDedup(emb, 0.2)))) {
+          val (l, d) = bothWays("spark.graft.localAnnMaxVecs")(q())
+          assert(l === d, s"seed=$seed $name k=$k nQ=$nQ nC=$nC nP=$nP")
+        }
+      } finally emb.unpersist()
+    }
+  }
+
+  test("dedupClusters ≡ union-find over minhash pairs (4 seeds)") {
+    for (seed <- 0L until 4L) {
+      val docs = corpus(seed, 40).persist()
+      try {
+        val pairs = Dedup.minhashDedup(docs, 0.4).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        // reference union-find on the driver
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = docs.collect().map(_.getLong(0))
+          .map(id => id -> find(id)).toMap
+        val got = Dedup.dedupClusters(docs, 0.4).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"seed=$seed")
+      } finally docs.unpersist()
+    }
+  }
+
   test("events kernels ≡ distributed on random streams (8 seeds)") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
