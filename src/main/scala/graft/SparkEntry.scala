@@ -294,10 +294,24 @@ object SparkEntry {
     "ev_topusers" -> ((s, dir) =>
       streaming.Events.topUsers(events(s, dir), 3)),
 
+    // As-of join: each purchase picks the user's latest click at-or-before
+    // its timestamp (single-shuffle union+window plan, not a non-equi join).
+    "ev_asof" -> ((s, dir) =>
+      streaming.Events.asofJoin(events(s, dir))),
+
+    // Range (interval) join: clicks in the hour before each purchase,
+    // via the binned equi-join (Flink-interval-join shape).
+    "ev_range" -> ((s, dir) =>
+      streaming.Events.rangeJoinCounts(events(s, dir))),
+
     // ---- training-data pipeline ops over documents/embeddings ----
 
     // Exact dedup: canonical id per content digest.
     "dd_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
+
+    // Normalized ("fuzzy-exact") dedup: digest of the case/punctuation/
+    // whitespace-normalized text.
+    "dd_norm" -> ((s, dir) => ops.Dedup.normalizedExact(docs(s, dir))),
 
     // MinHash+LSH near-dup pairs, exact-Jaccard verified.
     "dd_minhash" -> ((s, dir) => minhashPairs(s, dir)),
@@ -344,6 +358,12 @@ object SparkEntry {
 
     // Rolling-hash document fingerprint.
     "tx_fingerprint" -> ((s, dir) => ops.TextOps.fingerprint(docs(s, dir))),
+
+    // PII scrub: email/phone/IPv4 counts + redacted text.
+    "tx_pii" -> ((s, dir) => ops.TextOps.piiScrub(docs(s, dir))),
+
+    // Within-document repetition signals (distinct token/bigram fractions).
+    "tx_repetition" -> ((s, dir) => ops.TextOps.repetition(docs(s, dir))),
 
     // Multimodal: stub decode metadata via batched mapPartitions.
     "mm_decode" -> ((s, dir) =>
@@ -590,7 +610,84 @@ object SparkEntry {
         |      FROM sums)
         |WHERE rank <= 3""".stripMargin,
 
+    // Same union+running-last window formulation as the Spark plan, so
+    // the at-or-before tie-break (rights sort before lefts at equal us)
+    // is mirrored exactly.
+    "ev_asof" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, value,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |a AS (
+        |  SELECT event_id, user_id, us, value, is_left,
+        |    last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)
+        |      OVER w AS asof_event_id,
+        |    last_value(CASE WHEN is_left = 0 THEN us END IGNORE NULLS)
+        |      OVER w AS asof_us,
+        |    last_value(CASE WHEN is_left = 0 THEN value END IGNORE NULLS)
+        |      OVER w AS asof_value
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, is_left, event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, us, value,
+        |       asof_event_id, asof_us, asof_value
+        |FROM a WHERE is_left = 1""".stripMargin,
+
+    "ev_range" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, epoch_us(ts) AS us, value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, l.us,
+        |       count(r.us) AS n_prior,
+        |       round(coalesce(sum(r.value), 0), 6) AS sum_prior_value
+        |FROM l LEFT JOIN r ON r.user_id = l.user_id
+        |  AND r.us >= l.us - 3600000000 AND r.us < l.us
+        |GROUP BY l.event_id, l.user_id, l.us""".stripMargin,
+
     // ---- training-data pipeline oracles ----
+
+    "dd_norm" ->
+      """WITH nt AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+        |  FROM documents)
+        |SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY norm_hash) AS canonical_id,
+        |       norm_hash
+        |FROM nt""".stripMargin,
+
+    "tx_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean_text
+        |FROM documents""".stripMargin,
+
+    "tx_repetition" -> (TokCte +
+      """, bg AS (
+        |  SELECT doc_id, tk,
+        |    list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+        |                   i -> tk[i] || ' ' || tk[i+1]) AS bigrams
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS distinct_tokens,
+        |  CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bigrams)) AS BIGINT) AS distinct_bigrams,
+        |  round(1.0 - len(list_distinct(tk))*1.0 / greatest(len(tk), 1), 6)
+        |    AS token_rep_ratio,
+        |  round(1.0 - len(list_distinct(bigrams))*1.0 / greatest(len(bigrams), 1), 6)
+        |    AS bigram_rep_ratio
+        |FROM bg""".stripMargin),
 
     "dd_exact" ->
       """SELECT doc_id,

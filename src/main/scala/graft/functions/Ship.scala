@@ -31,6 +31,17 @@ object Ship {
           val bc = spark.sparkContext.broadcast(a)
           val f = udf((i: Long) => bc.value(i.toInt))
           f(col("id")).as(name)
+        // boxed variants carry nullable kernel outputs (e.g. the as-of
+        // join's no-prior-match columns); ScalaReflection maps them to
+        // nullable LongType/DoubleType
+        case a: Array[java.lang.Long] =>
+          val bc = spark.sparkContext.broadcast(a)
+          val f = udf((i: Long) => bc.value(i.toInt))
+          f(col("id")).as(name)
+        case a: Array[java.lang.Double] =>
+          val bc = spark.sparkContext.broadcast(a)
+          val f = udf((i: Long) => bc.value(i.toInt))
+          f(col("id")).as(name)
         case other =>
           throw new IllegalArgumentException(s"unsupported ${other.getClass}")
       }

@@ -97,6 +97,24 @@ object Dedup {
         min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
       .select(col("doc_id"), col("canonical_id"), col("content_hash"))
 
+  /** Canonical text form for fuzzy-exact dedup: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs of whitespace, trim —
+    * collapses case/punctuation/spacing variants onto one digest. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Normalized ("fuzzy-exact") dedup: [[exact]] over [[normalizedText]].
+    * The standard first rung between byte-exact and MinHash dedup — same
+    * one-shuffle hash-groupBy shape, so it holds at 100 TB.
+    * (doc_id, canonical_id, norm_hash). */
+  def normalizedExact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        md5(normalizedText(col("text"))).as("norm_hash"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy(col("norm_hash"))))
+      .select(col("doc_id"), col("canonical_id"), col("norm_hash"))
+
   /** STREAMING exact dedup: emit only the first document seen per
     * content digest (`dropDuplicatesWithinWatermark` — state bounded by
     * the event-time watermark, so it runs forever on an unbounded

@@ -97,6 +97,56 @@ object TextOps {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
         .as("bpe_ish_tokens"))
 
+  // PII patterns — kept RE2-compatible (no backreferences/lookaround) so
+  // the DuckDB oracle runs the exact same regexes.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub: count and redact emails, North-American-style phone
+    * numbers, and IPv4 literals. Counts are taken on the original text;
+    * redaction applies email → IP → phone so a pattern never matches
+    * inside an earlier placeholder. Pure codegen `regexp_replace` /
+    * `regexp_extract_all` — a narrow map at any scale. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    def n(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      n(EmailRe).as("n_emails"),
+      n(PhoneRe).as("n_phones"),
+      n(Ipv4Re).as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean_text"))
+  }
+
+  /** Within-document repetition signals (the Gopher/C4-style repetition
+    * filters): distinct-token and distinct-bigram fractions. Entirely
+    * within-row array expressions — no explode, no shuffle; the 100 TB
+    * plan is a narrow map however wide the corpus is. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    val nTok = size(tk).cast("long")
+    val bigrams = zip_with(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val nBi = size(bigrams).cast("long")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      size(array_distinct(tk)).cast("long").as("distinct_tokens"),
+      nBi.as("n_bigrams"),
+      size(array_distinct(bigrams)).cast("long").as("distinct_bigrams"),
+      round(lit(1.0) - size(array_distinct(tk)).cast("double") /
+        greatest(nTok, lit(1L)), 6).as("token_rep_ratio"),
+      round(lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+        greatest(nBi, lit(1L)), 6).as("bigram_rep_ratio"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the document's code points:
     * h = fold(h * 31 + codepoint) mod 1e9+7 — cheap, order-sensitive,
     * SQL-mirrorable. Native codegen expression

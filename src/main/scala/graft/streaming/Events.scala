@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -102,6 +102,134 @@ object Events {
           Iterator(SessionUpdate(user, st.sessionIdx, st.nEvents, st.lastUs))
         })
   }
+
+  /** Default as-of/range pairing: each `purchase` looks back at `click`s. */
+  val AsofLeftType = "purchase"
+  val AsofRightType = "click"
+  val RangeWindowUs: Long = 3600L * 1000 * 1000 // 1 hour
+
+  /**
+   * As-of join: each left-type event picks the latest right-type event of
+   * the same user at-or-before its timestamp (ties on us: the right event
+   * with the largest event_id; a right exactly at the left's us counts).
+   *
+   * Spark-first shape: instead of a non-equi join (which Catalyst can only
+   * plan as a broadcast nested loop), union both sides and take a running
+   * `last(ignoreNulls)` over one (user_id)-partitioned sort — a single
+   * shuffle + sort, the same plan sessionize already pays, so it holds at
+   * 100 TB with per-user state only.
+   */
+  def asofJoin(events: DataFrame,
+               leftType: String = AsofLeftType,
+               rightType: String = AsofRightType): DataFrame =
+    LocalEvents.asofJoin(events, leftType, rightType).getOrElse {
+      val e = events
+        .filter(col("event_type").isin(leftType, rightType))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("is_left",
+          when(col("event_type") === leftType, 1).otherwise(0))
+      // rights sort before lefts at equal us → at-or-before semantics
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("is_left"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def lastRight(c: Column): Column =
+        last(when(col("is_left") === 0, c), ignoreNulls = true).over(w)
+      // one projection → one Window node (three independent withColumns
+      // would leave three)
+      e.select(col("event_id"), col("user_id"), col("us"), col("value"),
+          col("is_left"),
+          lastRight(col("event_id")).as("asof_event_id"),
+          lastRight(col("us")).as("asof_us"),
+          lastRight(col("value")).as("asof_value"))
+        .filter(col("is_left") === 1)
+        .drop("is_left")
+    }
+
+  /** The as-of match emitted per left event (stream variant). */
+  case class AsofMatch(event_id: Long, user_id: Long, us: Long, value: Double,
+                       asof_event_id: java.lang.Long,
+                       asof_us: java.lang.Long,
+                       asof_value: java.lang.Double)
+
+  /** Last-seen right event per user, carried across micro-batches. */
+  case class AsofState(event_id: Long, us: Long, value: Double)
+
+  /**
+   * STREAMING as-of join via `mapGroupsWithState`-style custom state
+   * (`flatMapGroupsWithState`, update mode): per user, the state is just
+   * the latest right-type event; each micro-batch folds its events in
+   * (us, is_left, event_id) order and emits one [[AsofMatch]] per left.
+   * In-order delivery gives exactly [[asofJoin]]'s batch answer
+   * (EventsSpec pins this); cross-batch late rights are a watermark
+   * policy decision left to the caller, as with [[sessionizeStream]].
+   */
+  def asofJoinStream(spark: SparkSession, events: DataFrame,
+                     leftType: String = AsofLeftType,
+                     rightType: String = AsofRightType): Dataset[AsofMatch] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"),
+        when(col("event_type") === leftType, 1).otherwise(0).as("is_left"))
+      .as[(Long, Long, Long, Double, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, Double, Int)],
+         state: GroupState[AsofState]) => {
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+          rows.toSeq.sortBy(r => (r._3, r._5, r._2)).foreach {
+            case (_, eid, us, v, isLeft) =>
+              if (isLeft == 0) st = AsofState(eid, us, v)
+              else out += AsofMatch(eid, user, us, v,
+                if (st == null) null else Long.box(st.event_id),
+                if (st == null) null else Long.box(st.us),
+                if (st == null) null else Double.box(st.value))
+          }
+          if (st != null) state.update(st)
+          out.iterator
+        })
+  }
+
+  /**
+   * Range (interval) join: for each left-type event, count and sum the
+   * right-type events of the same user in `[us - windowUs, us)` — strictly
+   * before, within the window. Lefts with no prior rights still appear
+   * (n_prior = 0, sum 0).
+   *
+   * Spark-first shape: the Flink-interval-join binning trick. Bucket both
+   * sides by `floor(us / windowUs)`, replicate each right into its own and
+   * the NEXT bin (any matching left lands in one of those two), then a
+   * plain (user_id, bin) equi-join with the exact range as a residual
+   * predicate — shuffle-hash-joinable, never a nested loop, ×2 right-side
+   * replication independent of data size. Holds at 100 TB.
+   */
+  def rangeJoinCounts(events: DataFrame,
+                      leftType: String = AsofLeftType,
+                      rightType: String = AsofRightType,
+                      windowUs: Long = RangeWindowUs): DataFrame =
+    LocalEvents.rangeJoinCounts(events, leftType, rightType, windowUs)
+      .getOrElse {
+        val withUs = events.withColumn("us", unix_micros(col("ts")))
+        val lhs = withUs.filter(col("event_type") === leftType)
+          .select(col("event_id"), col("user_id").as("l_user"), col("us"),
+            (col("us") - col("us") % windowUs).as("bin"))
+        val rhs = withUs.filter(col("event_type") === rightType)
+          .select(col("user_id").as("r_user"), col("us").as("r_us"),
+            col("value").as("r_value"))
+          .withColumn("bin", explode(array(
+            col("r_us") - col("r_us") % windowUs,
+            col("r_us") - col("r_us") % windowUs + windowUs)))
+        lhs.join(rhs,
+            lhs("l_user") === rhs("r_user") && lhs("bin") === rhs("bin") &&
+              rhs("r_us") >= lhs("us") - windowUs && rhs("r_us") < lhs("us"),
+            "left_outer")
+          .groupBy(col("event_id"), col("l_user").as("user_id"), col("us"))
+          .agg(count(col("r_us")).as("n_prior"),
+            round(coalesce(sum(col("r_value")), lit(0.0)), 6)
+              .as("sum_prior_value"))
+      }
 
   /** Top-k users by summed value within each event_type (rank by rounded
     * sum desc, then user_id — deterministic). */

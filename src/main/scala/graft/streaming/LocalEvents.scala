@@ -161,6 +161,118 @@ object LocalEvents {
         "sum_value" -> outV.result())
     }
 
+  /** ≡ Events.asofJoin: per user, walk the merged (us, is_left, event_id)
+    * order carrying the last right-type event. */
+  private[streaming] def asofJoin(events: DataFrame, leftType: String,
+                                  rightType: String): Option[DataFrame] =
+    localRows(events).map { case (eid, us, uid, et, v) =>
+      val byUser = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < us.length) {
+        if (et(i) == leftType || et(i) == rightType) {
+          var b = byUser.get(uid(i))
+          if (b == null) {
+            b = scala.collection.mutable.ArrayBuffer.empty[Int]
+            byUser.put(uid(i), b)
+          }
+          b += i
+        }
+        i += 1
+      }
+      val outE = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outU = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outT = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outV = scala.collection.mutable.ArrayBuilder.make[Double]
+      val outAE = scala.collection.mutable.ArrayBuilder.make[java.lang.Long]
+      val outAT = scala.collection.mutable.ArrayBuilder.make[java.lang.Long]
+      val outAV = scala.collection.mutable.ArrayBuilder.make[java.lang.Double]
+      byUser.forEach { (user, rows0) =>
+        // rights (is_left 0) before lefts at equal us — at-or-before
+        val rows = rows0.sortBy(r =>
+          (us(r), if (et(r) == leftType) 1 else 0, eid(r)))
+        var lastRight = -1
+        rows.foreach { r =>
+          if (et(r) == rightType) lastRight = r
+          else {
+            outE += eid(r); outU += user; outT += us(r); outV += v(r)
+            if (lastRight < 0) { outAE += null; outAT += null; outAV += null }
+            else {
+              outAE += Long.box(eid(lastRight))
+              outAT += Long.box(us(lastRight))
+              outAV += Double.box(v(lastRight))
+            }
+          }
+        }
+      }
+      shipDf(events.sparkSession, "event_id" -> outE.result(),
+        "user_id" -> outU.result(), "us" -> outT.result(),
+        "value" -> outV.result(), "asof_event_id" -> outAE.result(),
+        "asof_us" -> outAT.result(), "asof_value" -> outAV.result())
+    }
+
+  /** ≡ Events.rangeJoinCounts: per user, binary-search the sorted right
+    * timestamps for `[us - windowUs, us)` and read count + value sum off
+    * prefix sums. */
+  private[streaming] def rangeJoinCounts(events: DataFrame, leftType: String,
+                                         rightType: String,
+                                         windowUs: Long): Option[DataFrame] =
+    localRows(events).map { case (eid, us, uid, et, v) =>
+      val rightsByUser = new java.util.HashMap[Long, (Array[Long], Array[Double])]()
+      val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < us.length) {
+        if (et(i) == rightType) {
+          var b = tmp.get(uid(i))
+          if (b == null) {
+            b = scala.collection.mutable.ArrayBuffer.empty[Int]
+            tmp.put(uid(i), b)
+          }
+          b += i
+        }
+        i += 1
+      }
+      tmp.forEach { (user, rows) =>
+        val sorted = rows.sortBy(us(_)).toArray
+        val ts = sorted.map(us(_))
+        val pre = new Array[Double](ts.length + 1)
+        var j = 0
+        while (j < ts.length) { pre(j + 1) = pre(j) + v(sorted(j)); j += 1 }
+        rightsByUser.put(user, (ts, pre))
+      }
+      // first index with ts(idx) >= key
+      def lowerBound(ts: Array[Long], key: Long): Int = {
+        var lo = 0; var hi = ts.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ts(mid) < key) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      val outE = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outU = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outT = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outN = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outS = scala.collection.mutable.ArrayBuilder.make[Double]
+      i = 0
+      while (i < us.length) {
+        if (et(i) == leftType) {
+          outE += eid(i); outU += uid(i); outT += us(i)
+          val r = rightsByUser.get(uid(i))
+          if (r == null) { outN += 0L; outS += 0.0 }
+          else {
+            val lo = lowerBound(r._1, us(i) - windowUs)
+            val hi = lowerBound(r._1, us(i))
+            outN += (hi - lo).toLong
+            outS += round6(r._2(hi) - r._2(lo))
+          }
+        }
+        i += 1
+      }
+      shipDf(events.sparkSession, "event_id" -> outE.result(),
+        "user_id" -> outU.result(), "us" -> outT.result(),
+        "n_prior" -> outN.result(), "sum_prior_value" -> outS.result())
+    }
+
   /** ≡ Events.topUsers: top-k users by rounded value sum per event_type,
     * rank ties by user_id. */
   private[streaming] def topUsers(events: DataFrame, k: Int): Option[DataFrame] =

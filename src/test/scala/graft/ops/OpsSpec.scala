@@ -54,7 +54,44 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("quality_score") === -1.0)
   }
 
+  test("piiScrub: counts and redacts emails, phones, IPv4s") {
+    val d = docs(
+      (0L, "mail a.b+c@ex-ample.org or call 555-123-4567 from 10.0.0.1"),
+      (1L, "no pii here"),
+      (2L, "two mails x@y.io z@w.ai and ip 192.168.1.255"))
+    val r = TextOps.piiScrub(d).orderBy("doc_id").collect()
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) === ((1L, 1L, 1L)))
+    assert(r(0).getString(4) === "mail <EMAIL> or call <PHONE> from <IP>")
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) === ((0L, 0L, 0L)))
+    assert(r(1).getString(4) === "no pii here")
+    assert((r(2).getLong(1), r(2).getLong(3)) === ((2L, 1L)))
+  }
+
+  test("repetition: distinct token/bigram fractions") {
+    val d = docs(
+      (0L, "a b a b"),   // tokens 4/2 distinct; bigrams [a b, b a, a b] → 3/2
+      (1L, "x"),          // single token: no bigrams
+      (2L, ""))           // empty: ratios degenerate to 1 - 0/1 = 1.0? no — 0 tokens
+    val r = TextOps.repetition(d).orderBy("doc_id").collect()
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+      === ((4L, 2L, 3L, 2L)))
+    assert(r(0).getDouble(5) === 0.5)
+    assert(r(0).getDouble(6) === Math.round((1.0 - 2.0 / 3) * 1e6) / 1e6)
+    assert((r(1).getLong(1), r(1).getLong(3)) === ((1L, 0L)))
+    assert(r(1).getDouble(5) === 0.0 && r(1).getDouble(6) === 1.0)
+    assert((r(2).getLong(1), r(2).getLong(3)) === ((0L, 0L)))
+  }
+
   // ---- Dedup ----
+
+  test("normalizedExact collapses case/punctuation/whitespace variants") {
+    val d = docs(
+      (7L, "Hello,  World!"), (3L, "hello world"), (5L, "hello-world"),
+      (9L, "different"))
+    val r = Dedup.normalizedExact(d).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq === Seq((3L, 3L), (5L, 3L), (7L, 3L), (9L, 9L)))
+  }
 
   test("exact dedup groups identical texts to min doc_id") {
     val d = docs((5L, "same text"), (2L, "same text"), (9L, "other"))

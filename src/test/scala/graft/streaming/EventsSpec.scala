@@ -65,6 +65,42 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofJoinStream carries the last right event across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.asofJoinStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("update").start()
+    try {
+      // batch 1: click then purchase → purchase matches the click
+      mem.addData(Ev(0, ts(0), 1, "click", 2.0), Ev(1, ts(5), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT * FROM asof WHERE event_id = 1").head()
+      assert(r1.getLong(4) === 0L && r1.getDouble(6) === 2.0)
+      // batch 2: purchase only — the click state survives the batch gap
+      mem.addData(Ev(2, ts(20), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT * FROM asof WHERE event_id = 2").head()
+      assert(r2.getLong(4) === 0L)
+      // batch 3: a user with no prior click → null match
+      mem.addData(Ev(3, ts(21), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      val r3 = spark.sql("SELECT * FROM asof WHERE event_id = 3").head()
+      assert(r3.isNullAt(4) && r3.isNullAt(6))
+    } finally q.stop()
+  }
+
+  test("batch asofJoinStream semantics ≡ asofJoin on in-order input") {
+    val d = evDf(
+      Ev(0, ts(0), 1, "click", 2.0), Ev(1, ts(5), 1, "purchase", 9.0),
+      Ev(2, ts(6), 1, "click", 3.0), Ev(3, ts(7), 1, "purchase", 1.0),
+      Ev(4, ts(8), 2, "purchase", 4.0))
+    val batch = Events.asofJoin(d).orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(batch.toSeq === Seq((1L, 0L), (3L, 2L), (4L, -1L)))
+  }
+
   test("windowedCountsStream runs under Structured Streaming with watermark") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -78,6 +78,48 @@ class LocalEventsSpec extends SparkSpec {
     assert(l === d)
   }
 
+  /** As-of/range fixture: equal-us ties (rights at the left's exact us
+    * count, highest event_id wins), a left with no prior right, and range
+    * endpoints (us - window inclusive, us exclusive). */
+  private def asofEvents: DataFrame = {
+    val s = spark; import s.implicits._
+    val min = 60L * 1000000
+    Seq(
+      (11L, 0L, 201L, "click", 1.0),
+      (12L, 10 * min, 201L, "purchase", 5.0),
+      (13L, 20 * min, 201L, "click", 2.0),
+      (14L, 20 * min, 201L, "click", 3.0),   // same us as 13: higher id wins
+      (15L, 20 * min, 201L, "purchase", 6.0), // right at equal us counts
+      (16L, 80 * min, 201L, "purchase", 7.0),
+      (21L, 5 * min, 202L, "purchase", 9.0),  // no prior click → nulls
+      (22L, 6 * min, 202L, "view", 1.0),      // other types filtered out
+      (31L, 0L, 203L, "click", 2.0)           // right-only user → no rows
+    ).toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+  }
+
+  test("asofJoin: kernel ≡ distributed; tie-break and null semantics") {
+    val (l, d) = bothWays(Events.asofJoin(asofEvents))
+    assert(l === d)
+    val byId = l.map(r => r.head -> r).toMap
+    assert(byId(12L)(4) === 11L, "purchase@10min sees click@0")
+    assert(byId(15L)(4) === 14L, "equal-us rights count; max event_id wins")
+    assert(byId(16L)(4) === 14L, "latest right carries forward")
+    assert(byId(21L)(4) === null && byId(21L)(6) === null, "no prior → null")
+    assert(!byId.contains(31L), "right-only user emits nothing")
+  }
+
+  test("rangeJoinCounts: kernel ≡ distributed; window endpoints") {
+    val (l, d) = bothWays(Events.rangeJoinCounts(asofEvents))
+    assert(l === d)
+    val byId = l.map(r => r.head -> r).toMap
+    // [us-1h, us): click@0 only (clicks at the purchase's own us excluded)
+    assert(byId(15L)(3) === 1L && byId(15L)(4) === 1.0)
+    // 80min purchase: clicks@20min exactly at us-1h are INCLUDED, click@0 not
+    assert(byId(16L)(3) === 2L && byId(16L)(4) === 5.0)
+    assert(byId(21L)(3) === 0L && byId(21L)(4) === 0.0, "no-match left kept")
+  }
+
   test("kernel ≡ distributed on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -90,6 +132,10 @@ class LocalEventsSpec extends SparkSpec {
       assert(ls === ds, "sessionize")
       val (lt, dt) = bothWays(Events.topUsers(ev, 3))
       assert(lt === dt, "topUsers")
+      val (la, da) = bothWays(Events.asofJoin(ev))
+      assert(la === da, "asofJoin")
+      val (lr, dr) = bothWays(Events.rangeJoinCounts(ev))
+      assert(lr === dr, "rangeJoinCounts")
     } finally ev.unpersist()
   }
 }
