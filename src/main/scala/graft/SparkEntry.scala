@@ -304,6 +304,11 @@ object SparkEntry {
     "ev_range" -> ((s, dir) =>
       streaming.Events.rangeJoinCounts(events(s, dir))),
 
+    // Stepwise funnel: first signup → first click after it → first
+    // purchase after that click; dropouts kept with null later steps.
+    "ev_funnel" -> ((s, dir) =>
+      streaming.Events.funnel(events(s, dir))),
+
     // ---- training-data pipeline ops over documents/embeddings ----
 
     // Exact dedup: canonical id per content digest.
@@ -644,6 +649,24 @@ object SparkEntry {
         |FROM l LEFT JOIN r ON r.user_id = l.user_id
         |  AND r.us >= l.us - 3600000000 AND r.us < l.us
         |GROUP BY l.event_id, l.user_id, l.us""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t_signup
+        |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        |       FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s0.t_signup
+        |       GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t_click
+        |       GROUP BY e.user_id)
+        |SELECT s0.user_id, s0.t_signup, s1.t_click, s2.t_purchase,
+        |       CAST(1 + CASE WHEN s1.t_click IS NOT NULL THEN 1 ELSE 0 END
+        |              + CASE WHEN s2.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+        |            AS BIGINT) AS steps_completed
+        |FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+        |        LEFT JOIN s2 ON s0.user_id = s2.user_id""".stripMargin,
 
     // ---- training-data pipeline oracles ----
 

@@ -231,6 +231,79 @@ object Events {
               .as("sum_prior_value"))
       }
 
+  /** Default funnel: first signup → first click at-or-after it → first
+    * purchase at-or-after that click. */
+  val FunnelSteps: Seq[String] = Seq("signup", "click", "purchase")
+
+  /**
+   * Stepwise funnel analysis: per user, the first step-0 event, then for
+   * each later step the first event at-or-after the previous step's
+   * time. Users enter the result by completing step 0; later steps are
+   * nullable. `steps_completed` counts the non-null prefix.
+   *
+   * Shape: one groupBy per step plus equi-joins, all keyed on user_id —
+   * co-partitioned under one exchange reuse, no window over the full
+   * event set, no non-equi join. Holds at 100 TB like any per-key agg.
+   */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = FunnelSteps): DataFrame =
+    LocalEvents.funnel(events, steps).getOrElse {
+      require(steps.nonEmpty)
+      val withUs = events.withColumn("us", unix_micros(col("ts")))
+      val s0 = withUs.filter(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min(col("us")).as("t0"))
+      // level i = (user_id, t0..ti) for users who completed step i
+      val levels = steps.indices.drop(1).scanLeft(s0) { (cur, i) =>
+        withUs.filter(col("event_type") === steps(i))
+          .select(col("user_id"), col("us"))
+          .join(cur, "user_id")
+          .where(col("us") >= col(s"t${i - 1}"))
+          .groupBy(col("user_id") +: (0 until i).map(j => col(s"t$j")): _*)
+          .agg(min(col("us")).as(s"t$i"))
+      }
+      // re-attach dropouts: base table + one left join per later level
+      val out = steps.indices.drop(1).foldLeft(s0) { (acc, i) =>
+        acc.join(levels(i).select(col("user_id"), col(s"t$i")),
+          Seq("user_id"), "left_outer")
+      }
+      val nSteps = steps.indices.drop(1).foldLeft(lit(1L)) { (acc, i) =>
+        acc + when(col(s"t$i").isNotNull, 1L).otherwise(0L)
+      }
+      out.select(
+        col("user_id") +:
+          steps.indices.map(i => col(s"t$i").as(s"t_${steps(i)}")) :+
+          nSteps.as("steps_completed"): _*)
+      }
+
+  /**
+   * STREAMING range join: the stream-stream form of [[rangeJoinCounts]]'s
+   * candidate generation — Structured Streaming's native watermarked
+   * interval join. Emits one row per (left, prior-right-within-window)
+   * match; both watermarks bound the join state so it runs forever.
+   * (Aggregating matches per left event is a downstream `foreachBatch`
+   * concern — chained stream aggregation after a stream-stream join is
+   * restricted in append mode.)
+   */
+  def rangeJoinStream(left: DataFrame, right: DataFrame,
+                      leftType: String = AsofLeftType,
+                      rightType: String = AsofRightType,
+                      window: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val l = left.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_event_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_event_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""l_user = r_user AND
+         |r_ts >= l_ts - interval $window AND r_ts < l_ts""".stripMargin))
+      .select(col("l_event_id").as("event_id"), col("l_user").as("user_id"),
+        col("l_ts"), col("r_event_id"), col("r_ts"), col("r_value"))
+  }
+
   /** Top-k users by summed value within each event_type (rank by rounded
     * sum desc, then user_id — deterministic). */
   def topUsers(events: DataFrame, k: Int = 3): DataFrame =

@@ -273,6 +273,61 @@ object LocalEvents {
         "n_prior" -> outN.result(), "sum_prior_value" -> outS.result())
     }
 
+  /** ≡ Events.funnel: per user, the first step-0 event then each later
+    * step's first event at-or-after the previous step's time. */
+  private[streaming] def funnel(events: DataFrame,
+                                steps: Seq[String]): Option[DataFrame] =
+    localRows(events).map { case (_, us, uid, et, _) =>
+      val stepIdx = steps.zipWithIndex.toMap
+      // per user, per step: sorted event times
+      val byUser = new java.util.HashMap[Long, Array[scala.collection.mutable.ArrayBuffer[Long]]]()
+      var i = 0
+      while (i < us.length) {
+        val si = stepIdx.getOrElse(et(i), -1)
+        if (si >= 0) {
+          var a = byUser.get(uid(i))
+          if (a == null) {
+            a = Array.fill(steps.length)(
+              scala.collection.mutable.ArrayBuffer.empty[Long])
+            byUser.put(uid(i), a)
+          }
+          a(si) += us(i)
+        }
+        i += 1
+      }
+      val outU = scala.collection.mutable.ArrayBuilder.make[Long]
+      val outT = Array.fill(steps.length)(
+        scala.collection.mutable.ArrayBuilder.make[java.lang.Long])
+      val outN = scala.collection.mutable.ArrayBuilder.make[Long]
+      byUser.forEach { (user, perStep) =>
+        if (perStep(0).nonEmpty) {
+          outU += user
+          var prev: java.lang.Long = Long.box(perStep(0).min)
+          outT(0) += prev
+          var n = 1L
+          var s = 1
+          while (s < steps.length) {
+            val nxt: java.lang.Long =
+              if (prev == null) null
+              else {
+                val cand = perStep(s).filter(_ >= prev.longValue())
+                if (cand.isEmpty) null else Long.box(cand.min)
+              }
+            outT(s) += nxt
+            if (nxt != null) n += 1
+            prev = nxt
+            s += 1
+          }
+          outN += n
+        }
+      }
+      val cols = ("user_id" -> (outU.result(): Array[_])) +:
+        steps.indices.map(s =>
+          s"t_${steps(s)}" -> (outT(s).result(): Array[_])) :+
+        ("steps_completed" -> (outN.result(): Array[_]))
+      shipDf(events.sparkSession, cols: _*)
+    }
+
   /** ≡ Events.topUsers: top-k users by rounded value sum per event_type,
     * rank ties by user_id. */
   private[streaming] def topUsers(events: DataFrame, k: Int): Option[DataFrame] =

@@ -157,9 +157,19 @@ class KernelFuzzSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     for (seed <- 0L until 8L) {
       val rnd = new scala.util.Random(seed)
+      val halfHourUs = 1800L * 1000000
+      var prevUs = 0L
       val ev = Seq.tabulate(300) { i =>
-        (i.toLong,
-          rnd.nextLong(6L * 3600 * 1000000), // µs within 6 hours
+        // bias timestamps onto exact window/bin boundaries (range-join
+        // inclusive/exclusive edges) and exact duplicates (as-of ties)
+        val raw = rnd.nextLong(6L * 3600 * 1000000) // µs within 6 hours
+        val us = rnd.nextInt(4) match {
+          case 0 => raw - raw % halfHourUs
+          case 1 => prevUs
+          case _ => raw
+        }
+        prevUs = us
+        (i.toLong, us,
           (rnd.nextInt(5) + 1).toLong,
           Seq("click", "view", "buy")(rnd.nextInt(3)),
           math.round(rnd.nextDouble() * 10000) / 100.0)
@@ -170,7 +180,12 @@ class KernelFuzzSpec extends SparkSpec {
         for ((name, q) <- Seq[(String, () => DataFrame)](
           ("window", () => graft.streaming.Events.windowedCounts(ev)),
           ("sessions", () => graft.streaming.Events.sessionize(ev)),
-          ("topusers", () => graft.streaming.Events.topUsers(ev, 3)))) {
+          ("topusers", () => graft.streaming.Events.topUsers(ev, 3)),
+          ("asof", () => graft.streaming.Events.asofJoin(ev, "buy", "click")),
+          ("range", () => graft.streaming.Events.rangeJoinCounts(
+            ev, "buy", "click", halfHourUs)),
+          ("funnel", () => graft.streaming.Events.funnel(
+            ev, Seq("view", "click", "buy"))))) {
           val (l, d) = bothWays("spark.graft.localEventsMaxRows")(q())
           assert(l === d, s"seed=$seed $name")
         }

@@ -101,6 +101,33 @@ class EventsSpec extends SparkSpec {
     assert(batch.toSeq === Seq((1L, 0L), (3L, 2L), (4L, -1L)))
   }
 
+  test("rangeJoinStream: watermarked stream-stream interval join") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[Ev]
+    val rmem = MemoryStream[Ev]
+    val q = Events.rangeJoinStream(lmem.toDF(), rmem.toDF())
+      .writeStream.format("memory").queryName("rjs")
+      .outputMode("append").start()
+    try {
+      // clicks at 0 and 30 min; purchases at 20 min (sees click@0) and
+      // 25 min (sees click@0 too; click@30 is later)
+      rmem.addData(Ev(0, ts(0), 1, "click", 2.0), Ev(1, ts(30), 1, "click", 3.0))
+      lmem.addData(Ev(10, ts(20), 1, "purchase", 1.0), Ev(11, ts(25), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, r_event_id FROM rjs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((10L, 0L), (11L, 0L)))
+      // next batch: a purchase at 35 min matches both clicks (0 is within
+      // the hour; 30 is strictly before)
+      lmem.addData(Ev(12, ts(35), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val got2 = spark.sql("SELECT event_id, r_event_id FROM rjs WHERE event_id = 12")
+        .collect().map(_.getLong(1)).toSet
+      assert(got2 === Set(0L, 1L))
+    } finally q.stop()
+  }
+
   test("windowedCountsStream runs under Structured Streaming with watermark") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

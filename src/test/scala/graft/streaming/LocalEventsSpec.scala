@@ -120,6 +120,40 @@ class LocalEventsSpec extends SparkSpec {
     assert(byId(21L)(3) === 0L && byId(21L)(4) === 0.0, "no-match left kept")
   }
 
+  /** Funnel fixture: full completion, dropout after step 1, a click
+    * BEFORE signup (must not count), purchase before click (must not
+    * count), and a user with no signup (excluded). */
+  private def funnelEvents: DataFrame = {
+    val s = spark; import s.implicits._
+    val min = 60L * 1000000
+    Seq(
+      // user 301: signup@10, click@5 (too early), click@20, purchase@30
+      (41L, 10 * min, 301L, "signup", 0.0),
+      (42L, 5 * min, 301L, "click", 0.0),
+      (43L, 20 * min, 301L, "click", 0.0),
+      (44L, 30 * min, 301L, "purchase", 0.0),
+      // user 302: purchase@5 precedes its click@20 → stops at 2 steps
+      (45L, 5 * min, 302L, "purchase", 0.0),
+      (46L, 10 * min, 302L, "signup", 0.0),
+      (47L, 20 * min, 302L, "click", 0.0),
+      // user 303: click/purchase but no signup → not in funnel
+      (48L, 1 * min, 303L, "click", 0.0),
+      (49L, 2 * min, 303L, "purchase", 0.0)
+    ).toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+  }
+
+  test("funnel: kernel ≡ distributed; step ordering constraints") {
+    val min = 60L * 1000000
+    val (l, d) = bothWays(Events.funnel(funnelEvents))
+    assert(l === d)
+    val byUser = l.map(r => r.head -> r).toMap
+    assert(byUser(301L) ===
+      Vector(301L, 10 * min, 20 * min, 30 * min, 3L))
+    assert(byUser(302L) === Vector(302L, 10 * min, 20 * min, null, 2L))
+    assert(!byUser.contains(303L))
+  }
+
   test("kernel ≡ distributed on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -136,6 +170,8 @@ class LocalEventsSpec extends SparkSpec {
       assert(la === da, "asofJoin")
       val (lr, dr) = bothWays(Events.rangeJoinCounts(ev))
       assert(lr === dr, "rangeJoinCounts")
+      val (lf, df) = bothWays(Events.funnel(ev))
+      assert(lf === df, "funnel")
     } finally ev.unpersist()
   }
 }
