@@ -241,38 +241,41 @@ object Events {
    * time. Users enter the result by completing step 0; later steps are
    * nullable. `steps_completed` counts the non-null prefix.
    *
-   * Shape: one groupBy per step plus equi-joins, all keyed on user_id —
-   * co-partitioned under one exchange reuse, no window over the full
-   * event set, no non-equi join. Holds at 100 TB like any per-key agg.
+   * Shape: ONE scan and ONE shuffle however many steps — filter to the
+   * step types, then cascade per-step conditional `min` windows over a
+   * single (user_id) partitioning (no order → whole-partition frames, so
+   * no sort either). A null step time cascades: `us >= null` is null,
+   * the conditional min skips it, all later steps stay null. The final
+   * per-user groupBy reuses the window's partitioning. The step-joins
+   * alternative re-scans the events table once per step — at 100 TB
+   * that's the whole difference.
    */
   def funnel(events: DataFrame,
              steps: Seq[String] = FunnelSteps): DataFrame =
     LocalEvents.funnel(events, steps).getOrElse {
       require(steps.nonEmpty)
-      val withUs = events.withColumn("us", unix_micros(col("ts")))
-      val s0 = withUs.filter(col("event_type") === steps.head)
-        .groupBy("user_id").agg(min(col("us")).as("t0"))
-      // level i = (user_id, t0..ti) for users who completed step i
-      val levels = steps.indices.drop(1).scanLeft(s0) { (cur, i) =>
-        withUs.filter(col("event_type") === steps(i))
-          .select(col("user_id"), col("us"))
-          .join(cur, "user_id")
-          .where(col("us") >= col(s"t${i - 1}"))
-          .groupBy(col("user_id") +: (0 until i).map(j => col(s"t$j")): _*)
-          .agg(min(col("us")).as(s"t$i"))
-      }
-      // re-attach dropouts: base table + one left join per later level
-      val out = steps.indices.drop(1).foldLeft(s0) { (acc, i) =>
-        acc.join(levels(i).select(col("user_id"), col(s"t$i")),
-          Seq("user_id"), "left_outer")
+      val w = Window.partitionBy("user_id")
+      val cascaded = steps.indices.foldLeft(
+        events.filter(col("event_type").isin(steps: _*))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"))) { (df, i) =>
+        val eligible =
+          if (i == 0) col("event_type") === steps(i)
+          else col("event_type") === steps(i) && col("us") >= col(s"t${i - 1}")
+        df.withColumn(s"t$i", min(when(eligible, col("us"))).over(w))
       }
       val nSteps = steps.indices.drop(1).foldLeft(lit(1L)) { (acc, i) =>
         acc + when(col(s"t$i").isNotNull, 1L).otherwise(0L)
       }
-      out.select(
-        col("user_id") +:
-          steps.indices.map(i => col(s"t$i").as(s"t_${steps(i)}")) :+
-          nSteps.as("steps_completed"): _*)
+      cascaded
+        .groupBy("user_id")
+        .agg(min(col("t0")).as("t0"),
+          steps.indices.drop(1).map(i => min(col(s"t$i")).as(s"t$i")): _*)
+        .where(col("t0").isNotNull)
+        .select(
+          col("user_id") +:
+            steps.indices.map(i => col(s"t$i").as(s"t_${steps(i)}")) :+
+            nSteps.as("steps_completed"): _*)
       }
 
   /**
