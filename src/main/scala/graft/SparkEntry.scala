@@ -276,6 +276,22 @@ object SparkEntry {
       graft.bfs.ConnectedComponents.componentsRaw(s, sub)
     }),
 
+    // Triangle counting on the part co-purchase projection graph (the
+    // lineitem graph is bipartite — zero triangles — so the classic
+    // co-occurrence projection supplies the workload). Degree-ordered
+    // orientation bounds the wedge fan-out on hubs; in-kernel merge
+    // intersection under the BFS gate.
+    "gr_triangles" -> ((s, dir) =>
+      graft.bfs.Triangles.run(s, coPurchase(s, dir))),
+
+    // Fixed-point PageRank, 10 synchronous iterations on the cleaned
+    // graph. Integer (10^12-scaled) arithmetic makes the result exact
+    // and engine-independent — the oracle matches bit-for-bit across 10
+    // chained aggregations.
+    "gr_pagerank" -> ((s, dir) =>
+      withCsr(s, dir)(csr => graft.bfs.PageRank.pagerankCsrDf(s, csr, 10))(
+        graft.bfs.PageRank.pagerank(s, clean(s, dir), 10))),
+
     // S4 — deterministic initial-edge backbones (MRG scramble → rows check).
     "s4_tree_edges" -> ((s, _) => graft.gen.Kronecker.binaryTreeEdges(s, 10)),
     "s4_ham_edges" -> ((s, _) => graft.gen.Kronecker.hamiltonianCycleEdges(s, 10)),
@@ -414,6 +430,20 @@ object SparkEntry {
   /** Deterministic 2000-line lineitem subset feeding cc_components and
     * sssp_dist: the global top-2000 sort runs once per sfDir, not once
     * per consumer. */
+  /** Part co-purchase projection: one raw pair per unordered part pair
+    * sharing an order (kept directed src < dst; duplicate pairs across
+    * orders retained — Triangles.run dedups in-kernel or via
+    * cleanEdges). The self-join shuffles lineitem on l_orderkey once;
+    * per-order fan-out is the small lines-per-order count, so no
+    * quadratic blowup. */
+  private def coPurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+  }
+
   private def lineitemSub(s: SparkSession, dir: String): DataFrame =
     cachedTable(s, s"$dir/lineitem_sub")(
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -457,7 +487,48 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for q1/q6 (MRG PRNG not expressible
     * in SQL → driver records a rows-only check). */
+  /** Unrolled fixed-iteration PageRank (no recursive aggregation in
+    * standard SQL → one CTE per iteration; integer `//` mirrors Spark's
+    * `div` exactly on the non-negative ranks). */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT od.v, od.outdeg,
+         |         CAST((150000000000 // (SELECT n FROM nn)) + c.s AS BIGINT) AS r
+         |  FROM od JOIN (
+         |    SELECT e.dst AS v, sum((p.r * 85) // (100 * p.outdeg)) AS s
+         |    FROM clean e JOIN r${i - 1} p ON e.src = p.v
+         |    GROUP BY e.dst) c ON od.v = c.v)""".stripMargin
+    }.mkString
+    """, od AS (SELECT src AS v, count(*) AS outdeg FROM clean GROUP BY src)
+      |, nn AS (SELECT count(*) AS n FROM od)
+      |, r0 AS (SELECT v, outdeg, 1000000000000 // (SELECT n FROM nn) AS r FROM od)""".stripMargin +
+      steps + s"\nSELECT v AS vertex, r AS rank_fp FROM r$iters"
+  }
+
+  /** Degree-oriented triangle count on the part co-purchase projection
+    * (mirrors Triangles.count / countCsr). */
+  private val TriangleSql =
+    """WITH pp AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |tclean AS (SELECT src, dst FROM pp UNION ALL SELECT dst AS src, src AS dst FROM pp),
+      |tdeg AS (SELECT src AS v, count(*) AS d FROM tclean GROUP BY src),
+      |ori AS (SELECT c.src AS a, c.dst AS b, db.d AS bd
+      |        FROM tclean c JOIN tdeg da ON c.src = da.v JOIN tdeg db ON c.dst = db.v
+      |        WHERE da.d < db.d OR (da.d = db.d AND c.src < c.dst)),
+      |wed AS (SELECT e1.b AS b, e2.b AS c FROM ori e1 JOIN ori e2 ON e1.a = e2.a
+      |        WHERE e1.bd < e2.bd OR (e1.bd = e2.bd AND e1.b < e2.b))
+      |SELECT count(*) AS n_wedges, count(o.a) AS n_triangles
+      |FROM wed w LEFT JOIN ori o ON w.b = o.a AND w.c = o.b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "gr_triangles" -> TriangleSql,
+
+    "gr_pagerank" -> (GraphCte + pagerankSql(10)),
+
     "q2_clean_edges" -> (GraphCte + "SELECT src, dst FROM clean"),
 
     "q3_degrees" ->

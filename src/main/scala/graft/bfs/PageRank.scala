@@ -1,0 +1,110 @@
+package graft.bfs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fixed-iteration PageRank over the cleaned symmetric graph — the
+ * canonical iterative-analytics operator the reference engine's BFS
+ * loop machinery (SURVEY §2 C1-C4) generalizes to.
+ *
+ * All arithmetic is FIXED-POINT INTEGER: ranks are scaled by 10^12 and
+ * every per-edge contribution is the floor division
+ * (r(u) * 85) div (100 * outdeg(u)), so the result is a deterministic
+ * function of the graph — independent of partitioning, aggregation
+ * order, and engine (long sums are associative/commutative; float sums
+ * are not). That is what makes a cross-engine oracle comparison exact
+ * over 10 chained aggregations: the same computation in DuckDB SQL
+ * (integer `//`) reproduces every bit. The floor losses (< 1 unit in
+ * 10^12 per edge per iteration) are far below any analytic use of the
+ * scores.
+ *
+ * Distributed shape per iteration: one join of the (|V|-sized) rank
+ * table against the edge list on src, one groupBy dst with map-side
+ * partial sums — the edge table is shuffled on src ONCE up front and
+ * the exchange is reused every iteration (AQE cannot move it: the key
+ * never changes); lineage is cut every three iterations with a
+ * localCheckpoint exactly like the BFS level loop. The symmetric clean
+ * graph has no dangling vertices (every vertex has out-edges), so no
+ * dangling-mass redistribution term is needed.
+ *
+ * Under the BFS gate the iteration runs on the [[LocalCsr]] kernel —
+ * identical integer math, hence identical output (spec-pinned).
+ */
+object PageRank {
+
+  /** Rank scale: 1.0 == 10^12. */
+  val Scale = 1000000000000L
+  /** Damping 0.85 as the exact pair (85, 100). */
+  val DampNum = 85L
+  val DampDen = 100L
+
+  /** Distributed fixed-point PageRank: (vertex, rank_fp) after `iters`
+    * synchronous iterations from the uniform start floor(Scale / |V|). */
+  def pagerank(spark: SparkSession, clean: DataFrame, iters: Int = 10): DataFrame = {
+    val edges = clean.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val od = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nV = od.count() // one scalar agg job, also materializes od
+    val base = (Scale * 15L / 100L) / nV
+    var ranks = od.select(col("v"), col("outdeg"), lit(Scale / nV).as("r"))
+    var i = 1
+    while (i <= iters) {
+      val contrib = edges
+        .join(ranks.select(col("v").as("src"),
+          expr(s"(r * $DampNum) div ($DampDen * outdeg)").as("c")), "src")
+        .groupBy(col("dst").as("v")).agg(sum(col("c")).as("s"))
+      // inner join: symmetric graph ⇒ every vertex has in-edges
+      ranks = od.join(contrib, "v")
+        .select(col("v"), col("outdeg"), (lit(base) + col("s")).as("r"))
+      if (i % 3 == 0 && i < iters)
+        ranks = ranks.localCheckpoint(eager = true)
+      i += 1
+    }
+    val out = ranks.select(col("v").as("vertex"), col("r").as("rank_fp"))
+      .localCheckpoint(eager = true)
+    edges.unpersist()
+    od.unpersist()
+    out
+  }
+
+  /** In-kernel fixed-point PageRank on a symmetric CSR: dense gather
+    * per iteration (r'(v) = base + Σ_{u ∈ N(v)} contrib(u)) — exactly
+    * the distributed recurrence, exactly the same longs. */
+  def pagerankCsr(csr: LocalCsr, iters: Int = 10): Array[Long] = {
+    val nV = csr.nVerts
+    val rs = csr.rowStarts
+    val nbrs = csr.nbrs
+    val base = (Scale * 15L / 100L) / nV
+    var r = new Array[Long](nV)
+    java.util.Arrays.fill(r, Scale / nV)
+    val contrib = new Array[Long](nV)
+    var next = new Array[Long](nV)
+    var it = 0
+    while (it < iters) {
+      var v = 0
+      while (v < nV) {
+        contrib(v) = r(v) * DampNum / (DampDen * (rs(v + 1) - rs(v)))
+        v += 1
+      }
+      java.util.stream.IntStream.range(0, nV).parallel().forEach { u =>
+        var s = 0L
+        var k = rs(u)
+        while (k < rs(u + 1)) { s += contrib(nbrs(k)); k += 1 }
+        next(u) = base + s
+      }
+      val t = r; r = next; next = t
+      it += 1
+    }
+    r
+  }
+
+  /** Kernel result as a DataFrame (vertex, rank_fp) via broadcast
+    * range-lookup ship. */
+  def pagerankCsrDf(spark: SparkSession, csr: LocalCsr, iters: Int = 10): DataFrame = {
+    val r = pagerankCsr(csr, iters)
+    graft.functions.Ship.df(spark, "vertex" -> csr.ids, "rank_fp" -> r)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.bfs
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Triangle counting: kernel ≡ distributed ≡ brute force on known and
+  * randomized graphs. */
+class TrianglesSpec extends SparkSpec {
+
+  /** Brute-force reference: count triples {a,b,c} pairwise adjacent. */
+  private def brute(pairs: Seq[(Long, Long)]): (Long, Long) = {
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    pairs.foreach { case (a, b) =>
+      if (a != b) {
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+        adj(b) = adj.getOrElse(b, Set.empty) + a
+      }
+    }
+    val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+    def rank(v: Long) = (deg(v), v)
+    implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+    var wedges = 0L
+    var tris = 0L
+    adj.foreach { case (a, ns) =>
+      val out = ns.filter(w => ord.gt(rank(w), rank(a)))
+      val od = out.size.toLong
+      wedges += od * (od - 1) / 2
+      for (b <- out; c <- out if ord.lt(rank(b), rank(c)))
+        if (adj(b).contains(c)) tris += 1
+    }
+    (wedges, tris)
+  }
+
+  private def asDf(pairs: Seq[(Long, Long)]) = {
+    val s = spark; import s.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  test("K4: 4 triangles; kernel == distributed == brute") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val (bw, bt) = brute(pairs)
+    assert(bt == 4)
+    val kernel = Triangles.countCsr(
+      LocalCsr.buildFromRawPairs(pairs.flatMap(p => Seq(p._1, p._2)).toArray))
+    assert(kernel == (bw, bt))
+    val dist = Triangles.countDistributed(graft.etl.EdgeOps.cleanEdges(asDf(pairs)))
+      .head()
+    assert((dist.getLong(0), dist.getLong(1)) == (bw, bt))
+  }
+
+  test("triangle-free bipartite graph counts zero") {
+    val pairs = for (a <- 0L to 4L; b <- 10L to 13L) yield (a, b)
+    val (bw, bt) = brute(pairs)
+    assert(bt == 0L && bw > 0L)
+    val kernel = Triangles.countCsr(
+      LocalCsr.buildFromRawPairs(pairs.flatMap(p => Seq(p._1, p._2)).toArray))
+    assert(kernel == (bw, bt))
+  }
+
+  test("random graphs: kernel == distributed == brute (incl. dup/loop input)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val n = 12 + trial * 7
+      val m = n * 3
+      // raw list with duplicates and loops — both paths must clean
+      val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        Seq((1L, 1L), (0L, 1L), (0L, 1L))
+      val (bw, bt) = brute(pairs)
+      val noLoops = pairs.filter(p => p._1 != p._2)
+      val kernel = Triangles.countCsr(
+        LocalCsr.buildFromRawPairs(noLoops.flatMap(p => Seq(p._1, p._2)).toArray))
+      assert(kernel == (bw, bt), s"kernel trial $trial")
+      val dist = Triangles.countDistributed(graft.etl.EdgeOps.cleanEdges(asDf(pairs))).head()
+      assert((dist.getLong(0), dist.getLong(1)) == (bw, bt), s"dist trial $trial")
+    }
+  }
+
+  test("run() gate dispatch: local and forced-distributed agree on sf0.001 co-purchase shape") {
+    val s = spark; import s.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    val local = Triangles.run(spark, pairs).as[(Long, Long)].head()
+    val prev = spark.conf.getOption("spark.graft.localBfsMaxEdges")
+    try {
+      spark.conf.set("spark.graft.localBfsMaxEdges", "0")
+      val dist = Triangles.run(spark, pairs).as[(Long, Long)].head()
+      assert(local == dist)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.localBfsMaxEdges", v)
+      case None => spark.conf.unset("spark.graft.localBfsMaxEdges")
+    }
+    // pinned against the DuckDB oracle + independent brute force
+    assert(local == ((234314L, 125968L)))
+  }
+}
