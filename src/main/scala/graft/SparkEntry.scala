@@ -352,6 +352,10 @@ object SparkEntry {
     // Exact n-gram Jaccard near-dup pairs (inverted-index path).
     "dd_ngram" -> ((s, dir) => ops.Dedup.ngramJaccardDedup(docs(s, dir), 0.5)),
 
+    // Exact duplicated-span coverage: per doc, how much is covered by
+    // 8-token windows appearing verbatim in another doc.
+    "dd_substring" -> ((s, dir) => ops.Dedup.duplicatedSpans(docs(s, dir), 8)),
+
     // Embedding cosine near-dup pairs.
     "dd_embedding" -> ((s, dir) => ops.Dedup.embeddingDedup(emb(s, dir), 0.3)),
 
@@ -385,6 +389,28 @@ object SparkEntry {
 
     // Within-document repetition signals (distinct token/bigram fractions).
     "tx_repetition" -> ((s, dir) => ops.TextOps.repetition(docs(s, dir))),
+
+    // Benchmark decontamination: corpus docs sharing any 8-gram with
+    // the deterministic benchmark slice (doc_id % 50 == 0); broadcast
+    // semi-join against the (small) benchmark shingle set.
+    "tx_decontam" -> ((s, dir) =>
+      ops.TextOps.decontaminate(docs(s, dir), col("doc_id") % 50 === 0)),
+
+    // Deterministic stratified sampling by language: keep decision is a
+    // pure hash of (doc_id, lang) — reproducible and monotone in rate.
+    "mix_sample" -> ((s, dir) =>
+      ops.Mix.stratifiedSample(docsMeta(s, dir), col("lang"),
+        Map("en" -> 10000L, "es" -> 5000L, "fr" -> 2500L,
+          "de" -> 2000L, "zh" -> 1000L), 5000L)),
+
+    // Token-budget mixing weights per source (equal-share, capped at 1).
+    "mix_weights" -> ((s, dir) =>
+      ops.Mix.mixingWeights(
+        docsMeta(s, dir).join(
+          ops.TextOps.tokenCounts(docs(s, dir))
+            .select(col("doc_id"), col("ws_tokens").as("n_tokens")),
+          "doc_id"),
+        col("source"))),
 
     // Multimodal: stub decode metadata via batched mapPartitions.
     "mm_decode" -> ((s, dir) =>
@@ -455,6 +481,15 @@ object SparkEntry {
       // cache only the columns the dedup/text/multimodal consumers read
       // — the parquet scan feeding the cache then prunes to 2 of 5 cols
       s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+
+  /** Metadata columns of `documents` (no text — tiny), for the mixing
+    * operators' strata. At real scale this is the same scan as docs()
+    * with two more pruned columns; split here so the 9 text consumers
+    * keep their 2-column cache. */
+  private def docsMeta(s: SparkSession, dir: String): DataFrame =
+    cachedTable(s, s"$dir/documents_meta")(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     cachedTable(s, s"$dir/embeddings")(
@@ -852,6 +887,74 @@ object SparkEntry {
 
     "dd_ngram" -> (ShingleCte +
       "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5"),
+
+    "dd_substring" -> (TokCte.stripSuffix("\n") +
+      """,
+        |winidx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        |           FROM toks WHERE len(tk) >= 8),
+        |win AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+        |               array_to_string(tk[i:i+7], ' ') AS w FROM winidx),
+        |dupw AS (SELECT w FROM (SELECT w, count(*) AS nd
+        |                        FROM (SELECT DISTINCT doc_id, w FROM win)
+        |                        GROUP BY w) WHERE nd >= 2),
+        |ds AS (SELECT doc_id, start FROM win JOIN dupw USING (w)),
+        |gaps AS (SELECT doc_id,
+        |           start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS gap
+        |         FROM ds),
+        |cov AS (SELECT doc_id, count(*) AS n_dup_windows,
+        |          sum(CASE WHEN gap IS NULL THEN 8 ELSE least(gap, 8) END) AS covered
+        |        FROM gaps GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |                CAST(greatest(len(tk) - 7, 0) AS BIGINT) AS n_windows
+        |         FROM toks)
+        |SELECT b.doc_id, b.n_tokens, b.n_windows,
+        |  CAST(COALESCE(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+        |  round(COALESCE(c.covered, 0)*1.0 / greatest(b.n_tokens, 1), 6) AS dup_fraction
+        |FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id""".stripMargin),
+
+    "tx_decontam" -> (TokCte.stripSuffix("\n") +
+      """,
+        |shidx AS (SELECT doc_id, tk,
+        |            unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS i
+        |          FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS shingle
+        |       FROM shidx),
+        |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        |ov AS (SELECT doc_id, count(*) AS n_overlap
+        |       FROM corp JOIN bsh USING (shingle) GROUP BY doc_id),
+        |grams AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id)
+        |SELECT g.doc_id, g.n_grams,
+        |  CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(CASE WHEN COALESCE(o.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS contaminated
+        |FROM grams g LEFT JOIN ov o ON g.doc_id = o.doc_id""".stripMargin),
+
+    "mix_sample" ->
+      """SELECT doc_id, stratum, bucket,
+        |  CAST(CASE WHEN bucket < CASE stratum
+        |         WHEN 'en' THEN 10000 WHEN 'es' THEN 5000 WHEN 'fr' THEN 2500
+        |         WHEN 'de' THEN 2000 WHEN 'zh' THEN 1000 ELSE 5000 END
+        |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM (SELECT doc_id, lang AS stratum,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(CAST(doc_id AS VARCHAR) || ':' || lang, ''),
+        |                   c -> CAST(ord(c) AS BIGINT))),
+        |    (h, cp) -> (h * 31 + cp) % 1000000007) % 10000 AS bucket
+        |  FROM documents)""".stripMargin,
+
+    "mix_weights" -> (TokCte.stripSuffix("\n") +
+      """,
+        |per AS (SELECT d.source AS stratum, count(*) AS n_docs,
+        |               sum(len(t.tk)) AS n_tokens
+        |        FROM toks t JOIN documents d USING (doc_id) GROUP BY d.source),
+        |tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_strata FROM per)
+        |SELECT stratum, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(least(1.0, total_tokens*1.0/(n_strata*n_tokens)), 6) AS sample_weight,
+        |  CAST(floor(round(least(1.0, total_tokens*1.0/(n_strata*n_tokens)), 6)
+        |             * n_tokens) AS BIGINT) AS expected_tokens
+        |FROM per, tot""".stripMargin),
 
     "dd_embedding" -> (EmbCte +
       """SELECT * FROM (

@@ -529,4 +529,58 @@ object Dedup {
         .filter(col("cosine") >= threshold)
     }
   }
+
+  /** Exact duplicated-SPAN detection (the substring-level complement of
+    * document-level near-dup): for every document, how much of it is
+    * covered by k-token windows that appear verbatim in at least one
+    * OTHER document. This is the span analysis behind
+    * "deduplicating training data" pipelines — repeated boilerplate is
+    * span-duplicated long before whole documents are near-dups.
+    *
+    * Per doc (every doc, including ones shorter than k):
+    * (doc_id, n_tokens, n_windows, n_dup_windows, covered_tokens,
+    * dup_fraction) where covered_tokens is the size of the union of the
+    * duplicated windows' [start, start+k-1] token intervals — computed
+    * with a per-document lag window (each new duplicated start adds
+    * min(gap, k) tokens), not an interval sweep.
+    *
+    * 100 TB shape: windows are a narrow per-row explode (stride 1, k
+    * tokens); the duplicate test is one groupBy on the window string
+    * (at real scale you'd group on a 128-bit window hash — same plan,
+    * smaller shuffle payload; the string keeps the oracle exact here);
+    * the semi-join back and the per-document lag window both partition
+    * on doc_id, whose cardinality is the corpus itself — no skew,
+    * since per-document window counts are bounded by document length. */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val tk = TextOps.tokenized(docs)
+    val base = tk.select(col("doc_id"),
+      size(col("tk")).cast("long").as("n_tokens"),
+      greatest(size(col("tk")) - (k - 1), lit(0)).cast("long").as("n_windows"))
+    val wins = tk.where(size(col("tk")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - (k - 1)),
+          i => struct(i.cast("long").as("start"),
+            concat_ws(" ", slice(col("tk"), i, lit(k))).as("w")))).as("sw"))
+      .select(col("doc_id"), col("sw.start").as("start"), col("sw.w").as("w"))
+    // windows seen in ≥2 distinct docs; (doc_id, w) distinct first so a
+    // within-doc repeat doesn't fake a cross-doc duplicate
+    val dupW = wins.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("w")
+    val dupStarts = wins.join(dupW, Seq("w"), "left_semi")
+      .select("doc_id", "start")
+    val wnd = Window.partitionBy("doc_id").orderBy("start")
+    val cov = dupStarts
+      .withColumn("gap", col("start") - lag("start", 1).over(wnd))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_dup_windows"),
+        sum(when(col("gap").isNull, k.toLong)
+          .otherwise(least(col("gap"), lit(k.toLong)))).as("covered_tokens"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_fraction"))
+  }
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-mixing operators: the sampling / weighting stage that turns a
+ * filtered corpus into a training mix.
+ *
+ * Sampling is DETERMINISTIC-BY-KEY, not rand(): each document's keep
+ * decision is a pure function of (doc_id, stratum) via the same
+ * polynomial hash the fingerprint operator uses
+ * ([[graft.functions.StringPolyHash]] — codegen'd, SQL-mirrorable), so
+ * a re-run, a retry after a lost task, or a different partitioning all
+ * sample the SAME documents — the property that makes a 100 TB sample
+ * reproducible and incrementally extendable (rate bumps strictly grow
+ * the kept set: bucket < r1*B ⊂ bucket < r2*B for r1 < r2).
+ *
+ * Both operators are a narrow map (+ one small groupBy for weights);
+ * nothing here shuffles the corpus.
+ */
+object Mix {
+
+  /** Buckets per unit of sampling rate: rates are expressed as
+    * thousandths-of-10 (bucket space 0..9999). */
+  val Buckets = 10000L
+
+  /** Per-stratum keep decision: bucket = polyhash(doc_id ":" stratum)
+    * mod 10000, kept iff bucket < rate(stratum) * 10000. Emits every
+    * row with its bucket and 0/1 keep flag — the caller filters
+    * `kept = 1` for the sampled corpus (keeping the flag makes the
+    * decision auditable and oracle-checkable over the full input). */
+  def stratifiedSample(docs: DataFrame, stratum: Column,
+                       rateBuckets: Map[String, Long],
+                       defaultBuckets: Long): DataFrame = {
+    val bucket = pmod(graft.functions.StringPolyHash.fingerprint(
+      concat(col("doc_id").cast("string"), lit(":"), stratum)), lit(Buckets))
+    val cut = rateBuckets.foldLeft(lit(defaultBuckets)) {
+      case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), stratum.as("stratum"),
+      bucket.as("bucket"),
+      when(bucket < cut, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** Token-budget mixing weights: per stratum (source), the sampling
+    * weight that levels every stratum to an equal share of the total
+    * token budget, capped at 1.0 (never upsample):
+    * weight = min(1, total_tokens / (n_strata * stratum_tokens)).
+    * One small groupBy(stratum) + a broadcast of the two scalar totals;
+    * the corpus-sized input is touched once. */
+  def mixingWeights(docsWithTokens: DataFrame, stratum: Column): DataFrame = {
+    val per = docsWithTokens.groupBy(stratum.as("stratum")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"))
+    val tot = per.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_strata"))
+    val w = least(lit(1.0),
+      col("total_tokens").cast("double") /
+        (col("n_strata") * col("n_tokens")))
+    per.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(w, 6).as("sample_weight"),
+        floor(round(w, 6) * col("n_tokens")).cast("long")
+          .as("expected_tokens"))
+  }
+}

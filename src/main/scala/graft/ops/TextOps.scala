@@ -147,6 +147,37 @@ object TextOps {
         greatest(nBi, lit(1L)), 6).as("bigram_rep_ratio"))
   }
 
+  /** Benchmark decontamination — the train/eval overlap check every
+    * training-data pipeline runs before shipping a corpus: flag corpus
+    * documents that share any word n-gram with a benchmark document.
+    *
+    * `isBenchmark` partitions the input (deterministically, so the
+    * oracle can re-derive it). Shingling reuses [[shingles]] (distinct
+    * n-grams; documents shorter than n contribute their full text as
+    * one shingle, so short eval prompts still match verbatim copies).
+    *
+    * 100 TB shape: the benchmark shingle set is small by construction
+    * (eval suites are MBs, corpora are TBs) → Spark broadcasts it and
+    * the overlap join is a map-side hash semi-join over the corpus
+    * shingles; one groupBy(doc_id) shuffle aggregates hit counts. No
+    * part of the corpus is ever on the build side. */
+  def decontaminate(docs: DataFrame, isBenchmark: Column,
+                    n: Int = 8): DataFrame = {
+    val corpus = docs.where(!isBenchmark)
+    val bench = docs.where(isBenchmark)
+    val corpusSh = shingles(corpus, n)
+    val benchSh = shingles(bench, n).select(col("shingle")).distinct()
+    val overlap = corpusSh
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    val grams = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    grams.join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_overlap"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("contaminated"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the document's code points:
     * h = fold(h * 31 + codepoint) mod 1e9+7 — cheap, order-sensitive,
     * SQL-mirrorable. Native codegen expression

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Specs for decontamination, duplicated-span coverage, and the mixing
+  * operators on tiny hand-checkable inputs. */
+class MixDecontamSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- decontaminate ----
+
+  test("decontaminate flags verbatim n-gram overlap with the benchmark slice") {
+    val bench = "the quick brown fox jumps over the lazy dog"
+    val d = docs(
+      (0L, bench), // benchmark (id % 2 == 0 in this spec)
+      (1L, s"prefix words here $bench suffix"), // contains the full 8-gram
+      (3L, "completely unrelated text with eight tokens padding now"),
+      (5L, "the quick brown fox walks under a lazy dog")) // shares words, no 8-gram
+    val out = TextOps.decontaminate(d, col("doc_id") % 2 === 0, n = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    val byId = out.map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(byId(1L)._1 >= 2L && byId(1L)._2 == 1L) // ≥2 overlapping 8-grams
+    assert(byId(3L) == ((0L, 0L)))
+    assert(byId(5L) == ((0L, 0L)))
+  }
+
+  test("decontaminate matches short benchmark docs whole (sub-n fallback)") {
+    val d = docs(
+      (0L, "tiny eval prompt"), // benchmark, 3 tokens < n
+      (1L, "tiny eval prompt"), // verbatim copy → its whole-text shingle matches
+      (3L, "tiny eval prompt plus several more trailing tokens here"))
+    val out = TextOps.decontaminate(d, col("doc_id") % 2 === 0, n = 8)
+      .orderBy("doc_id").collect()
+    val byId = out.map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(byId(1L) == 1L)
+    // doc 3 is longer: its single 8-token-window shingle ≠ the 3-token one
+    assert(byId(3L) == 0L)
+  }
+
+  // ---- duplicatedSpans ----
+
+  test("duplicatedSpans: shared span coverage with overlapping-window union") {
+    val span = "one two three four five six seven eight" // 8 tokens
+    val d = docs(
+      (0L, s"$span tail0 tail1"),         // 10 tokens, windows at 1,2,3
+      (1L, s"head0 head1 $span"),         // 10 tokens, windows at 1,2,3
+      (2L, "nothing shared among these eight tokens of filler text"))
+    val out = Dedup.duplicatedSpans(d, 8).orderBy("doc_id").collect()
+    val r0 = out(0)
+    // only the exact span window duplicates: start=1 in doc0, start=3 in doc1
+    assert(r0.getLong(1) == 10L && r0.getLong(2) == 3L) // n_tokens, n_windows
+    assert(r0.getLong(3) == 1L && r0.getLong(4) == 8L)  // n_dup_windows, covered
+    assert(math.abs(r0.getDouble(5) - 0.8) < 1e-9)
+    val r2 = out(2)
+    assert(r2.getLong(3) == 0L && r2.getLong(4) == 0L && r2.getDouble(5) == 0.0)
+  }
+
+  test("duplicatedSpans: overlapping duplicated windows merge intervals") {
+    val nine = "w1 w2 w3 w4 w5 w6 w7 w8 w9" // 9 tokens → both 8-windows dup
+    val d = docs((0L, nine), (1L, nine))
+    val out = Dedup.duplicatedSpans(d, 8).orderBy("doc_id").collect()
+    // starts 1 and 2: union covers 9 tokens (8 + min(gap=1, 8))
+    assert(out(0).getLong(3) == 2L && out(0).getLong(4) == 9L)
+    assert(out(0).getDouble(5) == 1.0)
+  }
+
+  test("duplicatedSpans: within-doc repetition alone is not a duplicate") {
+    val rep = "a b c d e f g h a b c d e f g h" // same window twice in ONE doc
+    val d = docs((0L, rep), (1L, "totally different words fill this document body here"))
+    val out = Dedup.duplicatedSpans(d, 8).orderBy("doc_id").collect()
+    assert(out(0).getLong(3) == 0L)
+  }
+
+  // ---- Mix ----
+
+  test("stratifiedSample: deterministic, monotone in rate, exact at the poles") {
+    val s = spark; import s.implicits._
+    val meta = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val full = Mix.stratifiedSample(meta, col("lang"),
+      Map("a" -> 10000L, "b" -> 0L), 5000L).collect()
+    val byLang = full.groupBy(_.getString(1))
+    assert(byLang("a").forall(_.getLong(3) == 1L)) // rate 1.0 keeps all
+    assert(byLang("b").forall(_.getLong(3) == 0L)) // rate 0.0 keeps none
+    // monotone: kept set at 2000 buckets ⊆ kept at 6000 buckets
+    def keptSet(cut: Long) = Mix.stratifiedSample(meta, col("lang"),
+      Map("a" -> cut, "b" -> cut), cut).collect()
+      .filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    val k2 = keptSet(2000L); val k6 = keptSet(6000L)
+    assert(k2.subsetOf(k6) && k2.nonEmpty && k6.size > k2.size)
+    // deterministic across evaluations
+    assert(keptSet(2000L) == k2)
+  }
+
+  test("mixingWeights levels token budget across strata, capped at 1") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "s1", 100L), (1L, "s1", 100L), // s1: 200 tokens
+      (2L, "s2", 500L), (3L, "s2", 500L), // s2: 1000 tokens
+      (4L, "s3", 50L)                     // s3: 50 tokens
+    ).toDF("doc_id", "source", "n_tokens")
+    val w = Mix.mixingWeights(d, col("source")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // total 1250, 3 strata → share 416.67
+    assert(w("s1")._3 == 1.0 && w("s3")._3 == 1.0) // below share: never upsample
+    assert(math.abs(w("s2")._3 - 0.416667) < 1e-9)
+    assert(w("s2")._4 == 416L)
+    assert(w("s1") == ((2L, 200L, 1.0, 200L)))
+  }
+}
