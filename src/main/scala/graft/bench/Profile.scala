@@ -32,8 +32,36 @@ object Profile {
     spark.stop()
   }
 
+  /** `runMain graft.bench.Profile triangles <sfDir>`: stage breakdown of
+    * the co-purchase triangle count (join+collect vs CSR build vs
+    * kernel). */
+  def profileTriangles(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+    for (i <- 1 to 3) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      val flat = t(s"#$i join+collectPairs")(LocalCsr.collectPairs(pairs))
+      println(s"    pairs = ${flat.length / 2}")
+      val csr = t(s"#$i buildFromRawPairs")(LocalCsr.buildFromRawPairs(flat))
+      val (w, tr) = t(s"#$i countCsr")(graft.bfs.Triangles.countCsr(csr))
+      println(s"    wedges=$w triangles=$tr")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("queries")) { profileQueries(args); return }
+    if (args.headOption.contains("triangles")) { profileTriangles(args); return }
     val scale = if (args.nonEmpty) args(0).toInt else 18
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -32,8 +32,14 @@ import org.apache.spark.sql.functions._
 object Triangles {
 
   /** One-row (n_wedges, n_triangles) over a cleaned symmetric loop-free
-    * edge DataFrame (both directions present). */
+    * edge DataFrame (both directions present). Eager: the oriented edge
+    * set feeds three plan positions (both wedge legs + the closing-edge
+    * probe), so it is persisted once and dropped after the single-row
+    * aggregate — re-deriving it would re-run the degree join's shuffles
+    * per consumer (exchange reuse is a runtime optimization, not a
+    * guarantee). */
   def countDistributed(clean: DataFrame): DataFrame = {
+    val spark = clean.sparkSession
     val deg = clean.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     val ori = clean
       .join(deg.select(col("v").as("src"), col("d").as("sd")), "src")
@@ -41,18 +47,24 @@ object Triangles {
       .where(col("sd") < col("dd") ||
         (col("sd") === col("dd") && col("src") < col("dst")))
       .select(col("src").as("a"), col("dst").as("b"), col("dd").as("bd"))
-    // wedge (a; b, c) with rank(b) < rank(c): each triangle x<y<z (rank
-    // order) appears exactly once, as the wedge at apex x closed by the
-    // oriented edge y -> z
-    val wedges = ori.as("e1")
-      .join(ori.select(col("a"), col("b").as("c"), col("bd").as("cd")).as("e2"), "a")
-      .where(col("bd") < col("cd") ||
-        (col("bd") === col("cd") && col("b") < col("c")))
-      .select(col("b"), col("c"))
-    wedges
-      .join(ori.select(col("a").as("b"), col("b").as("c"), lit(1).as("m")),
-        Seq("b", "c"), "left")
-      .agg(count(lit(1)).as("n_wedges"), count(col("m")).as("n_triangles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // wedge (a; b, c) with rank(b) < rank(c): each triangle x<y<z
+      // (rank order) appears exactly once, as the wedge at apex x
+      // closed by the oriented edge y -> z
+      val wedges = ori.as("e1")
+        .join(ori.select(col("a"), col("b").as("c"), col("bd").as("cd")).as("e2"), "a")
+        .where(col("bd") < col("cd") ||
+          (col("bd") === col("cd") && col("b") < col("c")))
+        .select(col("b"), col("c"))
+      val row = wedges
+        .join(ori.select(col("a").as("b"), col("b").as("c"), lit(1).as("m")),
+          Seq("b", "c"), "left")
+        .agg(count(lit(1)).as("n_wedges"), count(col("m")).as("n_triangles"))
+        .head()
+      import spark.implicits._
+      Seq((row.getLong(0), row.getLong(1))).toDF("n_wedges", "n_triangles")
+    } finally { ori.unpersist(blocking = false); () }
   }
 
   /** In-kernel count on a symmetric CSR (sorted ids, sorted rows). The
@@ -112,28 +124,115 @@ object Triangles {
       r += 1
     }
 
-    var wedges = 0L
-    var triangles = 0L
-    r = 0
-    while (r < nV) {
-      val od = (oriStarts(r + 1) - oriStarts(r)).toLong
-      wedges += od * (od - 1) / 2
-      var k = oriStarts(r)
-      while (k < oriStarts(r + 1)) {
-        val w = ori(k)
-        var i2 = oriStarts(r)
-        var j2 = oriStarts(w)
-        while (i2 < oriStarts(r + 1) && j2 < oriStarts(w + 1)) {
-          val x = ori(i2); val y = ori(j2)
-          if (x == y) { triangles += 1; i2 += 1; j2 += 1 }
-          else if (x < y) i2 += 1
-          else j2 += 1
+    // intersection sweep, parallel over vertex stripes (reads only)
+    val nStripes = math.min(nV, Runtime.getRuntime.availableProcessors * 4)
+    val wedgeAcc = new Array[Long](math.max(nStripes, 1))
+    val triAcc = new Array[Long](math.max(nStripes, 1))
+    java.util.stream.IntStream.range(0, nStripes).parallel().forEach { st =>
+      val from = (nV.toLong * st / nStripes).toInt
+      val to = (nV.toLong * (st + 1) / nStripes).toInt
+      var wedges = 0L
+      var triangles = 0L
+      var u = from
+      while (u < to) {
+        val od = (oriStarts(u + 1) - oriStarts(u)).toLong
+        wedges += od * (od - 1) / 2
+        var k = oriStarts(u)
+        while (k < oriStarts(u + 1)) {
+          val w = ori(k)
+          var i2 = oriStarts(u)
+          var j2 = oriStarts(w)
+          while (i2 < oriStarts(u + 1) && j2 < oriStarts(w + 1)) {
+            val x = ori(i2); val y = ori(j2)
+            if (x == y) { triangles += 1; i2 += 1; j2 += 1 }
+            else if (x < y) i2 += 1
+            else j2 += 1
+          }
+          k += 1
         }
-        k += 1
+        u += 1
       }
-      r += 1
+      wedgeAcc(st) = wedges
+      triAcc(st) = triangles
     }
-    (wedges, triangles)
+    (wedgeAcc.sum, triAcc.sum)
+  }
+
+  /** Co-purchase triangle count fused end-to-end under the gate: input
+    * is the RAW (group, member) projection — e.g. (l_orderkey,
+    * l_partkey) — and the co-occurrence pair list is emitted in-kernel,
+    * so the gated path never runs the distributed self-join (the
+    * group-key sort-merge join plus its re-execution for the collect
+    * was 2-3× the cost of everything else at sf0.1). Above the gate —
+    * or when keys exceed the 32-bit pack range — the distributed
+    * self-join + [[countDistributed]] runs instead; per-group fan-out
+    * is the (bounded) group size, so the join is skew-safe.
+    *
+    * The gate probes the INPUT row count (one cheap scan-count), not
+    * the pair count; pair blow-up beyond the gate is caught by the
+    * pack-range / builder-size recheck and falls back to distributed. */
+  def runCoPurchase(spark: SparkSession, groupMember: DataFrame): DataFrame = {
+    val gate = spark.conf.get("spark.graft.localBfsMaxEdges",
+      (64L << 20).toString).toLong
+    val gm = groupMember.select(col("src"), col("dst"))
+    def distributed(): DataFrame = {
+      val pairs = gm.as("a").join(gm.as("b"),
+          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+        .select(col("a.dst").as("src"), col("b.dst").as("dst"))
+      countDistributed(graft.etl.EdgeOps.cleanEdges(pairs))
+    }
+    if (gate <= 0 || gm.limit((math.min(gate, Int.MaxValue - 1L) + 1).toInt)
+          .count() > gate) distributed()
+    else {
+      val flat = LocalCsr.collectPairs(gm)
+      val nIn = flat.length / 2
+      var packable = true
+      var i = 0
+      while (i < flat.length && packable) {
+        // group key and member key must fit the (32, 32) bit pack
+        if (flat(i) < 0 || flat(i) > Int.MaxValue ||
+          flat(i + 1) < 0 || flat(i + 1) > 0xffffffffL) packable = false
+        i += 2
+      }
+      if (!packable) distributed()
+      else {
+        val packed = new Array[Long](nIn)
+        i = 0
+        while (i < nIn) {
+          packed(i) = (flat(2 * i) << 32) | flat(2 * i + 1)
+          i += 1
+        }
+        java.util.Arrays.parallelSort(packed)
+        // per group (sorted run of the high word): members are sorted;
+        // emit each distinct unordered pair once per group
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        var lo = 0
+        while (lo < nIn) {
+          var hi = lo + 1
+          while (hi < nIn && (packed(hi) >>> 32) == (packed(lo) >>> 32)) hi += 1
+          var a = lo
+          while (a < hi) {
+            // skip duplicate members within the group (sorted ⇒ adjacent)
+            if (a == lo || packed(a) != packed(a - 1)) {
+              val ma = packed(a) & 0xffffffffL
+              var c = a + 1
+              while (c < hi) {
+                if (packed(c) != packed(c - 1)) {
+                  b += ma; b += packed(c) & 0xffffffffL
+                }
+                c += 1
+              }
+            }
+            a += 1
+          }
+          lo = hi
+        }
+        val pairFlat = b.result()
+        val (w, t) = countCsr(LocalCsr.buildFromRawPairs(pairFlat))
+        import spark.implicits._
+        Seq((w, t)).toDF("n_wedges", "n_triangles")
+      }
+    }
   }
 
   /** Gate-dispatched entry: in-kernel under `spark.graft.localBfsMaxEdges`

@@ -95,4 +95,36 @@ class TrianglesSpec extends SparkSpec {
     // pinned against the DuckDB oracle + independent brute force
     assert(local == ((234314L, 125968L)))
   }
+
+  test("runCoPurchase: fused kernel == run == forced-distributed on sf0.001") {
+    val s = spark; import s.implicits._
+    val gm = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("src"), col("l_partkey").cast("long").as("dst"))
+    val fused = Triangles.runCoPurchase(spark, gm).as[(Long, Long)].head()
+    assert(fused == ((234314L, 125968L)))
+    val prev = spark.conf.getOption("spark.graft.localBfsMaxEdges")
+    try {
+      spark.conf.set("spark.graft.localBfsMaxEdges", "0")
+      val dist = Triangles.runCoPurchase(spark, gm).as[(Long, Long)].head()
+      assert(dist == fused)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.localBfsMaxEdges", v)
+      case None => spark.conf.unset("spark.graft.localBfsMaxEdges")
+    }
+  }
+
+  test("runCoPurchase handles duplicate group members and unpackable keys") {
+    val s = spark; import s.implicits._
+    // duplicate (group, member) rows and a within-group dup member:
+    // group 1 = {10, 20, 20}, group 2 = {10, 20, 30}
+    val gm = Seq((1L, 10L), (1L, 20L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (2L, 30L)).toDF("src", "dst")
+    val r = Triangles.runCoPurchase(spark, gm).as[(Long, Long)].head()
+    // co-purchase graph: edges {10-20, 10-30, 20-30} → one triangle
+    assert(r._2 == 1L)
+    // unpackable group key (negative) falls back to distributed, same result
+    val gm2 = Seq((-1L, 10L), (-1L, 20L), (-1L, 30L)).toDF("src", "dst")
+    val r2 = Triangles.runCoPurchase(spark, gm2).as[(Long, Long)].head()
+    assert(r2 == ((1L, 1L))) // one oriented wedge at the min-rank vertex
+  }
 }
