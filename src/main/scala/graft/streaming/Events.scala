@@ -309,6 +309,26 @@ object Events {
 
   /** Top-k users by summed value within each event_type (rank by rounded
     * sum desc, then user_id — deterministic). */
+  /** Daily cohort retention: users grouped by their first active day;
+    * n_users = distinct users from cohort c active on day c + offset —
+    * the standard retention-curve table.
+    *
+    * Scale shape: the cohort map is a groupBy(user_id) min; joining it
+    * back to the (user_id, day) activity set co-partitions on user_id
+    * (one exchange feeds both the aggregate and the join probe), and
+    * the final count shuffles the (cohort, offset, user) distinct set —
+    * all partial-aggregated, nothing global. Day index is integer
+    * µs-arithmetic (≡ UTC date cast), so the oracle is exact. */
+  def retention(events: DataFrame): DataFrame =
+    LocalEvents.retention(events).getOrElse {
+      val day = expr("unix_micros(ts) div 86400000000").as("day")
+      val ud = events.select(col("user_id"), day)
+      val cohort = ud.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ud.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }
+
   def topUsers(events: DataFrame, k: Int = 3): DataFrame =
     LocalEvents.topUsers(events, k).getOrElse(
       rankTopUsers(userValueSums(events), k))

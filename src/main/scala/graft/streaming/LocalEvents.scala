@@ -330,6 +330,48 @@ object LocalEvents {
 
   /** ≡ Events.topUsers: top-k users by rounded value sum per event_type,
     * rank ties by user_id. */
+  /** ≡ Events.retention: per (cohort day = user's first active day,
+    * day offset) distinct-user counts. Day index = floorDiv(µs, 1 day)
+    * — identical to casting a UTC timestamp to DATE for the epoch-
+    * positive range. */
+  private[streaming] def retention(events: DataFrame): Option[DataFrame] =
+    localRows(events).map { case (_, us, uid, _, _) =>
+      val dayUs = 86400L * 1000 * 1000
+      val cohort = new java.util.HashMap[Long, Long]()
+      var i = 0
+      while (i < us.length) {
+        val d = Math.floorDiv(us(i), dayUs)
+        val c = cohort.get(uid(i))
+        if (!cohort.containsKey(uid(i)) || d < c) cohort.put(uid(i), d)
+        i += 1
+      }
+      // distinct (user, day) then count per (cohort, offset)
+      val seenUserDay = new java.util.HashSet[(Long, Long)]()
+      val counts = new java.util.LinkedHashMap[(Long, Long), Long]()
+      i = 0
+      while (i < us.length) {
+        val d = Math.floorDiv(us(i), dayUs)
+        if (seenUserDay.add((uid(i), d))) {
+          val c = cohort.get(uid(i))
+          val key = (c, d - c)
+          val prev = counts.get(key)
+          counts.put(key, if (prev == null) 1L else prev + 1L)
+        }
+        i += 1
+      }
+      val n = counts.size()
+      val coh = new Array[Long](n)
+      val off = new Array[Long](n)
+      val cnt = new Array[Long](n)
+      var j = 0
+      counts.forEach { (k2, c) =>
+        coh(j) = k2._1; off(j) = k2._2; cnt(j) = c
+        j += 1
+      }
+      shipDf(events.sparkSession, "cohort_day" -> coh,
+        "day_offset" -> off, "n_users" -> cnt)
+    }
+
   private[streaming] def topUsers(events: DataFrame, k: Int): Option[DataFrame] =
     localRows(events).map { case (_, _, uid, et, v) =>
       val sums = new java.util.LinkedHashMap[(String, Long), Double]()

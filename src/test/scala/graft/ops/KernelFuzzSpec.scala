@@ -185,7 +185,8 @@ class KernelFuzzSpec extends SparkSpec {
           ("range", () => graft.streaming.Events.rangeJoinCounts(
             ev, "buy", "click", halfHourUs)),
           ("funnel", () => graft.streaming.Events.funnel(
-            ev, Seq("view", "click", "buy"))))) {
+            ev, Seq("view", "click", "buy"))),
+          ("retention", () => graft.streaming.Events.retention(ev)))) {
           val (l, d) = bothWays("spark.graft.localEventsMaxRows")(q())
           assert(l === d, s"seed=$seed $name")
         }

@@ -78,6 +78,28 @@ class LocalEventsSpec extends SparkSpec {
     assert(l === d)
   }
 
+  test("retention: kernel ≡ distributed; cohort = first active day") {
+    val s = spark; import s.implicits._
+    val dayUs = 86400L * 1000000
+    val ev = Seq(
+      // user 1: first day 0, active days 0, 1, 3 (two events day 1)
+      (1L, 0L, 1L, "click", 0.0),
+      (2L, dayUs + 5, 1L, "click", 0.0),
+      (3L, dayUs + 6, 1L, "view", 0.0),
+      (4L, 3 * dayUs, 1L, "click", 0.0),
+      // user 2: first day 1, active days 1, 3
+      (5L, dayUs, 2L, "click", 0.0),
+      (6L, 3 * dayUs + 7, 2L, "click", 0.0)
+    ).toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val (l, d) = bothWays(Events.retention(ev))
+    assert(l === d)
+    val m = l.map(r => (r(0), r(1)) -> r(2)).toMap
+    assert(m((0L, 0L)) == 1L && m((0L, 1L)) == 1L && m((0L, 3L)) == 1L)
+    assert(m((1L, 0L)) == 1L && m((1L, 2L)) == 1L)
+    assert(m.size == 5)
+  }
+
   /** As-of/range fixture: equal-us ties (rights at the left's exact us
     * count, highest event_id wins), a left with no prior right, and range
     * endpoints (us - window inclusive, us exclusive). */
@@ -172,6 +194,8 @@ class LocalEventsSpec extends SparkSpec {
       assert(lr === dr, "rangeJoinCounts")
       val (lf, df) = bothWays(Events.funnel(ev))
       assert(lf === df, "funnel")
+      val (lre, dre) = bothWays(Events.retention(ev))
+      assert(lre === dre, "retention")
     } finally ev.unpersist()
   }
 }
