@@ -282,7 +282,7 @@ object SparkEntry {
     // orientation bounds the wedge fan-out on hubs; in-kernel merge
     // intersection under the BFS gate.
     "gr_triangles" -> ((s, dir) =>
-      graft.bfs.Triangles.run(s, coPurchase(s, dir))),
+      graft.bfs.Triangles.runCoPurchase(s, orderPartPairs(s, dir))),
 
     // Fixed-point PageRank, 10 synchronous iterations on the cleaned
     // graph. Integer (10^12-scaled) arithmetic makes the result exact
@@ -324,6 +324,11 @@ object SparkEntry {
     // purchase after that click; dropouts kept with null later steps.
     "ev_funnel" -> ((s, dir) =>
       streaming.Events.funnel(events(s, dir))),
+
+    // Daily cohort retention: distinct users active on day
+    // cohort + offset, cohort = first active day.
+    "ev_retention" -> ((s, dir) =>
+      streaming.Events.retention(events(s, dir))),
 
     // ---- training-data pipeline ops over documents/embeddings ----
 
@@ -389,6 +394,14 @@ object SparkEntry {
 
     // Within-document repetition signals (distinct token/bigram fractions).
     "tx_repetition" -> ((s, dir) => ops.TextOps.repetition(docs(s, dir))),
+
+    // Top-100 vocabulary (tokenizer / min-df prep); distributed top-k
+    // via TakeOrdered — no global sort.
+    "tx_vocab" -> ((s, dir) => ops.TextOps.vocabulary(docs(s, dir), 100)),
+
+    // Bigram conditional probabilities (statistical-LM filter prep).
+    "tx_bigram_lm" -> ((s, dir) =>
+      ops.TextOps.bigramConditional(docs(s, dir), 5L)),
 
     // Benchmark decontamination: corpus docs sharing any 8-gram with
     // the deterministic benchmark slice (doc_id % 50 == 0); broadcast
@@ -456,19 +469,15 @@ object SparkEntry {
   /** Deterministic 2000-line lineitem subset feeding cc_components and
     * sssp_dist: the global top-2000 sort runs once per sfDir, not once
     * per consumer. */
-  /** Part co-purchase projection: one raw pair per unordered part pair
-    * sharing an order (kept directed src < dst; duplicate pairs across
-    * orders retained — Triangles.run dedups in-kernel or via
-    * cleanEdges). The self-join shuffles lineitem on l_orderkey once;
-    * per-order fan-out is the small lines-per-order count, so no
-    * quadratic blowup. */
-  private def coPurchase(s: SparkSession, dir: String): DataFrame = {
-    val li = s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-  }
+  /** Raw (order, part) projection feeding the co-purchase triangle
+    * count: Triangles.runCoPurchase emits the co-occurrence pairs
+    * in-kernel under the gate (never running the group self-join) and
+    * falls back to the distributed self-join + degree-oriented count
+    * above it. */
+  private def orderPartPairs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("src"),
+        col("l_partkey").cast("long").as("dst"))
 
   private def lineitemSub(s: SparkSession, dir: String): DataFrame =
     cachedTable(s, s"$dir/lineitem_sub")(
@@ -690,6 +699,15 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |       count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_retention" ->
+      """WITH ud AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+        |SELECT c.cohort_day, u.day - c.cohort_day AS day_offset,
+        |       count(DISTINCT u.user_id) AS n_users
+        |FROM ud u JOIN coh c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "ev_sessions" ->
       """WITH e AS (
@@ -930,6 +948,29 @@ object SparkEntry {
         |  CAST(CASE WHEN COALESCE(o.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
         |    AS contaminated
         |FROM grams g LEFT JOIN ov o ON g.doc_id = o.doc_id""".stripMargin),
+
+    "tx_vocab" -> (TokCte.stripSuffix("\n") +
+      """,
+        |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+        |vagg AS (SELECT token, count(DISTINCT doc_id) AS n_docs,
+        |                count(*) AS n_occurrences
+        |         FROM tok GROUP BY token)
+        |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT)
+        |         AS rank,
+        |       token, n_docs, n_occurrences
+        |FROM vagg ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin),
+
+    "tx_bigram_lm" -> (TokCte.stripSuffix("\n") +
+      """,
+        |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |       FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        |             FROM toks WHERE len(tk) >= 2)),
+        |bcounts AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |wc AS (SELECT w1, w2, c12, sum(c12) OVER (PARTITION BY w1) AS c1
+        |       FROM bcounts)
+        |SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+        |       round(c12*1.0/c1, 6) AS p_cond
+        |FROM wc WHERE c12 >= 5""".stripMargin),
 
     "mix_sample" ->
       """SELECT doc_id, stratum, bucket,

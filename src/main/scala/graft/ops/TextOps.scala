@@ -165,17 +165,97 @@ object TextOps {
                     n: Int = 8): DataFrame = {
     val corpus = docs.where(!isBenchmark)
     val bench = docs.where(isBenchmark)
-    val corpusSh = shingles(corpus, n)
     val benchSh = shingles(bench, n).select(col("shingle")).distinct()
-    val overlap = corpusSh
-      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    val grams = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    grams.join(overlap, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        when(coalesce(col("n_overlap"), lit(0L)) > 0, 1L).otherwise(0L)
-          .as("contaminated"))
+    // single pass over the corpus shingles: mark benchmark membership
+    // with a broadcast left join, then count total + hits in ONE
+    // groupBy — the shingle explode (the expensive part at corpus
+    // scale) runs once, not once per aggregate
+    shingles(corpus, n)
+      .join(broadcast(benchSh.withColumn("m", lit(1))), Seq("shingle"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        count(col("m")).as("n_overlap"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        when(col("n_overlap") > 0, 1L).otherwise(0L).as("contaminated"))
+  }
+
+  /** Top-k corpus vocabulary: (rank, token, n_docs, n_occurrences),
+    * rank by (occurrences desc, token asc) — the vocab-building /
+    * min-df analysis step ahead of tokenizer training.
+    *
+    * The top-k is `orderBy(...).limit(k)` = Spark's TakeOrdered: every
+    * partition keeps its own k best and the driver merges k·partitions
+    * rows — no global sort, no single-task vocab-sized partition, so a
+    * billion-type vocabulary at 100 TB still ranks in one pass. The
+    * only caveat is `countDistinct(doc_id)` (document frequency), which
+    * costs the standard expand-shuffle; it rides the same groupBy key. */
+  def vocabulary(docs: DataFrame, k: Int = 100): DataFrame = {
+    val agg = tokenized(docs)
+      .select(col("doc_id"), explode(col("tk")).as("token"))
+      .groupBy("token").agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token")).limit(k)
+    // rank materializes over the k collected survivors only
+    agg.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occurrences").desc, col("token"))).cast("long"))
+      .select("rank", "token", "n_docs", "n_occurrences")
+  }
+
+  /** Bigram conditional probabilities P(w2 | w1) = c(w1 w2) / c(w1 ·)
+    * over the corpus, for bigrams seen at least `minCount` times — the
+    * count table behind statistical LM quality filters.
+    *
+    * One explode + one groupBy(w1, w2); the conditional denominator is
+    * a window sum over the w1 partition of the ALREADY-AGGREGATED
+    * bigram table (|distinct bigrams| rows, not |corpus tokens|), so
+    * the second exchange is small; minCount prunes the long tail before
+    * output. */
+  def bigramConditional(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val tk = tokens(col("text"))
+    val bigrams = zip_with(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val counts = docs
+      .select(explode(bigrams).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val w1Tot = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    counts
+      .withColumn("c1", sum(col("c12")).over(w1Tot))
+      .where(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1"), 6).as("p_cond"))
+  }
+
+  /** Streaming twin of [[decontaminate]]: score a document stream
+    * against a STATIC benchmark table. The benchmark shingle set is
+    * collected once (small by construction — eval suites, not corpora)
+    * and broadcast; each streamed document computes its in-row distinct
+    * shingle array and counts membership map-side. Completely
+    * stateless — no watermark, no state store, no shuffle — so it runs
+    * at ingest rate on any number of executors. Output contract matches
+    * the batch operator row-for-row for the same documents. */
+  def decontaminateStream(stream: DataFrame, bench: DataFrame,
+                          n: Int = 8): DataFrame = {
+    val spark = bench.sparkSession
+    require(!bench.isStreaming, "benchmark must be a static table")
+    val benchSet = shingles(bench, n).select("shingle")
+      .distinct().collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(benchSet)
+    val hits = udf { (sh: Seq[String]) => sh.count(bc.value.contains).toLong }
+    val shArr = array_distinct(transform(
+      sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(col("tk"), i, lit(n)))))
+    stream.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), shArr.as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_grams"),
+        hits(col("sh")).as("n_overlap"))
+      .withColumn("contaminated",
+        when(col("n_overlap") > 0, 1L).otherwise(0L))
   }
 
   /** Polynomial rolling-hash fingerprint over the document's code points:

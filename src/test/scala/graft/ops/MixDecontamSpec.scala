@@ -44,6 +44,34 @@ class MixDecontamSpec extends SparkSpec {
     assert(byId(3L) == 0L)
   }
 
+  test("decontaminateStream matches the batch operator row-for-row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = "the quick brown fox jumps over the lazy dog"
+    val corpusRows = Seq(
+      (1L, s"prefix words here $bench suffix"),
+      (3L, "completely unrelated text with eight tokens padding now"),
+      (5L, "the quick brown fox walks under a lazy dog"))
+    val all = docs((corpusRows :+ (0L, bench)): _*)
+    val batch = TextOps.decontaminate(all, col("doc_id") % 2 === 0, n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = TextOps.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), docs((0L, bench)), n = 8)
+      .writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpusRows: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM decontam_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   // ---- duplicatedSpans ----
 
   test("duplicatedSpans: shared span coverage with overlapping-window union") {
@@ -76,6 +104,41 @@ class MixDecontamSpec extends SparkSpec {
     val d = docs((0L, rep), (1L, "totally different words fill this document body here"))
     val out = Dedup.duplicatedSpans(d, 8).orderBy("doc_id").collect()
     assert(out(0).getLong(3) == 0L)
+  }
+
+  // ---- vocabulary / bigram LM ----
+
+  test("vocabulary ranks by (occurrences desc, token), counts doc frequency") {
+    val d = docs(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry banana banana"),
+      (2L, "cherry"))
+    val v = TextOps.vocabulary(d, 3).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // apple 3×/2 docs, banana 3×/2 docs (tie → banana after apple), cherry 2×/2
+    assert(v.toSeq == Seq(
+      (1L, "apple", 2L, 3L), (2L, "banana", 2L, 3L), (3L, "cherry", 2L, 2L)))
+  }
+
+  test("vocabulary limit keeps exactly top-k under the total order") {
+    val d = docs((0L, "a a a b b c"))
+    val v = TextOps.vocabulary(d, 2).orderBy("rank").collect()
+    assert(v.map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("bigramConditional: counts and P(w2|w1) with minCount pruning") {
+    val d = docs(
+      (0L, "to be or not to be"),
+      (1L, "to be to be to go"))
+    val r = TextOps.bigramConditional(d, 2L).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    // "to *": to be ×4, to go ×1, (not to handled under "not")
+    // c1 counts ALL bigram starts of w1 (incl. pruned tails)
+    assert(r(("to", "be")) == ((4L, 5L, 0.8)))
+    // "be *": be or ×1, be to ×2, be(end) not a bigram → c1 = 3
+    assert(r(("be", "to")) == ((2L, 3L, 0.666667)))
+    assert(!r.contains(("to", "go"))) // below minCount
   }
 
   // ---- Mix ----
