@@ -89,6 +89,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Phase boundary: the query surface leaves persisted tables,
+    // broadcasts and kernel arrays behind; at SCALE 18+ the protocol
+    // phase then allocates multi-hundred-MB primitive arrays into a
+    // fragmented old gen and its timed runs absorb the GC churn
+    // (measured: batched throughput ~190 MTEPS after 54 queries vs
+    // ~290 MTEPS in a fresh JVM). Drop the query phase's state and
+    // compact before timing the protocol.
+    if (queriesOn && g500On) {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
     val g500 = if (g500On) {
       val t0 = System.nanoTime()
       try {
