@@ -27,6 +27,8 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.getOrElse("SPARK_GRAFT_FORCE_DISTRIBUTED", "0") == "1")
+      graft.Gates.forceDistributed(spark)
     for (n <- names; i <- 1 to 3)
       t(s"$n#$i")(graft.SparkEntry.queries(n)(spark, sfDir).count())
     spark.stop()
@@ -43,6 +45,8 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.getOrElse("SPARK_GRAFT_FORCE_DISTRIBUTED", "0") == "1")
+      graft.Gates.forceDistributed(spark)
     import org.apache.spark.sql.functions.col
     for (i <- 1 to 3) {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -69,6 +73,8 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.getOrElse("SPARK_GRAFT_FORCE_DISTRIBUTED", "0") == "1")
+      graft.Gates.forceDistributed(spark)
 
     // ---- graph500 construction at SCALE ----
     for (round <- 1 to 3) {
