@@ -103,6 +103,60 @@ object Events {
         })
   }
 
+  /** Per-user funnel progress: first-completion µs per step, -1 unset. */
+  final case class FunnelState(times: Array[Long])
+
+  /** STREAMING funnel: per-user step state via `mapGroupsWithState`
+    * (update mode). Each micro-batch advances a user's first-completion
+    * times; a step fills only when its predecessor is already filled
+    * and the event is at-or-after it — the batch cascade's recurrence,
+    * applied incrementally. Matches [[funnel]] row-for-row on in-order
+    * input (same contract as [[asofJoinStream]]: a step event arriving
+    * in an earlier micro-batch than its predecessor is not
+    * re-evaluated). State is one fixed-length long array per user —
+    * watermark-free, bounded by the user universe. */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+                   steps: Seq[String] = FunnelSteps): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty)
+    val nS = steps.length
+    val updated = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[FunnelState]) => {
+          val t = state.getOption.map(_.times.clone())
+            .getOrElse(Array.fill(nS)(-1L))
+          rows.toSeq.sortBy(_._2).foreach { case (_, us, et) =>
+            var k = 0
+            var done = false
+            while (k < nS && !done) {
+              if (t(k) == -1L && steps(k) == et &&
+                (k == 0 || (t(k - 1) != -1L && us >= t(k - 1)))) {
+                t(k) = us
+                done = true
+              }
+              k += 1
+            }
+          }
+          state.update(FunnelState(t))
+          (user, t)
+        })
+    updated.toDF("user_id", "times")
+      .where(element_at(col("times"), 1) =!= -1L)
+      .select(
+        col("user_id") +:
+          steps.indices.map(i =>
+            when(element_at(col("times"), i + 1) =!= -1L,
+              element_at(col("times"), i + 1)).as(s"t_${steps(i)}")) :+
+          size(filter(col("times"), x => x =!= -1L)).cast("long")
+            .as("steps_completed"): _*)
+  }
+
   /** Default as-of/range pairing: each `purchase` looks back at `click`s. */
   val AsofLeftType = "purchase"
   val AsofRightType = "click"

@@ -65,6 +65,46 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream advances per-user step state across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.funnelStream(spark, mem.toDF(),
+        Seq("signup", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 signs up and clicks; a click BEFORE the signup
+      // must not count; user 2 clicks with no signup (no output row)
+      mem.addData(
+        Ev(1, ts(5), 1, "click", 0.0),
+        Ev(2, ts(10), 1, "signup", 0.0),
+        Ev(3, ts(20), 1, "click", 0.0),
+        Ev(4, ts(1), 2, "click", 0.0))
+      q.processAllAvailable()
+      val r1 = spark.sql(
+        "SELECT * FROM funnel_stream WHERE user_id = 1 ORDER BY steps_completed DESC LIMIT 1").head()
+      def us(min: Int) = ts(min).getTime * 1000L
+      assert(r1.getLong(1) === us(10) && r1.getLong(2) === us(20))
+      assert(r1.isNullAt(3) && r1.getLong(4) === 2L)
+      assert(spark.sql("SELECT * FROM funnel_stream WHERE user_id = 2").count() === 0L)
+      // batch 2: the purchase completes the funnel using state from batch 1
+      mem.addData(Ev(5, ts(30), 1, "purchase", 0.0))
+      q.processAllAvailable()
+      val r2 = spark.sql(
+        "SELECT * FROM funnel_stream WHERE user_id = 1 ORDER BY steps_completed DESC LIMIT 1").head()
+      assert(r2.getLong(3) === us(30) && r2.getLong(4) === 3L)
+      // matches the batch funnel on the same (in-order) data
+      val batch = Events.funnel(evDf(
+        Ev(1, ts(5), 1, "click", 0.0), Ev(2, ts(10), 1, "signup", 0.0),
+        Ev(3, ts(20), 1, "click", 0.0), Ev(4, ts(1), 2, "click", 0.0),
+        Ev(5, ts(30), 1, "purchase", 0.0)),
+        Seq("signup", "click", "purchase")).collect()
+      assert(batch.length === 1)
+      assert(batch.head.toSeq === r2.toSeq)
+    } finally q.stop()
+  }
+
   test("asofJoinStream carries the last right event across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext
