@@ -377,6 +377,12 @@ object SparkEntry {
     "sim_ivf_kmeans" -> ((s, dir) =>
       ops.Similarity.ivfTopK(emb(s, dir), 5, 10, 16, 4, nIter = 3)),
 
+    // Per-label embedding centroids (mean-pool prototypes), long form.
+    "sim_labelmeans" -> ((s, dir) =>
+      ops.Similarity.labelCentroids(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .select("label", "embedding"))),
+
     // Language-ID marker scores + argmax prediction.
     "tx_langid" -> ((s, dir) => ops.TextOps.langId(docs(s, dir))),
 
@@ -394,6 +400,11 @@ object SparkEntry {
 
     // Within-document repetition signals (distinct token/bigram fractions).
     "tx_repetition" -> ((s, dir) => ops.TextOps.repetition(docs(s, dir))),
+
+    // Quality-score percentiles per language (filter-threshold study).
+    "tx_quality_pcts" -> ((s, dir) =>
+      ops.TextOps.qualityPercentiles(docs(s, dir),
+        docsMeta(s, dir).select(col("doc_id"), col("lang").as("stratum")))),
 
     // Top-100 vocabulary (tokenizer / min-df prep); distributed top-k
     // via TakeOrdered — no global sort.
@@ -948,6 +959,30 @@ object SparkEntry {
         |  CAST(CASE WHEN COALESCE(o.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
         |    AS contaminated
         |FROM grams g LEFT JOIN ov o ON g.doc_id = o.doc_id""".stripMargin),
+
+    "sim_labelmeans" ->
+      """WITH ex AS (SELECT label, embedding,
+        |              unnest(generate_series(1, len(embedding))) AS ii
+        |            FROM embeddings)
+        |SELECT label, CAST(ii - 1 AS BIGINT) AS dim, count(*) AS n_vecs,
+        |       round(avg(CAST(embedding[ii] AS DOUBLE)), 6) AS centroid
+        |FROM ex GROUP BY 1, 2""".stripMargin,
+
+    "tx_quality_pcts" -> (TokCte.stripSuffix("\n") +
+      """,
+        |qs AS (SELECT d.doc_id, d.lang AS stratum,
+        |         round(CASE WHEN len(tk) >= 10
+        |           THEN round(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b'))*1.0
+        |                      / greatest(len(tk), 1), 6) * 2.0
+        |                - round(len(regexp_extract_all(text, '[.,;:!?]'))*1.0
+        |                        / greatest(length(text), 1), 6)
+        |           ELSE -1.0 END, 6) AS q
+        |       FROM toks JOIN documents d USING (doc_id))
+        |SELECT stratum, count(*) AS n_docs,
+        |       round(quantile_cont(q, 0.25), 6) AS q25,
+        |       round(quantile_cont(q, 0.5), 6) AS q50,
+        |       round(quantile_cont(q, 0.75), 6) AS q75
+        |FROM qs GROUP BY stratum""".stripMargin),
 
     "tx_vocab" -> (TokCte.stripSuffix("\n") +
       """,

@@ -322,4 +322,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cosine"))
   }
+
+  /** Per-label embedding centroids in LONG form — (label, dim, n_vecs,
+    * centroid) — the mean-pool aggregation behind class prototypes /
+    * centroid-classifier evaluation over an embedding column.
+    *
+    * Shape: `posexplode` fans each vector into (label, dim, value)
+    * rows — a narrow map — and ONE groupBy(label, dim) with partial
+    * (map-side) aggregation reduces them; the exchange carries
+    * O(labels × dims) partial sums per partition, never the vectors.
+    * Long form keeps the result relational (no |dims|-wide row), which
+    * is also what a downstream join against per-dim statistics wants. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("v").cast("double")), 6).as("centroid"))
 }

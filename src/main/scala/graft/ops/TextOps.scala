@@ -179,6 +179,24 @@ object TextOps {
         when(col("n_overlap") > 0, 1L).otherwise(0L).as("contaminated"))
   }
 
+  /** Exact quality-score percentiles per stratum (the distribution
+    * check behind per-language / per-source filter thresholds):
+    * (stratum, n_docs, q25, q50, q75). `strata` carries
+    * (doc_id, stratum).
+    *
+    * `percentile` is Spark's exact interpolating order statistic
+    * (≡ SQL quantile_cont) — fine per-stratum at any corpus size
+    * because the sort is per-group; for truly enormous single strata
+    * `approx_percentile` is the drop-in relaxation. */
+  def qualityPercentiles(docs: DataFrame, strata: DataFrame): DataFrame =
+    quality(docs).select(col("doc_id"), col("quality_score"))
+      .join(strata, "doc_id")
+      .groupBy("stratum").agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("quality_score"), lit(0.25)), 6).as("q25"),
+        round(percentile(col("quality_score"), lit(0.5)), 6).as("q50"),
+        round(percentile(col("quality_score"), lit(0.75)), 6).as("q75"))
+
   /** Top-k corpus vocabulary: (rank, token, n_docs, n_occurrences),
     * rank by (occurrences desc, token asc) — the vocab-building /
     * min-df analysis step ahead of tokenizer training.

@@ -106,6 +106,36 @@ class MixDecontamSpec extends SparkSpec {
     assert(out(0).getLong(3) == 0L)
   }
 
+  // ---- label centroids / quality percentiles ----
+
+  test("labelCentroids: per-(label, dim) mean in long form") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 2.0f), 0),
+      (1L, Seq(3.0f, 6.0f), 0),
+      (2L, Seq(10.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroids(e.select("label", "embedding"))
+      .collect().map(x => (x.getInt(0), x.getLong(1)) -> (x.getLong(2), x.getDouble(3)))
+      .toMap
+    assert(r((0, 0L)) == ((2L, 2.0)) && r((0, 1L)) == ((2L, 4.0)))
+    assert(r((1, 0L)) == ((1L, 10.0)) && r((1, 1L)) == ((1L, 0.0)))
+  }
+
+  test("qualityPercentiles: exact interpolated quartiles per stratum") {
+    val s = spark; import s.implicits._
+    // quality_score is -1.0 for docs under 10 tokens → known constant
+    val d = docs(
+      (0L, "short doc"), (1L, "also short"), (2L, "tiny"), (3L, "small one"))
+    val strata = Seq((0L, "a"), (1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("doc_id", "stratum")
+    val r = TextOps.qualityPercentiles(d, strata).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+      .toMap
+    assert(r("a") == ((3L, -1.0, -1.0, -1.0)))
+    assert(r("b") == ((1L, -1.0, -1.0, -1.0)))
+  }
+
   // ---- vocabulary / bigram LM ----
 
   test("vocabulary ranks by (occurrences desc, token), counts doc frequency") {
