@@ -71,8 +71,12 @@ object TextOps {
       .cast("long")
     val nStop = size(regexp_extract_all(col("text"),
       lit("\\b(the|a|and|of|to|in|is|it)\\b"), lit(0))).cast("long")
+    // Σ length(token) == length of the separator-free concatenation —
+    // a pure codegen expression; the equivalent aggregate() HOF fold
+    // runs an interpreted lambda per token (same reasoning that moved
+    // the fingerprint to a native expression)
     val avgTokLen = round(
-      aggregate(tk, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      length(concat_ws("", tk)).cast("double") /
         greatest(nTok, lit(1L)), 6)
     val punctRatio = round(nPunct.cast("double") / greatest(nChars, lit(1L)), 6)
     val stopRatio = round(nStop.cast("double") / greatest(nTok, lit(1L)), 6)

@@ -193,4 +193,38 @@ class KernelFuzzSpec extends SparkSpec {
       } finally ev.unpersist()
     }
   }
+
+  test("triangle + pagerank kernels ≡ distributed on random graphs (6 seeds)") {
+    val s = spark; import s.implicits._
+    for (seed <- 0L until 6L) {
+      val rnd = new scala.util.Random(seed)
+      // random multigraph with loops, duplicates, hubs (vertex 0 hot),
+      // and isolated id gaps
+      val n = 10 + rnd.nextInt(40)
+      val pairs = Seq.fill(n * 4) {
+        val a = if (rnd.nextInt(4) == 0) 0L else rnd.nextInt(n).toLong * 3
+        val b = rnd.nextInt(n).toLong * 3
+        (a, b)
+      }
+      val df = pairs.toDF("src", "dst").persist()
+      try {
+        val (lt, dt) = bothWays("spark.graft.localBfsMaxEdges")(
+          graft.bfs.Triangles.run(spark, df))
+        assert(lt === dt, s"seed=$seed triangles")
+        // pagerank: kernel on the cleaned CSR vs the distributed loop —
+        // integer fixed point ⇒ exact equality
+        val noLoops = pairs.filter(p => p._1 != p._2)
+        if (noLoops.nonEmpty) {
+          val csr = graft.bfs.LocalCsr.buildFromRawPairs(
+            noLoops.flatMap(p => Seq(p._1, p._2)).toArray)
+          val kernel = csr.ids.zip(graft.bfs.PageRank.pagerankCsr(csr, 10))
+            .toMap
+          val clean = graft.etl.EdgeOps.cleanEdges(df)
+          val dist = graft.bfs.PageRank.pagerank(spark, clean, 10)
+            .as[(Long, Long)].collect().toMap
+          assert(dist === kernel, s"seed=$seed pagerank")
+        }
+      } finally df.unpersist()
+    }
+  }
 }
