@@ -48,6 +48,11 @@ object PageRank {
       .agg(count(lit(1)).as("outdeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nV = od.count() // one scalar agg job, also materializes od
+    if (nV == 0) {
+      edges.unpersist(); od.unpersist()
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("vertex", "rank_fp")
+    }
     val base = (Scale * 15L / 100L) / nV
     var ranks = od.select(col("v"), col("outdeg"), lit(Scale / nV).as("r"))
     var i = 1
@@ -75,6 +80,7 @@ object PageRank {
     * the distributed recurrence, exactly the same longs. */
   def pagerankCsr(csr: LocalCsr, iters: Int = 10): Array[Long] = {
     val nV = csr.nVerts
+    if (nV == 0) return Array.emptyLongArray
     val rs = csr.rowStarts
     val nbrs = csr.nbrs
     val base = (Scale * 15L / 100L) / nV

@@ -62,6 +62,14 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("empty graph yields an empty result, not a division by zero") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.pagerank(spark, empty, 10).count() === 0L)
+    assert(PageRank.pagerankCsr(
+      LocalCsr.buildFromRawPairs(Array.emptyLongArray), 10).isEmpty)
+  }
+
   test("regular graph (cycle) converges to the uniform fixed point") {
     val n = 12L
     val pairs = (0L until n).map(i => (i, (i + 1) % n))
