@@ -427,6 +427,11 @@ object SparkEntry {
         Map("en" -> 10000L, "es" -> 5000L, "fr" -> 2500L,
           "de" -> 2000L, "zh" -> 1000L), 5000L)),
 
+    // Exact-k stratified sample (5 per language) via the bounded-heap
+    // top-k TypedImperativeAggregate — O(k) exchange per partition.
+    "mix_topk" -> ((s, dir) =>
+      ops.Mix.exactStratifiedSample(docsMeta(s, dir), col("lang"), 5)),
+
     // Token-budget mixing weights per source (equal-share, capped at 1).
     "mix_weights" -> ((s, dir) =>
       ops.Mix.mixingWeights(
@@ -1019,6 +1024,19 @@ object SparkEntry {
         |                   c -> CAST(ord(c) AS BIGINT))),
         |    (h, cp) -> (h * 31 + cp) % 1000000007) % 10000 AS bucket
         |  FROM documents)""".stripMargin,
+
+    "mix_topk" ->
+      """SELECT stratum, doc_id, bucket, rk FROM (
+        |  SELECT stratum, doc_id, bucket,
+        |    CAST(row_number() OVER (PARTITION BY stratum
+        |                            ORDER BY bucket, doc_id) AS BIGINT) AS rk
+        |  FROM (SELECT doc_id, lang AS stratum,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR) || ':' || lang, ''),
+        |                     c -> CAST(ord(c) AS BIGINT))),
+        |      (h, cp) -> (h * 31 + cp) % 1000000007) % 10000 AS bucket
+        |    FROM documents))
+        |WHERE rk <= 5""".stripMargin,
 
     "mix_weights" -> (TokCte.stripSuffix("\n") +
       """,

@@ -32,6 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KronEdge(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("topk_pair_min"),
+      new ExpressionInfo(classOf[TopKPairMin].getName, "topk_pair_min"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "topk_pair_min takes 3 arguments")
+        // raw AggregateFunction: the analyzer wraps it in an
+        // AggregateExpression during function resolution
+        TopKPairMin(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("poly_fingerprint"),
       new ExpressionInfo(classOf[StringPolyHash].getName, "poly_fingerprint"),
       (children: Seq[Expression]) => {

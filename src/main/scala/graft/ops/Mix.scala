@@ -43,6 +43,34 @@ object Mix {
       when(bucket < cut, 1L).otherwise(0L).as("kept"))
   }
 
+  /** EXACT-size stratified sample: the k documents per stratum with the
+    * smallest (bucket, doc_id) hash rank — the fixed-quota counterpart
+    * of [[stratifiedSample]]'s rate-based keep. Deterministic for the
+    * same reason (pure hash of (doc_id, stratum)), and the quota is hit
+    * exactly (or the stratum size, if smaller).
+    *
+    * Scale shape: one groupBy(stratum) whose aggregate is the
+    * [[graft.functions.TopKPairMin]] bounded-heap
+    * TypedImperativeAggregate — partial aggregation keeps ≤k pairs per
+    * (stratum, map partition), so the exchange payload is O(k) per
+    * partition however skewed the strata are. The window-rank
+    * formulation this replaces sorts each stratum in one task.
+    *
+    * Output: (stratum, doc_id, bucket, rk) with rk = 1..k by hash rank. */
+  def exactStratifiedSample(docs: DataFrame, stratum: Column,
+                            k: Int): DataFrame = {
+    val bucket = pmod(graft.functions.StringPolyHash.fingerprint(
+      concat(col("doc_id").cast("string"), lit(":"), stratum)), lit(Buckets))
+    docs
+      .select(stratum.as("stratum"), bucket.as("bucket"), col("doc_id"))
+      .groupBy("stratum")
+      .agg(graft.functions.TopKPairMin
+        .topk(col("bucket"), col("doc_id"), k).as("picks"))
+      .select(col("stratum"), posexplode(col("picks")).as(Seq("pos", "p")))
+      .select(col("stratum"), col("p.id").as("doc_id"),
+        col("p.score").as("bucket"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Token-budget mixing weights: per stratum (source), the sampling
     * weight that levels every stratum to an equal share of the total
     * token budget, capped at 1.0 (never upsample):

@@ -192,6 +192,61 @@ class MixDecontamSpec extends SparkSpec {
     assert(keptSet(2000L) == k2)
   }
 
+  test("TopKPairMin: bounded-heap aggregate == window rank, incl. SQL form") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    // skewed groups: group 0 holds ~80% of rows; many partitions force
+    // partial-buffer serialization + merges
+    val rows = Seq.tabulate(4000) { i =>
+      val g = if (rnd.nextInt(5) > 0) 0L else rnd.nextInt(4).toLong
+      (g, rnd.nextInt(100).toLong, i.toLong)
+    }
+    val df = rows.toDF("g", "score", "id").repartition(16).persist()
+    try {
+      val agg = df.groupBy("g")
+        .agg(graft.functions.TopKPairMin.topk(col("score"), col("id"), 7).as("p"))
+        .select(col("g"), posexplode(col("p")).as(Seq("pos", "x")))
+        .select(col("g"), col("x.score"), col("x.id"), (col("pos") + 1).as("rk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(r => (r._2, r._3)).sorted.take(7).zipWithIndex
+          .map { case ((sc, id), i) => (g, sc, id, i + 1) }
+      }.toSet
+      assert(agg === expected)
+      // SQL registration path
+      df.createOrReplaceTempView("topk_in")
+      val viaSql = spark.sql(
+        "SELECT g, topk_pair_min(score, id, 7) AS p FROM topk_in GROUP BY g")
+        .select(col("g"), explode(col("p.id")).as("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaSql === expected.map(e => (e._1, e._3)))
+    } finally { df.unpersist(); () }
+  }
+
+  test("exactStratifiedSample hits the quota exactly and deterministically") {
+    val s = spark; import s.implicits._
+    val meta = (0L until 300L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val r = Mix.exactStratifiedSample(meta, col("lang"), 4).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.count(_._1 == "a") == 4 && r.count(_._1 == "b") == 4)
+    // rk is 1..4 by (bucket, doc_id) within each stratum
+    r.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == Seq(1L, 2L, 3L, 4L))
+      assert(sorted.map(x => (x._3, x._2)).toSeq ==
+        sorted.map(x => (x._3, x._2)).sortBy(identity).toSeq)
+    }
+    // deterministic across evaluations
+    val again = Mix.exactStratifiedSample(meta, col("lang"), 4).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(again.toSet == r.toSet)
+    // quota above stratum size returns the whole stratum
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "lang")
+    assert(Mix.exactStratifiedSample(tiny, col("lang"), 10).count() == 2L)
+  }
+
   test("mixingWeights levels token budget across strata, capped at 1") {
     val s = spark; import s.implicits._
     val d = Seq(
