@@ -383,6 +383,13 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet")
           .select("label", "embedding"))),
 
+    // Symmetric int8 embedding quantization (long form) — narrow map,
+    // codegen column expressions only.
+    "sim_quantize" -> ((s, dir) =>
+      ops.Similarity.quantizeInt8(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding"))),
+
     // Language-ID marker scores + argmax prediction.
     "tx_langid" -> ((s, dir) => ops.TextOps.langId(docs(s, dir))),
 
@@ -414,6 +421,10 @@ object SparkEntry {
     "tx_bigram_lm" -> ((s, dir) =>
       ops.TextOps.bigramConditional(docs(s, dir), 5L)),
 
+    // Top-3 tf-idf terms per document (keyword extraction); rank is a
+    // per-doc window over the already-aggregated term table.
+    "tx_tfidf" -> ((s, dir) => ops.TextOps.tfidf(docs(s, dir), 3)),
+
     // Benchmark decontamination: corpus docs sharing any 8-gram with
     // the deterministic benchmark slice (doc_id % 50 == 0); broadcast
     // semi-join against the (small) benchmark shingle set.
@@ -440,6 +451,17 @@ object SparkEntry {
             .select(col("doc_id"), col("ws_tokens").as("n_tokens")),
           "doc_id"),
         col("source"))),
+
+    // Token-budget shard packing per source: two-phase distributed
+    // prefix sum (NOT a corpus-sized window partition); a shard is
+    // ~2048 contiguous tokens in doc_id order.
+    "mix_pack" -> ((s, dir) =>
+      ops.Mix.pack(
+        docsMeta(s, dir).join(
+          ops.TextOps.tokenCounts(docs(s, dir))
+            .select(col("doc_id"), col("ws_tokens").as("n_tokens")),
+          "doc_id"),
+        col("source"), 2048L)),
 
     // Multimodal: stub decode metadata via batched mapPartitions.
     "mm_decode" -> ((s, dir) =>
@@ -1049,6 +1071,48 @@ object SparkEntry {
         |  CAST(floor(round(least(1.0, total_tokens*1.0/(n_strata*n_tokens)), 6)
         |             * n_tokens) AS BIGINT) AS expected_tokens
         |FROM per, tot""".stripMargin),
+
+    "mix_pack" -> (TokCte.stripSuffix("\n") +
+      """,
+        |wt AS (SELECT d.source AS stratum, d.doc_id, len(t.tk) AS n_tokens
+        |       FROM toks t JOIN documents d USING (doc_id)),
+        |cum AS (SELECT stratum, doc_id, n_tokens,
+        |          sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            - n_tokens AS start_offset
+        |        FROM wt)
+        |SELECT stratum, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(start_offset AS BIGINT) AS start_offset,
+        |       CAST(floor(start_offset / 2048.0) AS BIGINT) AS shard
+        |FROM cum""".stripMargin),
+
+    "tx_tfidf" -> (TokCte.stripSuffix("\n") +
+      """,
+        |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM tok GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_corpus FROM documents),
+        |sc AS (SELECT doc_id, token, tf, df,
+        |         round(tf * ln(n_corpus * 1.0 / df), 6) AS score
+        |       FROM tf JOIN dfq USING (token), nd),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, tf DESC, df, token) AS BIGINT) AS rk
+        |       FROM sc)
+        |SELECT doc_id, token, tf, df, score, rk FROM rk WHERE rk <= 3""".stripMargin),
+
+    "sim_quantize" ->
+      """WITH ex AS (SELECT vec_id, embedding,
+        |              unnest(generate_series(1, len(embedding))) AS ii,
+        |              list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                      x -> abs(x))) AS mx
+        |            FROM embeddings)
+        |SELECT vec_id, CAST(ii - 1 AS BIGINT) AS dim,
+        |       CAST(CASE WHEN mx = 0 THEN 0
+        |            ELSE round(CAST(embedding[ii] AS DOUBLE) / (mx / 127.0), 0)
+        |            END AS BIGINT) AS q,
+        |       round(mx / 127.0, 6) AS scale
+        |FROM ex""".stripMargin,
 
     "dd_embedding" -> (EmbCte +
       """SELECT * FROM (

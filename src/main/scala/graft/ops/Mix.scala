@@ -71,6 +71,96 @@ object Mix {
         col("p.score").as("bucket"), (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** Token-budget shard packing: assign each document a contiguous
+    * training shard of ~`budget` tokens within its stratum, in doc_id
+    * order. `shard = floor(start_offset / budget)` where `start_offset`
+    * is the exact number of tokens in earlier (same-stratum, lower
+    * doc_id) documents — the greedy document-contiguous sharding a
+    * sequence-packing stage feeds the tokenizer (a shard may overrun
+    * the budget by the tail of its last document; documents are never
+    * split).
+    *
+    * Scale shape: the naive formulation is a running cumulative sum,
+    * i.e. `sum() OVER (PARTITION BY stratum ORDER BY doc_id)` — with a
+    * handful of strata that is one task sorting a corpus-sized
+    * partition, the classic 100 TB window anti-pattern. This
+    * implementation is a TWO-PHASE DISTRIBUTED PREFIX SUM instead:
+    *
+    *  1. range-partition by (stratum, doc_id) and sort within
+    *     partitions — order is global across the partition index;
+    *  2. pass 1 (`mapPartitions`): per-(partition, stratum) token
+    *     subtotals — one tiny row per stratum run, collected to the
+    *     driver (O(partitions), not O(rows));
+    *  3. exclusive-scan the subtotals per stratum in partition order,
+    *     broadcast the resulting base-offset table;
+    *  4. pass 2 (`mapPartitions` over the SAME persisted partitions):
+    *     local running sum + broadcast base = exact global offset.
+    *
+    * Every pass is a narrow scan; the only shuffle is the initial
+    * range exchange, and no task ever holds more than its partition.
+    *
+    * The two passes go through `RDD.mapPartitionsWithIndex` (the one
+    * genuinely per-partition-imperative operator here), NOT
+    * `TaskContext.getPartitionId()`/`spark_partition_id()`: those name
+    * the running TASK, which a downstream `coalesce` (e.g. a writer's
+    * `coalesce(1)`) silently rebinds — the index that keys the base-
+    * offset table must be the DATA partition's, bound at plan time.
+    * Output: (stratum, doc_id, n_tokens, start_offset, shard). */
+  def pack(docsWithTokens: DataFrame, stratum: Column,
+           budget: Long): DataFrame = {
+    require(budget > 0, s"pack: budget must be positive, got $budget")
+    val spark = docsWithTokens.sparkSession
+    import spark.implicits._
+    val sorted = docsWithTokens
+      .select(stratum.cast("string").as("stratum"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .repartitionByRange(col("stratum"), col("doc_id"))
+      .sortWithinPartitions("stratum", "doc_id")
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-(partition, stratum) subtotals. Strata are contiguous
+    // runs inside a sorted partition, so this is a single streaming scan.
+    val subtotals: Array[(Int, String, Long)] =
+      sorted.mapPartitionsWithIndex { (pid, it) =>
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+        var cur: String = null
+        var acc = 0L
+        it.foreach { case (s, _, t) =>
+          if (s != cur) {
+            if (cur != null) runs += ((pid, cur, acc))
+            cur = s; acc = 0L
+          }
+          acc += t
+        }
+        if (cur != null) runs += ((pid, cur, acc))
+        runs.iterator
+      }.collect()
+    // exclusive scan per stratum in partition order → base offsets
+    val base: Map[(Int, String), Long] = {
+      val out = Map.newBuilder[(Int, String), Long]
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      subtotals.sortBy(_._1).foreach { case (pid, s, t) =>
+        out += ((pid, s) -> running.getOrElse(s, 0L))
+        running(s) = running.getOrElse(s, 0L) + t
+      }
+      out.result()
+    }
+    val bcBase = spark.sparkContext.broadcast(base)
+    // pass 2: same persisted partitions → exact global running offset
+    sorted.mapPartitionsWithIndex { (pid, it) =>
+      var cur: String = null
+      var acc = 0L
+      it.map { case (s, id, t) =>
+        if (s != cur) { cur = s; acc = bcBase.value.getOrElse((pid, s), 0L) }
+        val off = acc
+        acc += t
+        (s, id, t, off, off / budget)
+      }
+    }.toDF("stratum", "doc_id", "n_tokens", "start_offset", "shard")
+  }
+
   /** Token-budget mixing weights: per stratum (source), the sampling
     * weight that levels every stratum to an equal share of the total
     * token budget, capped at 1.0 (never upsample):

@@ -225,6 +225,39 @@ object TextOps {
       .select("rank", "token", "n_docs", "n_occurrences")
   }
 
+  /** Top-k characteristic terms per document by tf-idf:
+    * score = tf · ln(N / df) with tf the in-document term count, df the
+    * number of documents containing the term, N the corpus size — the
+    * keyword-extraction step behind topic tagging and near-dup triage.
+    *
+    * Two groupBys (term frequency, document frequency) + one join on
+    * `token`; N is a one-row aggregate broadcast into the scorer. The
+    * final top-k ranks inside a `partitionBy(doc_id)` window — millions
+    * of small hash-distributed groups, not a global sort, so the rank
+    * stage stays balanced at corpus scale. Rank order is the ROUNDED
+    * score (then tf desc, df asc, token asc), so the ordering the
+    * oracle sees is exactly the ordering we rank by.
+    *
+    * Output: (doc_id, token, tf, df, score, rk), rk = 1..k. */
+  def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = tokenized(docs)
+      .select(col("doc_id"), explode(col("tk")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_corpus"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_corpus").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tf").desc, col("df"), col("token"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
   /** Bigram conditional probabilities P(w2 | w1) = c(w1 w2) / c(w1 ·)
     * over the corpus, for bigrams seen at least `minCount` times — the
     * count table behind statistical LM quality filters.

@@ -263,4 +263,51 @@ class MixDecontamSpec extends SparkSpec {
     assert(w("s2")._4 == 416L)
     assert(w("s1") == ((2L, 200L, 1.0, 200L)))
   }
+
+  test("pack: greedy document-contiguous shards in doc_id order") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "a", 30L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 30L),
+      (10L, "b", 150L), (11L, "b", 1L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val r = Mix.pack(d, col("source"), 50L).collect()
+      .map(x => x.getLong(1) -> (x.getString(0), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    // stratum a offsets 0,30,60,90 → shards 0,0,1,1
+    assert(r(1L) == (("a", 30L, 0L, 0L)))
+    assert(r(2L) == (("a", 30L, 30L, 0L)))
+    assert(r(3L) == (("a", 30L, 60L, 1L)))
+    assert(r(4L) == (("a", 30L, 90L, 1L)))
+    // stratum b: doc 10 starts shard 0 (overruns budget), doc 11 at 150 → shard 3
+    assert(r(10L) == (("b", 150L, 0L, 0L)))
+    assert(r(11L) == (("b", 1L, 150L, 3L)))
+  }
+
+  test("pack: two-phase prefix sum ≡ window cumsum across many partitions") {
+    val s = spark; import s.implicits._
+    val d = (0L until 2000L)
+      .map(i => (i, s"s${i % 3}", i % 37 + 1))
+      .toDF("doc_id", "source", "n_tokens")
+      .repartition(17) // force stratum runs to straddle range partitions
+    val got = Mix.pack(d, col("source"), 100L).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = d
+      .select(col("source").as("stratum"), col("doc_id"), col("n_tokens"))
+      .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("shard", floor(col("start_offset") / 100L))
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSet
+    assert(got == want)
+    // regression: a downstream coalesce(1) (Verify's writer) must not
+    // rebind the partition index the base-offset table is keyed on
+    val viaCoalesce = Mix.pack(d, col("source"), 100L).coalesce(1).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSet
+    assert(viaCoalesce == want)
+  }
 }

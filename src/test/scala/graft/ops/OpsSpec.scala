@@ -248,6 +248,51 @@ class OpsSpec extends SparkSpec {
     assert(bf.toSeq === ivf.toSeq)
   }
 
+  test("tfidf: tf·ln(N/df) scoring with deterministic rank ties") {
+    val d = docs(
+      (0L, "apple apple banana"),
+      (1L, "banana cherry"),
+      (2L, "cherry cherry cherry date"))
+    val r = TextOps.tfidf(d, 3).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getLong(5)))
+    val byDocRank = r.map(x => (x._1, x._6) -> x).toMap
+    // doc 0: apple tf=2 df=1 → 2·ln3 = 2.197225; banana tf=1 df=2 → ln1.5
+    assert(byDocRank((0L, 1L))._2 == "apple")
+    assert(byDocRank((0L, 1L))._5 == 2.197225)
+    assert(byDocRank((0L, 2L))._2 == "banana")
+    assert(byDocRank((0L, 2L))._5 == 0.405465)
+    // doc 1: banana and cherry tie on (score, tf, df) → token asc
+    assert(byDocRank((1L, 1L))._2 == "banana")
+    assert(byDocRank((1L, 2L))._2 == "cherry")
+    // doc 2: cherry tf=3 beats date's ln3
+    assert(byDocRank((2L, 1L))._2 == "cherry")
+    assert(byDocRank((2L, 1L))._5 == 1.216395)
+    assert(byDocRank((2L, 2L))._2 == "date")
+    // k bounds output per doc
+    assert(r.groupBy(_._1).forall(_._2.length <= 3))
+  }
+
+  test("quantizeInt8: symmetric scale, saturating poles, zero vector") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      (0L, Array(127f, 64f, -32f, 0f)),
+      (1L, Array(1f, -1f)),
+      (2L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(e).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getDouble(3)))
+      .toMap
+    assert(r((0L, 0L)) == ((127L, 1.0)))
+    assert(r((0L, 1L)) == ((64L, 1.0)))
+    assert(r((0L, 2L)) == ((-32L, 1.0)))
+    assert(r((0L, 3L)) == ((0L, 1.0)))
+    assert(r((1L, 0L))._1 == 127L && r((1L, 1L))._1 == -127L)
+    assert(r((2L, 0L)) == ((0L, 0.0)) && r((2L, 1L)) == ((0L, 0.0)))
+    // reconstruction: q·scale ≈ v within scale/2
+    assert(math.abs(r((1L, 0L))._1 * (1.0 / 127) - 1.0) <= (1.0 / 127) / 2 + 1e-9)
+  }
+
   // ---- Multimodal ----
 
   test("decode/resize/frames/featurize plumbing") {
