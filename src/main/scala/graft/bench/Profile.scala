@@ -63,9 +63,61 @@ object Profile {
     spark.stop()
   }
 
+  /** `runMain graft.bench.Profile batched [scale]`: per-run times inside
+    * the batched kernel loop vs the sequential protocol's interleaved
+    * bfs/validate pattern — attributes the batched-throughput gap. */
+  def profileBatched(args: Array[String]): Unit = {
+    val scale = if (args.length > 1) args(1).toInt else 18
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val raw = Kronecker.generate(spark, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRaw = raw.count()
+    val g = Bfs.prepareRaw(raw, knownCount = nRaw)
+    val csr = g.csr
+    val roots = Kronecker.sampleRoots(16, csr.ids.last + 1,
+      v => java.util.Arrays.binarySearch(csr.ids, v) >= 0)
+    // warm-up (PRE_EXEC)
+    val w0 = System.nanoTime()
+    var wi = 0
+    while (wi < 8 && System.nanoTime() - w0 < 1000000000L) {
+      csr.bfs(roots.head); wi += 1
+    }
+    System.gc()
+    for (round <- 1 to 3) {
+      println(s"== round $round ==")
+      // batched shape: back-to-back, hold all outputs
+      val b0 = System.nanoTime()
+      val times = roots.map { r =>
+        val t0 = System.nanoTime()
+        val out = csr.bfs(r)
+        ((System.nanoTime() - t0) / 1e6, out)
+      }
+      val bw = (System.nanoTime() - b0) / 1e9
+      println(f"  batched wall $bw%.3f s; per-run ms: " +
+        times.map(t => f"${t._1}%.1f").mkString(" "))
+      // sequential-protocol shape: drop output each run, System.gc between
+      val s0 = System.nanoTime()
+      val times2 = roots.map { r =>
+        val t0 = System.nanoTime()
+        csr.bfs(r)
+        (System.nanoTime() - t0) / 1e6
+      }
+      val sw = (System.nanoTime() - s0) / 1e9
+      println(f"  drop-out  wall $sw%.3f s; per-run ms: " +
+        times2.map(t => f"$t%.1f").mkString(" "))
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("queries")) { profileQueries(args); return }
     if (args.headOption.contains("triangles")) { profileTriangles(args); return }
+    if (args.headOption.contains("batched")) { profileBatched(args); return }
     val scale = if (args.nonEmpty) args(0).toInt else 18
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

