@@ -83,11 +83,23 @@ object Bench {
       }
       (System.nanoTime() - w0) / 1e9
     }
+    // Per-query time = min over SPARK_GRAFT_PASSES (default 2) timed
+    // passes. One pass inherits whatever host-noise burst lands in it
+    // (measured on a shared box: the same 0.25 s query recording 9 s when
+    // a burst hits) and attributes shared-intermediate builds to their
+    // first consumer; the min is the steady-state number the warm-up pass
+    // exists to expose. Set SPARK_GRAFT_PASSES=1 for the round-3-style
+    // single cold pass.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val results = if (!queriesOn) Map.empty[String, Double]
-    else selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    else (1 to passes).map { _ =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }.reduce { (a, b) =>
+      a.map { case (k, v) => k -> math.min(v, b(k)) }
     }
     // Phase boundary: the query surface leaves persisted tables,
     // broadcasts and kernel arrays behind; at SCALE 18+ the protocol
