@@ -330,6 +330,16 @@ object SparkEntry {
     "ev_retention" -> ((s, dir) =>
       streaming.Events.retention(events(s, dir))),
 
+    // Per-user rolling 7-day activity: RANGE frame over the integer day
+    // index; all window arithmetic integral (micro-units).
+    "ev_rolling" -> ((s, dir) =>
+      streaming.Events.rollingActivity(events(s, dir), 7)),
+
+    // Hourly volume anomalies per type: |z| > 2 decided by an exact
+    // integer predicate (no FP in the comparison).
+    "ev_anomaly" -> ((s, dir) =>
+      streaming.Events.hourlyAnomalies(events(s, dir), 2L)),
+
     // ---- training-data pipeline ops over documents/embeddings ----
 
     // Exact dedup: canonical id per content digest.
@@ -746,6 +756,40 @@ object SparkEntry {
         |       count(DISTINCT u.user_id) AS n_users
         |FROM ud u JOIN coh c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "ev_rolling" ->
+      """WITH pd AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS n_events,
+        |         CAST(sum(CAST(trunc(round(value, 6) * 1000000) AS BIGINT))
+        |              AS BIGINT) AS value_micros
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, n_events, value_micros,
+        |       CAST(sum(n_events) OVER w AS BIGINT) AS roll_events,
+        |       CAST(sum(value_micros) OVER w AS BIGINT) AS roll_value_micros
+        |FROM pd
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "ev_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS w_start,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS k, sum(n_events) AS sum_n,
+        |              sum(n_events * n_events) AS sum_n2
+        |       FROM h GROUP BY event_type)
+        |SELECT h.event_type, h.w_start, h.n_events,
+        |       CAST(h.n_events * st.k - st.sum_n AS BIGINT) AS dev,
+        |       CAST(st.k * st.sum_n2 - st.sum_n * st.sum_n AS BIGINT)
+        |         AS var_num,
+        |       CAST(CASE WHEN (h.n_events * st.k - st.sum_n)
+        |                      * (h.n_events * st.k - st.sum_n)
+        |                      * (st.k - 1)
+        |                    > 4 * (st.k * st.sum_n2 - st.sum_n * st.sum_n)
+        |                      * st.k
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM h JOIN st USING (event_type)""".stripMargin,
 
     "ev_sessions" ->
       """WITH e AS (

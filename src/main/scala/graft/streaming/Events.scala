@@ -383,6 +383,76 @@ object Events {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }
 
+  /** Per-user daily activity with a rolling `days`-day trailing window
+    * (events + value), the engagement time-series behind churn / usage
+    * dashboards. The rolling sums use a RANGE frame over the integer
+    * day index, so a user's inactive days correctly age events out of
+    * the window without needing explicit zero-filled rows.
+    *
+    * All window arithmetic is INTEGRAL: value is fixed-pointed to
+    * micro-units before aggregation (`trunc(round(value,6)·1e6)`), so
+    * the rolling sums are exact and engine-independent — a windowed
+    * double sum would compare FP totals produced by different
+    * association orders (Spark streams the frame; DuckDB aggregates
+    * segment trees).
+    *
+    * Scale shape: one groupBy(user_id, day) with partial aggregation,
+    * then one window over the ALREADY-AGGREGATED per-day table
+    * partitioned by user_id — millions of small hash-distributed
+    * partitions, nothing global. */
+  def rollingActivity(events: DataFrame, days: Int = 7): DataFrame = {
+    val perDay = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (round(col("value"), 6) * lit(1000000d)).cast("long").as("v_micros"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"), sum("v_micros").as("value_micros"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rangeBetween(-(days - 1).toLong, 0L)
+    perDay.select(col("user_id"), col("day"), col("n_events"),
+      col("value_micros"),
+      sum(col("n_events")).over(w).as("roll_events"),
+      sum(col("value_micros")).over(w).as("roll_value_micros"))
+  }
+
+  /** Hourly volume anomalies per event_type: hours whose event count
+    * deviates from the type's mean by more than `threshold` sample
+    * standard deviations — the burst/outage detector a pipeline runs
+    * over its ingest telemetry.
+    *
+    * The anomaly PREDICATE is exact integer arithmetic — no division,
+    * no sqrt, no FP in the comparison:
+    *   |z| > t  ⟺  (n·k − Σn)²·(k−1) > t²·(k·Σn² − (Σn)²)·k
+    * with the quadratic terms in decimal(38,0) so corpus-scale counts
+    * (n ~ 1e9, k ~ 1e4) cannot overflow a BIGINT. `dev = n·k − Σn` and
+    * `var_num = k·Σn² − (Σn)²` ride along for auditability.
+    *
+    * Scale shape: one windowed groupBy over the raw events (partial
+    * agg), one tiny per-type stats aggregate broadcast back onto the
+    * hourly table. Global stats make this batch analytics; a streaming
+    * deployment recomputes per micro-batch via foreachBatch. */
+  def hourlyAnomalies(events: DataFrame, threshold: Long = 2L): DataFrame = {
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n_events"))
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("k"),
+      sum(col("n_events")).as("sum_n"),
+      sum(col("n_events") * col("n_events")).as("sum_n2"))
+    val dec = "decimal(38,0)"
+    val dev = (col("n_events") * col("k") - col("sum_n")).cast(dec)
+    val varNum = (col("k") * col("sum_n2") -
+      col("sum_n") * col("sum_n")).cast(dec)
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("w_start"), col("n_events"),
+        dev.cast("long").as("dev"), varNum.cast("long").as("var_num"),
+        when(dev * dev * (col("k") - 1).cast(dec) >
+            lit(threshold * threshold) * varNum * col("k").cast(dec), 1L)
+          .otherwise(0L).as("is_anomaly"))
+  }
+
   def topUsers(events: DataFrame, k: Int = 3): DataFrame =
     LocalEvents.topUsers(events, k).getOrElse(
       rankTopUsers(userValueSums(events), k))

@@ -36,6 +36,43 @@ class EventsSpec extends SparkSpec {
     assert(r(0).getLong(2) === 2L && r(0).getDouble(3) === 4.0)
   }
 
+  test("rollingActivity: RANGE frame ages inactive days out of the window") {
+    def tsDay(d: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val d = evDf(
+      Ev(0, tsDay(1), 1, "a", 1.5), Ev(1, tsDay(1), 1, "a", 0.5),
+      Ev(2, tsDay(3), 1, "a", 2.0),
+      Ev(3, tsDay(10), 1, "a", 4.0), // 7 days after day 3 → alone in window
+      Ev(4, tsDay(2), 2, "b", 1.0))
+    val r = Events.rollingActivity(d, 7).orderBy("user_id", "day").collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    // user 1 day1: 2 events, 2.0 = 2_000_000 micros
+    assert(r(0) === ((1L, 2L, 2000000L, 2L, 2000000L)))
+    // day3: rolling window [day-3..day3] covers day1+day3
+    assert(r(1) === ((1L, 1L, 2000000L, 3L, 4000000L)))
+    // day10: window [day4..day10] — day3 aged out
+    assert(r(2) === ((1L, 1L, 4000000L, 1L, 4000000L)))
+    assert(r(3) === ((2L, 1L, 1000000L, 1L, 1000000L)))
+  }
+
+  test("hourlyAnomalies: exact integer z-predicate flags the burst hour") {
+    def tsh(h: Int, n: Int): Seq[Ev] =
+      (0 until n).map(i => Ev(h * 100L + i,
+        Timestamp.valueOf(f"2024-01-01 $h%02d:${i % 60}%02d:00"), i.toLong,
+        "a", 1.0))
+    // hours 0-8 have 10 events each, hour 9 has 100 → clear outlier
+    val d = evDf((0 to 8).flatMap(h => tsh(h, 10)) ++ tsh(9, 100): _*)
+    val r = Events.hourlyAnomalies(d, 2L).orderBy("w_start").collect()
+      .map(x => (x.getLong(2), x.getLong(5)))
+    assert(r.length === 10)
+    assert(r.take(9).forall { case (n, flag) => n == 10L && flag == 0L })
+    assert(r(9) === ((100L, 1L)))
+    // uniform counts: var_num = 0, nothing flagged
+    val u = evDf((0 to 3).flatMap(h => tsh(h, 5)): _*)
+    val ru = Events.hourlyAnomalies(u, 2L).collect()
+    assert(ru.forall(x => x.getLong(4) == 0L && x.getLong(5) == 0L))
+  }
+
   test("topUsers ranks by total value") {
     val d = evDf(Ev(0, ts(1), 1, "a", 5.0), Ev(1, ts(2), 2, "a", 9.0),
       Ev(2, ts(3), 1, "a", 1.0))
