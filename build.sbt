@@ -34,12 +34,21 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default (128 GiB box): at benchmark SCALE 20 the kernel arrays +
+  // 48g default (128 GiB box): at benchmark SCALE 20 the kernel arrays +
   // Spark block store put ~3 GB live in the heap, and a small heap's GC
   // pauses land in individual BFS run times (8g: median 106 ms, max
   // 0.5 s; 24g: median 75 ms, max 0.1 s) — which the harmonic-mean TEPS
-  // amplifies ~2.5×.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // amplifies ~2.5×. The headroom above that is for HUMONGOUS
+  // allocation: each SCALE-20 construction allocates several 0.1-0.5 GB
+  // contiguous primitive arrays, and in a fragmented 24g heap G1 stalls
+  // finding contiguous regions for them (measured: buildFromRawPairs
+  // 2 s in a fresh heap, 19-24 s on the SAME input after one prior
+  // build+unpersist cycle).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 32m G1 regions (max): a 268 MB flat-pair array is ~9 contiguous
+  // regions instead of ~34 8m ones — an order of magnitude fewer
+  // contiguous-run searches for the humongous allocations above.
+  "-XX:G1HeapRegionSize=32m",
   // G1's default 200 ms pause target lets a single mixed collection eat
   // 2-3× a SCALE-20 BFS run; a 50 ms target trades it for shorter, more
   // frequent pauses that the per-run timings absorb.
