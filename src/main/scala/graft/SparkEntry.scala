@@ -435,6 +435,10 @@ object SparkEntry {
     // per-doc window over the already-aggregated term table.
     "tx_tfidf" -> ((s, dir) => ops.TextOps.tfidf(docs(s, dir), 3)),
 
+    // Overlapping 64-token chunks (stride 48) — embedding/context-window
+    // slicing; pure narrow codegen map.
+    "tx_chunks" -> ((s, dir) => ops.TextOps.chunks(docs(s, dir), 64, 48)),
+
     // Benchmark decontamination: corpus docs sharing any 8-gram with
     // the deterministic benchmark slice (doc_id % 50 == 0); broadcast
     // semi-join against the (small) benchmark shingle set.
@@ -1144,6 +1148,23 @@ object SparkEntry {
         |         ORDER BY score DESC, tf DESC, df, token) AS BIGINT) AS rk
         |       FROM sc)
         |SELECT doc_id, token, tf, df, score, rk FROM rk WHERE rk <= 3""".stripMargin),
+
+    "tx_chunks" -> (TokCte.stripSuffix("\n") +
+      """,
+        |base AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok
+        |         FROM toks WHERE len(tk) > 0),
+        |ch AS (SELECT doc_id, tk, n_tok,
+        |         unnest(generate_series(0,
+        |           CAST((greatest(n_tok - 64, 0) + 47) // 48 AS BIGINT)))
+        |           AS chunk_idx
+        |       FROM base)
+        |SELECT doc_id, chunk_idx,
+        |       chunk_idx * 48 + 1 AS start_tok,
+        |       least(64, n_tok - chunk_idx * 48) AS n_chunk_tokens,
+        |       array_to_string(tk[chunk_idx * 48 + 1 :
+        |         chunk_idx * 48 + least(64, n_tok - chunk_idx * 48)], ' ')
+        |         AS chunk_text
+        |FROM ch""".stripMargin),
 
     "sim_quantize" ->
       """WITH ex AS (SELECT vec_id, embedding,

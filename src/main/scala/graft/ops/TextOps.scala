@@ -296,6 +296,41 @@ object TextOps {
         round(col("c12").cast("double") / col("c1"), 6).as("p_cond"))
   }
 
+  /** Fixed-size overlapping token chunking — the step that slices
+    * documents into embedding/context-window pieces. Chunk i of a
+    * document covers tokens [i·stride + 1, i·stride + chunkSize]
+    * (1-based), the final chunk keeping whatever tail remains; chunks
+    * overlap by (chunkSize − stride) tokens. Token-less documents
+    * produce no chunks.
+    *
+    * Pure narrow map: tokenize → explode a chunk-index sequence →
+    * per-chunk slice/join, all codegen'd column expressions. No
+    * shuffle; output size is ~|corpus tokens| / stride rows, linear in
+    * input — at 100 TB this is a scan-speed map feeding the embedding
+    * stage. Output: (doc_id, chunk_idx, start_tok, n_chunk_tokens,
+    * chunk_text). */
+  def chunks(docs: DataFrame, chunkSize: Int = 64,
+             stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"chunks: need 0 < stride <= chunkSize, got ($chunkSize, $stride)")
+    val lastIdx = ((greatest(col("n_tok") - chunkSize, lit(0))
+      + (stride - 1)) / stride).cast("long")
+    val start = col("chunk_idx") * stride + 1
+    val len = least(lit(chunkSize.toLong),
+      col("n_tok") - col("chunk_idx") * stride)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .where(col("n_tok") > 0)
+      .select(col("doc_id"), col("tk"), col("n_tok"),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        start.as("start_tok"), len.as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("tk"), start.cast("int"), len.cast("int")))
+          .as("chunk_text"))
+  }
+
   /** Streaming twin of [[decontaminate]]: score a document stream
     * against a STATIC benchmark table. The benchmark shingle set is
     * collected once (small by construction — eval suites, not corpora)

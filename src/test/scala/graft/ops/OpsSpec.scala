@@ -273,6 +273,38 @@ class OpsSpec extends SparkSpec {
     assert(r.groupBy(_._1).forall(_._2.length <= 3))
   }
 
+  test("chunks: overlapping windows, short tail, token-less docs dropped") {
+    val d = docs(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens: exact fit
+      (1L, "a b c"),                                  // 3 tokens, one chunk
+      (2L, "   "),                                    // no tokens → no rows
+      (3L, (1 to 11).map(i => s"u$i").mkString(" "))) // 11 tokens: 2-token tail
+    val r = TextOps.chunks(d, chunkSize = 4, stride = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4)))
+      .sortBy(x => (x._1, x._2))
+    // doc 0: (10-4) divides stride → starts 1,4,7 cover everything, no tail
+    assert(r.filter(_._1 == 0L).map(x => (x._3, x._4)).toSeq ===
+      Seq((1L, 4L), (4L, 4L), (7L, 4L)))
+    assert(r.find(x => x._1 == 0L && x._2 == 1L).get._5 === "t4 t5 t6 t7")
+    assert(r.find(x => x._1 == 0L && x._2 == 2L).get._5 === "t7 t8 t9 t10")
+    // doc 3: starts 1,4,7,10 — last chunk is the 2-token tail
+    assert(r.filter(_._1 == 3L).map(x => (x._3, x._4)).toSeq ===
+      Seq((1L, 4L), (4L, 4L), (7L, 4L), (10L, 2L)))
+    assert(r.find(x => x._1 == 3L && x._2 == 3L).get._5 === "u10 u11")
+    // doc 1: exactly one chunk with all 3 tokens
+    assert(r.filter(_._1 == 1L).toSeq ===
+      Seq((1L, 0L, 1L, 3L, "a b c")))
+    // doc 2: absent
+    assert(!r.exists(_._1 == 2L))
+    // every token index is covered by at least one chunk
+    for (doc <- Seq(0L -> 10L, 3L -> 11L)) {
+      val covered = r.filter(_._1 == doc._1)
+        .flatMap(x => x._3 until (x._3 + x._4)).toSet
+      assert(covered === (1L to doc._2).toSet)
+    }
+  }
+
   test("quantizeInt8: symmetric scale, saturating poles, zero vector") {
     val s = spark; import s.implicits._
     val e = Seq(
