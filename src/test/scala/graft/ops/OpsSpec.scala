@@ -305,6 +305,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("chunks runs unchanged under Structured Streaming (stateless map)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq((0L, (1 to 11).map(i => s"u$i").mkString(" ")),
+      (1L, "a b c"))
+    val batch = TextOps.chunks(docs(rows: _*), 4, 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(4))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = TextOps.chunks(mem.toDF().toDF("doc_id", "text"), 4, 3)
+      .writeStream.format("memory").queryName("chunks_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM chunks_stream").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getString(4))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("quantizeInt8: symmetric scale, saturating poles, zero vector") {
     val s = spark; import s.implicits._
     val e = Seq(
