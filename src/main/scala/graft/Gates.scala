@@ -12,7 +12,8 @@ object Gates {
     "localSsspMaxEdges",
     "localDedupMaxDocs",
     "localAnnMaxVecs",
-    "localEventsMaxRows")
+    "localEventsMaxRows",
+    "localMixMaxRows")
 
   /** Zero every hybrid gate on `spark` — the force-distributed switch. */
   def forceDistributed(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -52,7 +52,7 @@ object Dedup {
   /** Collect (doc_id, text) when the corpus is under the local gate. The
     * count probe scans only the `doc_id` column, so probing a huge corpus
     * never touches its text bytes. */
-  private def localDocs(docs: DataFrame): Option[(Array[Long], Array[String])] = {
+  private[ops] def localDocs(docs: DataFrame): Option[(Array[Long], Array[String])] = {
     if (docs.isStreaming) return None
     val spark = docs.sparkSession
     val gate = spark.conf.getOption("spark.graft.localDedupMaxDocs")

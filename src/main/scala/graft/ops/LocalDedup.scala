@@ -446,6 +446,58 @@ object LocalDedup {
     out.toSeq
   }
 
+  /** Top-k tf-idf terms per document ≡ TextOps.tfidf(docs, k): rows
+    * (doc_id, token, tf, df, score, rk), score = round6(tf·ln(N/df)),
+    * ranked by (score desc, tf desc, df asc, token asc). The token
+    * tie-break compares UTF-8 BYTES — Spark's UTF8String binary order —
+    * because Java String.compareTo is UTF-16 code-unit order, which
+    * diverges on supplementary characters. */
+  def tfidfRows(ids: Array[Long], texts: Array[String], k: Int)
+      : Seq[(Long, String, Long, Long, Double, Long)] = {
+    val n = ids.length
+    val nCorpus = {
+      val s = new java.util.HashSet[java.lang.Long]()
+      ids.foreach(s.add(_))
+      s.size.toDouble
+    }
+    val tfs = new Array[java.util.HashMap[String, java.lang.Long]](n)
+    val dfm = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.LongAdder]()
+    java.util.stream.IntStream.range(0, n).parallel().forEach { d =>
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      tokens(texts(d)).foreach(t =>
+        m.merge(t, java.lang.Long.valueOf(1L), (a, b) => a + b))
+      tfs(d) = m
+      m.keySet().forEach(t =>
+        dfm.computeIfAbsent(t,
+          _ => new java.util.concurrent.atomic.LongAdder()).increment())
+    }
+    def utf8Cmp(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val perDoc = new Array[Seq[(Long, String, Long, Long, Double, Long)]](n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { d =>
+      val entries = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Double)]
+      tfs(d).forEach { (t, tf) =>
+        val df = dfm.get(t).sum()
+        entries += ((t, tf.longValue(), df,
+          round6(tf.longValue() * math.log(nCorpus / df))))
+      }
+      val ranked = entries.sortWith { (x, y) =>
+        if (x._4 != y._4) x._4 > y._4
+        else if (x._2 != y._2) x._2 > y._2
+        else if (x._3 != y._3) x._3 < y._3
+        else utf8Cmp(x._1, y._1) < 0
+      }.take(k)
+      perDoc(d) = ranked.zipWithIndex.map { case ((t, tf, df, sc), i) =>
+        (ids(d), t, tf, df, sc, i + 1L)
+      }.toSeq
+    }
+    perDoc.toSeq.flatten
+  }
+
   /** Thrown when a kernel's candidate-pair enumeration would exceed the
     * in-memory budget; callers fall back to the distributed pipeline. */
   final class Overflow extends RuntimeException(

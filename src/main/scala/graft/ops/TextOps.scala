@@ -249,8 +249,23 @@ object TextOps {
     * abort the query instead of recomputing. Two lineage-safe corpus
     * scans is the plan you actually want.
     *
-    * Output: (doc_id, token, tf, df, score, rk), rk = 1..k. */
-  def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    * Output: (doc_id, token, tf, df, score, rk), rk = 1..k.
+    *
+    * Hybrid: under the dedup corpus gate (the input is the same
+    * collected (ids, texts) arrays the dedup kernels share), the
+    * driver-local [[LocalDedup.tfidfRows]] kernel computes the same
+    * rows and ships them back broadcast ([[graft.functions.Ship]]);
+    * equality against the distributed twin is spec'd. */
+  def tfidf(docs: DataFrame, k: Int = 3): DataFrame =
+    Dedup.localDocs(docs).map { case (ids, texts) =>
+      val r = LocalDedup.tfidfRows(ids, texts, k)
+      graft.functions.Ship.df(docs.sparkSession,
+        "doc_id" -> r.map(_._1).toArray, "token" -> r.map(_._2).toArray,
+        "tf" -> r.map(_._3).toArray, "df" -> r.map(_._4).toArray,
+        "score" -> r.map(_._5).toArray, "rk" -> r.map(_._6).toArray)
+    }.getOrElse(tfidfDistributed(docs, k))
+
+  private def tfidfDistributed(docs: DataFrame, k: Int): DataFrame = {
     val tf = tokenized(docs)
       .select(col("doc_id"), explode(col("tk")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))

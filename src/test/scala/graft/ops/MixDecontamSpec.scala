@@ -283,15 +283,24 @@ class MixDecontamSpec extends SparkSpec {
     assert(r(11L) == (("b", 1L, 150L, 3L)))
   }
 
-  test("pack: two-phase prefix sum ≡ window cumsum across many partitions") {
+  test("pack: kernel ≡ two-phase prefix sum ≡ window cumsum") {
     val s = spark; import s.implicits._
     val d = (0L until 2000L)
       .map(i => (i, s"s${i % 3}", i % 37 + 1))
       .toDF("doc_id", "source", "n_tokens")
       .repartition(17) // force stratum runs to straddle range partitions
-    val got = Mix.pack(d, col("source"), 100L).collect()
+    // default gate → driver-local cumsum kernel
+    val kernel = Mix.pack(d, col("source"), 100L).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
       .toSet
+    // gate 0 → distributed two-phase prefix sum
+    spark.conf.set("spark.graft.localMixMaxRows", "0")
+    val got = try {
+      Mix.pack(d, col("source"), 100L).collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+        .toSet
+    } finally spark.conf.unset("spark.graft.localMixMaxRows")
+    assert(kernel == got)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("stratum").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -303,11 +312,15 @@ class MixDecontamSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
       .toSet
     assert(got == want)
-    // regression: a downstream coalesce(1) (Verify's writer) must not
-    // rebind the partition index the base-offset table is keyed on
-    val viaCoalesce = Mix.pack(d, col("source"), 100L).coalesce(1).collect()
-      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
-      .toSet
+    // regression (distributed path): a downstream coalesce(1) (Verify's
+    // writer) must not rebind the partition index the base-offset table
+    // is keyed on
+    spark.conf.set("spark.graft.localMixMaxRows", "0")
+    val viaCoalesce = try {
+      Mix.pack(d, col("source"), 100L).coalesce(1).collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+        .toSet
+    } finally spark.conf.unset("spark.graft.localMixMaxRows")
     assert(viaCoalesce == want)
   }
 }

@@ -271,6 +271,14 @@ class OpsSpec extends SparkSpec {
     assert(byDocRank((2L, 2L))._2 == "date")
     // k bounds output per doc
     assert(r.groupBy(_._1).forall(_._2.length <= 3))
+    // kernel ≡ distributed twin
+    spark.conf.set("spark.graft.localDedupMaxDocs", "0")
+    val dist = try {
+      TextOps.tfidf(d, 3).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+          x.getDouble(4), x.getLong(5))).toSet
+    } finally spark.conf.unset("spark.graft.localDedupMaxDocs")
+    assert(r.toSet == dist)
   }
 
   test("chunks: overlapping windows, short tail, token-less docs dropped") {
