@@ -70,6 +70,36 @@ class KernelFuzzSpec extends SparkSpec {
     }
   }
 
+  test("tfidf kernel ≡ distributed on adversarial corpora (8 seeds)") {
+    for (seed <- 100L until 108L) {
+      val docs = corpus(seed, 40).persist()
+      try {
+        val (l, d) = bothWays("spark.graft.localDedupMaxDocs")(
+          TextOps.tfidf(docs, 3))
+        assert(l === d, s"seed=$seed tfidf")
+      } finally docs.unpersist()
+    }
+  }
+
+  test("pack kernel ≡ distributed prefix sum on random strata (8 seeds)") {
+    val s = spark; import s.implicits._
+    for (seed <- 0L until 8L) {
+      val rnd = new scala.util.Random(seed)
+      val nStrata = 1 + rnd.nextInt(6)
+      val rows = Seq.tabulate(300 + rnd.nextInt(700)) { i =>
+        (i.toLong, s"s${rnd.nextInt(nStrata)}", rnd.nextInt(200).toLong)
+      }
+      val d = rows.toDF("doc_id", "source", "n_tokens")
+        .repartition(1 + rnd.nextInt(19)).persist()
+      try {
+        val budget = 1L + rnd.nextInt(500)
+        val (l, dist) = bothWays("spark.graft.localMixMaxRows")(
+          Mix.pack(d, org.apache.spark.sql.functions.col("source"), budget))
+        assert(l === dist, s"seed=$seed pack budget=$budget")
+      } finally d.unpersist()
+    }
+  }
+
   test("tokens/shingles primitives ≡ column expressions on raw strings") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
