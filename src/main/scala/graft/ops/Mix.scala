@@ -128,8 +128,17 @@ object Mix {
         col("n_tokens").cast("long").as("n_tokens"))
     val gate = spark.conf.getOption("spark.graft.localMixMaxRows")
       .map(_.toLong).getOrElse(LocalMixDefaultMaxRows)
-    if (!docsWithTokens.isStreaming && gate > 0 && src.count() <= gate) {
-      val rows = src.collect()
+    val localRows: Option[Array[org.apache.spark.sql.Row]] =
+      if (docsWithTokens.isStreaming || gate <= 0) None
+      else if (src.count() > gate) None
+      else {
+        val rows = src.collect()
+        // null strata/ids would NPE the kernel's tuple sort; the
+        // distributed twin handles them, so route nulls there
+        if (rows.exists(_.anyNull)) None else Some(rows)
+      }
+    if (localRows.isDefined) {
+      val rows = localRows.get
       // per-stratum cumsum in (stratum, doc_id) order; stratum collation
       // is irrelevant (offsets never cross strata)
       val sorted0 = rows.sortBy(r => (r.getString(0), r.getLong(1)))
