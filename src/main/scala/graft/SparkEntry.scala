@@ -292,6 +292,12 @@ object SparkEntry {
       withCsr(s, dir)(csr => graft.bfs.PageRank.pagerankCsrDf(s, csr, 10))(
         graft.bfs.PageRank.pagerank(s, clean(s, dir), 10))),
 
+    // 3-core after 5 peeling rounds (converged on this data — spec'd);
+    // CSR kernel under the gate, once-shuffled peel loop above it.
+    "gr_kcore" -> ((s, dir) =>
+      withCsr(s, dir)(csr => graft.bfs.KCore.kcoreCsrDf(s, csr, 3, 5))(
+        graft.bfs.KCore.kcore(s, clean(s, dir), 3, 5))),
+
     // S4 — deterministic initial-edge backbones (MRG scramble → rows check).
     "s4_tree_edges" -> ((s, _) => graft.gen.Kronecker.binaryTreeEdges(s, 10)),
     "s4_ham_edges" -> ((s, _) => graft.gen.Kronecker.hamiltonianCycleEdges(s, 10)),
@@ -603,6 +609,28 @@ object SparkEntry {
       steps + s"\nSELECT v AS vertex, r AS rank_fp FROM r$iters"
   }
 
+  /** Unrolled fixed-round k-core peeling (mirrors KCore.kcore /
+    * kcoreCsr): round i recomputes induced degrees over the round-(i−1)
+    * survivor subgraph; output = final-round survivors + degrees. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val eprev = if (i == 1) "clean" else s"ke${i - 1}"
+      val prune =
+        if (i == rounds) "" // last round only needs the degree table
+        else
+          s""",
+             |kk$i AS (SELECT v FROM kd$i WHERE degree >= $k),
+             |ke$i AS (SELECT e.src, e.dst FROM $eprev e
+             |         JOIN kk$i a ON e.src = a.v
+             |         JOIN kk$i b ON e.dst = b.v)""".stripMargin
+      s""",
+         |kd$i AS (SELECT src AS v, count(*) AS degree
+         |         FROM $eprev GROUP BY src)""".stripMargin + prune
+    }.mkString
+    steps +
+      s"\nSELECT v AS vertex, degree FROM kd$rounds WHERE degree >= $k"
+  }
+
   /** Degree-oriented triangle count on the part co-purchase projection
     * (mirrors Triangles.count / countCsr). */
   private val TriangleSql =
@@ -624,6 +652,8 @@ object SparkEntry {
     "gr_triangles" -> TriangleSql,
 
     "gr_pagerank" -> (GraphCte + pagerankSql(10)),
+
+    "gr_kcore" -> (GraphCte + kcoreSql(3, 5)),
 
     "q2_clean_edges" -> (GraphCte + "SELECT src, dst FROM clean"),
 
