@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins scale-critical PHYSICAL plan shapes — the properties PLANS.md
+  * documents, asserted so a regression fails a test instead of only
+  * drifting a doc. Executed plans are inspected AFTER an action so AQE
+  * has finalized them. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq((0L, "the cat sat"), (1L, "a dog ran fast today"))
+      .toDF("doc_id", "text")
+  }
+
+  test("sim_quantize is one shuffle-free narrow map") {
+    val s = spark; import s.implicits._
+    val e = Seq((0L, Array(1f, 2f)), (1L, Array(3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = ops.Similarity.quantizeInt8(e)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("tx_chunks is one shuffle-free narrow map") {
+    val q = ops.TextOps.chunks(docs, 4, 3)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("distributed tfidf ranks via WindowGroupLimit, no cartesian join") {
+    spark.conf.set("spark.graft.localDedupMaxDocs", "0")
+    try {
+      val q = ops.TextOps.tfidf(docs, 3)
+      q.count()
+      val plan = q.queryExecution.executedPlan.toString
+      // rank<=k must push into the sort (top-k per group, not full sort)
+      assert(plan.contains("WindowGroupLimit"), plan)
+      // the only nested-loop is the broadcast of the 1-row corpus count
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally spark.conf.unset("spark.graft.localDedupMaxDocs")
+  }
+
+  test("distributed pack plans exactly one range exchange") {
+    val s = spark; import s.implicits._
+    spark.conf.set("spark.graft.localMixMaxRows", "0")
+    try {
+      val d = (0L until 100L).map(i => (i, s"s${i % 2}", i % 7 + 1))
+        .toDF("doc_id", "source", "n_tokens")
+      val q = ops.Mix.pack(d, col("source"), 10L)
+      q.count()
+      // the output plan scans the prefix-sum RDD; the single range
+      // exchange lives in the persisted upstream — assert the OUTPUT
+      // adds no further shuffle
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally spark.conf.unset("spark.graft.localMixMaxRows")
+  }
+}
