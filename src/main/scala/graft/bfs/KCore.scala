@@ -41,8 +41,12 @@ object KCore {
       val deg = edges.groupBy(col("src").as("v"))
         .agg(count(lit(1)).as("degree"))
       if (r == rounds) {
+        // |core| rows ≤ |V|: checkpoint the answer eagerly so the
+        // per-round persisted edge sets can all drop (PageRank's
+        // result pattern)
         result = deg.where(col("degree") >= k)
           .select(col("v").as("vertex"), col("degree"))
+          .localCheckpoint(eager = true)
       } else {
         val keep = deg.where(col("degree") >= k).select("v")
         val next = edges
@@ -56,6 +60,7 @@ object KCore {
       }
       r += 1
     }
+    edges.unpersist(blocking = false)
     result
   }
 
