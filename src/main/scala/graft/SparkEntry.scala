@@ -298,6 +298,12 @@ object SparkEntry {
       withCsr(s, dir)(csr => graft.bfs.KCore.kcoreCsrDf(s, csr, 3, 5))(
         graft.bfs.KCore.kcore(s, clean(s, dir), 3, 5))),
 
+    // 4 synchronous label-propagation rounds, min tie-break — the
+    // deterministic fixed-round community primitive.
+    "gr_lpa" -> ((s, dir) =>
+      withCsr(s, dir)(csr => graft.bfs.LabelPropagation.lpaCsrDf(s, csr, 4))(
+        graft.bfs.LabelPropagation.lpa(s, clean(s, dir), 4))),
+
     // S4 — deterministic initial-edge backbones (MRG scramble → rows check).
     "s4_tree_edges" -> ((s, _) => graft.gen.Kronecker.binaryTreeEdges(s, 10)),
     "s4_ham_edges" -> ((s, _) => graft.gen.Kronecker.hamiltonianCycleEdges(s, 10)),
@@ -631,6 +637,26 @@ object SparkEntry {
       s"\nSELECT v AS vertex, degree FROM kd$rounds WHERE degree >= $k"
   }
 
+  /** Unrolled synchronous label propagation (mirrors
+    * LabelPropagation.lpa / lpaCsr): each round every vertex adopts the
+    * most frequent neighbor label, min label on ties. */
+  private def lpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+         |lp$i AS (
+         |  SELECT v, label FROM (
+         |    SELECT e.src AS v, p.label,
+         |           row_number() OVER (PARTITION BY e.src
+         |             ORDER BY count(*) DESC, p.label) AS rk
+         |    FROM clean e JOIN lp${i - 1} p ON e.dst = p.v
+         |    GROUP BY e.src, p.label)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString
+    """, lp0 AS (SELECT src AS v, src AS label FROM clean GROUP BY src)"""
+      .stripMargin + steps +
+      s"\nSELECT v AS vertex, label FROM lp$rounds"
+  }
+
   /** Degree-oriented triangle count on the part co-purchase projection
     * (mirrors Triangles.count / countCsr). */
   private val TriangleSql =
@@ -654,6 +680,8 @@ object SparkEntry {
     "gr_pagerank" -> (GraphCte + pagerankSql(10)),
 
     "gr_kcore" -> (GraphCte + kcoreSql(3, 5)),
+
+    "gr_lpa" -> (GraphCte + lpaSql(4)),
 
     "q2_clean_edges" -> (GraphCte + "SELECT src, dst FROM clean"),
 

@@ -1,0 +1,95 @@
+package graft.bfs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Synchronous label propagation (community detection), fixed rounds:
+ * every vertex starts labeled with its own id; each round it adopts
+ * the most frequent label among its NEIGHBORS' previous-round labels,
+ * ties broken by the smallest label. Synchronous updates + the min
+ * tie-break make the result deterministic and engine-independent, so
+ * the DuckDB oracle unrolls the same rounds (the fixed-iteration
+ * contract `gr_pagerank`/`gr_kcore` use — no fixpoint claim; sync LPA
+ * can 2-cycle, notably on bipartite graphs, and an even round count
+ * reads out the stable side).
+ *
+ * Output: (vertex, label) after `rounds` rounds.
+ */
+object LabelPropagation {
+
+  /** Distributed loop. Scale shape: the edge table shuffles to `dst`
+    * once and every round joins the (|V|-sized) label table to it,
+    * partial-aggregates (vertex, label) counts, and ranks inside a
+    * per-vertex window — millions of small hash-distributed groups.
+    * Lineage is cut mid-loop with an eager checkpoint of the small
+    * label table. */
+  def lpa(spark: SparkSession, clean: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds > 0, s"lpa: rounds must be positive, got $rounds")
+    val edges = clean.select("src", "dst")
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    val w = Window.partitionBy("v").orderBy(col("cnt").desc, col("label"))
+    var r = 1
+    while (r <= rounds) {
+      val counts = edges
+        .join(labels.select(col("v").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("v"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = counts
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select("v", "label")
+      if (r % 2 == 0 && r < rounds)
+        labels = labels.localCheckpoint(eager = true)
+      r += 1
+    }
+    val out = labels.select(col("v").as("vertex"), col("label"))
+      .localCheckpoint(eager = true)
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** CSR kernel ≡ [[lpa]]: per round, each vertex counts neighbor
+    * labels in a small hash map and takes (max count, min label). */
+  def lpaCsr(csr: LocalCsr, rounds: Int = 4): Array[Long] = {
+    val n = csr.nVerts
+    val rs = csr.rowStarts
+    val nbrs = csr.nbrs
+    var labels = new Array[Long](n)
+    var i = 0
+    while (i < n) { labels(i) = csr.ids(i); i += 1 }
+    var r = 1
+    while (r <= rounds) {
+      val prev = labels
+      val next = new Array[Long](n)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { v =>
+        val m = new java.util.HashMap[java.lang.Long, Array[Int]]()
+        var k = rs(v)
+        while (k < rs(v + 1)) {
+          m.computeIfAbsent(prev(nbrs(k)), _ => new Array[Int](1))(0) += 1
+          k += 1
+        }
+        var bestLabel = Long.MaxValue
+        var bestCnt = -1
+        m.forEach { (l, c) =>
+          if (c(0) > bestCnt || (c(0) == bestCnt && l < bestLabel)) {
+            bestCnt = c(0); bestLabel = l
+          }
+        }
+        next(v) = if (bestCnt < 0) prev(v) else bestLabel
+      }
+      labels = next
+      r += 1
+    }
+    labels
+  }
+
+  /** Kernel result as a DataFrame (vertex, label) via broadcast ship. */
+  def lpaCsrDf(spark: SparkSession, csr: LocalCsr, rounds: Int = 4): DataFrame =
+    graft.functions.Ship.df(spark,
+      "vertex" -> csr.ids, "label" -> lpaCsr(csr, rounds))
+}

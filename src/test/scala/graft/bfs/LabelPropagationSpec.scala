@@ -1,0 +1,70 @@
+package graft.bfs
+
+import graft.SparkSpec
+
+/** Synchronous fixed-round LPA: kernel ≡ distributed ≡ independent
+  * model, deterministic tie-breaks, and community recovery on a
+  * two-cluster graph. */
+class LabelPropagationSpec extends SparkSpec {
+
+  /** Independent model over the symmetrized simple graph. */
+  private def model(pairs: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = pairs.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var labels = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(labels).map { case (l, xs) => l -> xs.size }
+        v -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  private def allWays(pairs: Seq[(Long, Long)], rounds: Int)
+      : (Map[Long, Long], Map[Long, Long], Map[Long, Long]) = {
+    val s = spark; import s.implicits._
+    val csr = LocalCsr.buildFromRawPairs(
+      pairs.flatMap(p => Seq(p._1, p._2)).toArray)
+    val kernel = csr.ids.zip(LabelPropagation.lpaCsr(csr, rounds)).toMap
+    val clean = graft.etl.EdgeOps.cleanEdges(pairs.toDF("src", "dst"))
+    val dist = LabelPropagation.lpa(spark, clean, rounds)
+      .as[(Long, Long)].collect().toMap
+    (kernel, dist, model(pairs, rounds))
+  }
+
+  test("two cliques with one bridge: each clique converges to its min id") {
+    val c1 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val c2 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val pairs = c1 ++ c2 ++ Seq((3L, 10L))
+    val (kernel, dist, m) = allWays(pairs, 4)
+    assert(kernel == m && dist == m)
+    // clique members agree on a community label from their own clique
+    assert(Seq(0L, 1L, 2L).map(m).distinct.size == 1 && m(0L) < 10L)
+    assert(Seq(11L, 12L, 13L).map(m).distinct.size == 1)
+  }
+
+  test("random graphs: kernel == distributed == model (4 seeds)") {
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(seed)
+      val nV = 20 + rnd.nextInt(30)
+      val pairs = Seq.fill(3 * nV)(
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter(p => p._1 != p._2)
+      val (kernel, dist, m) = allWays(pairs, 4)
+      assert(kernel == m, s"seed=$seed kernel")
+      assert(dist == m, s"seed=$seed distributed")
+    }
+  }
+
+  test("tie-break is the smallest label") {
+    // star: center 5 with leaves 1,2 — round 1: center sees labels
+    // {1,2} each once → min tie-break picks 1
+    val pairs = Seq((5L, 1L), (5L, 2L))
+    val (kernel, dist, m) = allWays(pairs, 1)
+    assert(kernel == m && dist == m)
+    assert(m(5L) == 1L)
+    assert(m(1L) == 5L && m(2L) == 5L) // leaves adopt the center's label
+  }
+}
