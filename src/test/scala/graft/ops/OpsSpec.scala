@@ -354,6 +354,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r((1L, 0L))._1 * (1.0 / 127) - 1.0) <= (1.0 / 127) / 2 + 1e-9)
   }
 
+  test("quantizeInt8 runs unchanged under Structured Streaming") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq((0L, Array(127f, -64f)), (1L, Array(0f, 0f)))
+    val batch = Similarity.quantizeInt8(rows.toDF("vec_id", "embedding"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.quantizeInt8(mem.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM quant_stream").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   // ---- Multimodal ----
 
   test("decode/resize/frames/featurize plumbing") {
