@@ -22,13 +22,14 @@ import org.apache.spark.sql.functions._
  */
 object KCore {
 
-  /** Distributed peeling loop. Scale shape: the edge table shuffles to
-    * `src` ONCE and every round reuses that layout — the per-round
-    * degree count is a partial-aggregated groupBy on the existing
-    * partitioning, and the two semi-join prunes (src ∈ keep, dst ∈
-    * keep) broadcast the keep set when small (AQE decides). Each
-    * round's edge set persists and the previous unpersists — lineage
-    * stays R-deep, memory one edge set. */
+  /** Distributed peeling loop. Scale shape: the degree count is a
+    * partial-aggregated groupBy (the exchange carries (vertex, partial
+    * count) rows, never edges), and the per-round induced-subgraph
+    * prune is two equi-joins against the keep set — broadcast when the
+    * survivor set is small, AQE-planned otherwise. The prune
+    * necessarily re-materializes the (shrinking) edge set each round;
+    * each round's set persists and the previous unpersists, so lineage
+    * stays shallow and memory holds one edge set. */
   def kcore(spark: SparkSession, clean: DataFrame, k: Int = 3,
             rounds: Int = 5): DataFrame = {
     require(k > 0 && rounds > 0, s"kcore: need k, rounds > 0, got ($k, $rounds)")
