@@ -370,6 +370,11 @@ object SparkEntry {
     "dd_clusters" -> ((s, dir) =>
       ops.Dedup.clustersFromPairs(docs(s, dir), minhashPairs(s, dir))),
 
+    // Deduplicated corpus: surviving canonical docs + cluster sizes (the
+    // pipeline's terminal filter; third consumer of the cached pair set).
+    "dd_keep" -> ((s, dir) =>
+      ops.Dedup.keepCanonical(docs(s, dir), minhashPairs(s, dir))),
+
     // SimHash fingerprints (full hash check of the 60-bit signatures).
     "dd_simhash_sig" -> ((s, dir) => ops.Dedup.simhash(docs(s, dir))),
 
@@ -1006,32 +1011,17 @@ object SparkEntry {
     // dd_minhash's pair pipeline + recursive min-label walk over the pair
     // graph (the cc_components oracle pattern) + left join back to
     // documents for singletons.
-    "dd_clusters" -> (ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, hx AS (SELECT doc_id,
-        |           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS xv
-        |         FROM sh),
-        |sigidx AS (SELECT doc_id, xv, unnest(generate_series(0, 31)) AS i FROM hx),
-        |msig AS (SELECT doc_id, i, min(((2*i+1)*xv + i*104729) % 2147483647) AS m
-        |         FROM sigidx GROUP BY doc_id, i),
-        |bands AS (SELECT doc_id, CAST(i/4 AS INT) AS band,
-        |            string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
-        |          FROM msig GROUP BY doc_id, CAST(i/4 AS INT)),
-        |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |          FROM bands a JOIN bands b
-        |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        |pairs AS (SELECT j.doc_a, j.doc_b
-        |          FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-        |          WHERE j.jaccard >= 0.5),
-        |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |           UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |dwalk(vertex, lab) AS (
-        |  SELECT DISTINCT src, src FROM dedges
-        |  UNION
-        |  SELECT e.dst, w.lab FROM dwalk w JOIN dedges e ON e.src = w.vertex
-        |),
-        |comp AS (SELECT vertex, min(lab) AS component FROM dwalk GROUP BY vertex)
+    "dd_clusters" -> (DdClustersCore +
+      """
         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id
         |FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id""".stripMargin),
+
+    "dd_keep" -> (DdClustersCore +
+      """
+        |SELECT coalesce(c.component, d.doc_id) AS doc_id,
+        |       count(*) AS cluster_size
+        |FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id
+        |GROUP BY 1""".stripMargin),
 
     "dd_simhash_sig" -> (SimhashCte + "SELECT doc_id, simhash FROM ssig"),
 
@@ -1410,6 +1400,36 @@ object SparkEntry {
       |        JOIN sizes na ON na.doc_id = doc_a
       |        JOIN sizes nb ON nb.doc_id = doc_b)
       |""".stripMargin
+
+  /** Shared core of the dd_clusters / dd_keep oracles: minhash pairs →
+    * recursive min-label walk over the pair graph → `comp` component
+    * map (dd_minhash's pair pipeline + the cc_components oracle
+    * pattern). */
+  private val DdClustersCore =
+    ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, hx AS (SELECT doc_id,
+        |           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS xv
+        |         FROM sh),
+        |sigidx AS (SELECT doc_id, xv, unnest(generate_series(0, 31)) AS i FROM hx),
+        |msig AS (SELECT doc_id, i, min(((2*i+1)*xv + i*104729) % 2147483647) AS m
+        |         FROM sigidx GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, CAST(i/4 AS INT) AS band,
+        |            string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sig
+        |          FROM msig GROUP BY doc_id, CAST(i/4 AS INT)),
+        |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b
+        |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT j.doc_a, j.doc_b
+        |          FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        |          WHERE j.jaccard >= 0.5),
+        |dedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |dwalk(vertex, lab) AS (
+        |  SELECT DISTINCT src, src FROM dedges
+        |  UNION
+        |  SELECT e.dst, w.lab FROM dwalk w JOIN dedges e ON e.src = w.vertex
+        |),
+        |comp AS (SELECT vertex, min(lab) AS component FROM dwalk GROUP BY vertex)""".stripMargin
 
   /** Tokens → 60-bit SimHash signatures (mirrors Dedup.simhash). */
   private val SimhashCte = TokCte.stripSuffix("\n") +

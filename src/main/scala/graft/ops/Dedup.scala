@@ -276,6 +276,17 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("canonical_id"))
   }
 
+  /** Deduplicated-corpus view — the terminal filter of the dedup
+    * pipeline: one row per SURVIVING (canonical) document with its
+    * cluster size (singletons size 1). Downstream training reads
+    * exactly these doc_ids. One groupBy over the |docs|-sized cluster
+    * map on top of [[clustersFromPairs]] — partial-aggregated, no new
+    * scan of the corpus text. */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame): DataFrame =
+    clustersFromPairs(docs, pairs)
+      .groupBy(col("canonical_id").as("doc_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+
   /** Standalone exact n-gram Jaccard dedup (no LSH): all pairs sharing a
     * shingle with jaccard ≥ threshold. */
   def ngramJaccardDedup(docs: DataFrame, threshold: Double = 0.8,

@@ -177,6 +177,17 @@ class OpsSpec extends SparkSpec {
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
   }
 
+  test("keepCanonical: surviving docs with cluster sizes") {
+    val s = spark; import s.implicits._
+    val d = docs((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+    val pairs = Seq((0L, 1L, 1.0), (1L, 3L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val r = Dedup.keepCanonical(d, pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // {0,1,3} collapse onto 0 (size 3); 2 survives alone
+    assert(r == Map(0L -> 3L, 2L -> 1L))
+  }
+
   test("jaccard pairs: exact value") {
     val d = docs((0L, "a b c d"), (1L, "a b c e"))
     // shingles: {abc,bcd} vs {abc,bce} => J = 1/3
