@@ -367,13 +367,32 @@ object SparkEntry {
     // Near-dup clusters: minhash pairs → connected components → canonical
     // doc per cluster (the terminal step of a dedup pipeline; shares the
     // cached pair set with dd_minhash).
-    "dd_clusters" -> ((s, dir) =>
-      ops.Dedup.clustersFromPairs(docs(s, dir), minhashPairs(s, dir))),
+    "dd_clusters" -> ((s, dir) => minhashClusters(s, dir)),
 
     // Deduplicated corpus: surviving canonical docs + cluster sizes (the
-    // pipeline's terminal filter; third consumer of the cached pair set).
+    // pipeline's terminal filter; shares the memoized cluster map).
     "dd_keep" -> ((s, dir) =>
-      ops.Dedup.keepCanonical(docs(s, dir), minhashPairs(s, dir))),
+      ops.Dedup.keepFromClusters(minhashClusters(s, dir))),
+
+    // END-TO-END pipeline composition: dedup survivors ∩ quality gate ∩
+    // deterministic stratified sample, with token counts — the manifest
+    // a training run reads. One plan composed from three operator
+    // families (each independently oracle-checked above).
+    "pipe_filter" -> ((s, dir) => {
+      val surv = ops.Dedup.keepFromClusters(minhashClusters(s, dir))
+        .select("doc_id")
+      val q = ops.TextOps.quality(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .where(col("quality_score") > 0)
+      val samp = ops.Mix.stratifiedSample(docsMeta(s, dir), col("lang"),
+          Map("en" -> 10000L, "es" -> 5000L, "fr" -> 2500L,
+            "de" -> 2000L, "zh" -> 1000L), 5000L)
+        .where(col("kept") === 1)
+        .select("doc_id", "stratum")
+      surv.join(q, "doc_id").join(samp, "doc_id")
+        .select(col("doc_id"), col("stratum"), col("n_tokens"),
+          col("quality_score"))
+    }),
 
     // SimHash fingerprints (full hash check of the 60-bit signatures).
     "dd_simhash_sig" -> ((s, dir) => ops.Dedup.simhash(docs(s, dir))),
@@ -534,6 +553,15 @@ object SparkEntry {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.get(s, s"$dir/minhash_pairs")(
       ops.Dedup.minhashDedup(docs(s, dir), 0.5))
+
+  /** Cluster map over the pair set, shared by dd_clusters (its output)
+    * and dd_keep (its input) — the component walk runs once per sfDir.
+    * Eagerly checkpointed: both consumers rescan a small flat table. */
+  private val clustersCache = new SessionCache[DataFrame]
+  private def minhashClusters(s: SparkSession, dir: String): DataFrame =
+    clustersCache.get(s, s"$dir/minhash_clusters")(
+      ops.Dedup.clustersFromPairs(docs(s, dir), minhashPairs(s, dir))
+        .localCheckpoint(eager = true))
 
   /** Deterministic 2000-line lineitem subset feeding cc_components and
     * sssp_dist: the global top-2000 sort runs once per sfDir, not once
@@ -1022,6 +1050,33 @@ object SparkEntry {
         |       count(*) AS cluster_size
         |FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id
         |GROUP BY 1""".stripMargin),
+
+    "pipe_filter" -> (DdClustersCore +
+      """,
+        |sv AS (SELECT d.doc_id
+        |       FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id
+        |       WHERE coalesce(c.component, d.doc_id) = d.doc_id),
+        |pq AS (SELECT d.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |         round(CASE WHEN len(tk) >= 10
+        |           THEN round(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b'))*1.0
+        |                      / greatest(len(tk), 1), 6) * 2.0
+        |                - round(len(regexp_extract_all(text, '[.,;:!?]'))*1.0
+        |                        / greatest(length(text), 1), 6)
+        |           ELSE -1.0 END, 6) AS quality_score
+        |       FROM toks JOIN documents d USING (doc_id)),
+        |sk AS (SELECT doc_id, lang AS stratum,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(CAST(doc_id AS VARCHAR) || ':' || lang, ''),
+        |                          c -> CAST(ord(c) AS BIGINT))),
+        |           (h, cp) -> (h * 31 + cp) % 1000000007) % 10000 AS bucket
+        |       FROM documents),
+        |skk AS (SELECT doc_id, stratum FROM sk
+        |        WHERE bucket < CASE stratum
+        |          WHEN 'en' THEN 10000 WHEN 'es' THEN 5000 WHEN 'fr' THEN 2500
+        |          WHEN 'de' THEN 2000 WHEN 'zh' THEN 1000 ELSE 5000 END)
+        |SELECT p.doc_id, k.stratum, p.n_tokens, p.quality_score
+        |FROM pq p JOIN sv USING (doc_id) JOIN skk k USING (doc_id)
+        |WHERE p.quality_score > 0""".stripMargin),
 
     "dd_simhash_sig" -> (SimhashCte + "SELECT doc_id, simhash FROM ssig"),
 

@@ -283,7 +283,12 @@ object Dedup {
     * map on top of [[clustersFromPairs]] — partial-aggregated, no new
     * scan of the corpus text. */
   def keepCanonical(docs: DataFrame, pairs: DataFrame): DataFrame =
-    clustersFromPairs(docs, pairs)
+    keepFromClusters(clustersFromPairs(docs, pairs))
+
+  /** [[keepCanonical]] over an already-computed cluster map (callers
+    * that share the map across queries aggregate it directly). */
+  def keepFromClusters(clusters: DataFrame): DataFrame =
+    clusters
       .groupBy(col("canonical_id").as("doc_id"))
       .agg(count(lit(1)).as("cluster_size"))
 
