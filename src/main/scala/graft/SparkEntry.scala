@@ -347,6 +347,11 @@ object SparkEntry {
     "ev_rolling" -> ((s, dir) =>
       streaming.Events.rollingActivity(events(s, dir), 7)),
 
+    // Event-type Markov transitions P(next | current) over per-user
+    // sequences — exact integer counts, one rounded conditional.
+    "ev_transitions" -> ((s, dir) =>
+      streaming.Events.typeTransitions(events(s, dir))),
+
     // Hourly volume anomalies per type: |z| > 2 decided by an exact
     // integer predicate (no FP in the comparison).
     "ev_anomaly" -> ((s, dir) =>
@@ -865,6 +870,21 @@ object SparkEntry {
         |FROM pd
         |WINDOW w AS (PARTITION BY user_id ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "ev_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS to_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS c12
+        |      FROM seq WHERE from_type IS NOT NULL
+        |      GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, c12,
+        |       CAST(sum(c12) OVER (PARTITION BY from_type) AS BIGINT) AS c1,
+        |       round(c12 * 1.0 / sum(c12) OVER (PARTITION BY from_type), 6)
+        |         AS p_cond
+        |FROM c""".stripMargin,
 
     "ev_anomaly" ->
       """WITH h AS (

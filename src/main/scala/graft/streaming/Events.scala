@@ -453,6 +453,35 @@ object Events {
           .otherwise(0L).as("is_anomaly"))
   }
 
+  /** Event-type transition matrix over per-user event sequences —
+    * P(next type | type), the first-order Markov model behind
+    * behavioral scoring and funnel diagnostics. Consecutive-event
+    * pairs come from a lag window ordered by (ts, event_id) within
+    * each user (deterministic total order), counts are exact integers,
+    * and the one derived column (the conditional) is round6 of an
+    * integer ratio — engine-exact everywhere else.
+    *
+    * Scale shape: one per-user window (millions of small
+    * hash-distributed partitions) + one groupBy(from, to) with partial
+    * aggregation; the denominator rides a window over the
+    * ALREADY-AGGREGATED |types|² table, which is tiny.
+    * Output: (from_type, to_type, c12, c1, p_cond). */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("c12"))
+    val wf = Window.partitionBy("from_type")
+    counts
+      .withColumn("c1", sum(col("c12")).over(wf))
+      .select(col("from_type"), col("to_type"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1"), 6).as("p_cond"))
+  }
+
   def topUsers(events: DataFrame, k: Int = 3): DataFrame =
     LocalEvents.topUsers(events, k).getOrElse(
       rankTopUsers(userValueSums(events), k))

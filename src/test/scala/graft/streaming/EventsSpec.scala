@@ -73,6 +73,21 @@ class EventsSpec extends SparkSpec {
     assert(ru.forall(x => x.getLong(4) == 0L && x.getLong(5) == 0L))
   }
 
+  test("typeTransitions: per-user consecutive pairs, exact conditionals") {
+    val d = evDf(
+      Ev(0, ts(0), 1, "view", 1.0), Ev(1, ts(1), 1, "view", 1.0),
+      Ev(2, ts(2), 1, "buy", 1.0),
+      Ev(3, ts(0), 2, "view", 1.0), Ev(4, ts(1), 2, "buy", 1.0),
+      Ev(5, ts(0), 3, "buy", 1.0)) // single event → no transition
+    val r = Events.typeTransitions(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    // from view: view→view once, view→buy twice → c1 = 3
+    assert(r(("view", "view")) == ((1L, 3L, 0.333333)))
+    assert(r(("view", "buy")) == ((2L, 3L, 0.666667)))
+    assert(r.size == 2) // "buy" is never a from-state with a successor
+  }
+
   test("topUsers ranks by total value") {
     val d = evDf(Ev(0, ts(1), 1, "a", 5.0), Ev(1, ts(2), 2, "a", 9.0),
       Ev(2, ts(3), 1, "a", 1.0))
