@@ -476,6 +476,9 @@ object SparkEntry {
     // per-doc window over the already-aggregated term table.
     "tx_tfidf" -> ((s, dir) => ops.TextOps.tfidf(docs(s, dir), 3)),
 
+    // Per-document token entropy (lexical-diversity quality signal).
+    "tx_entropy" -> ((s, dir) => ops.TextOps.tokenEntropy(docs(s, dir))),
+
     // Overlapping 64-token chunks (stride 48) — embedding/context-window
     // slicing; pure narrow codegen map.
     "tx_chunks" -> ((s, dir) => ops.TextOps.chunks(docs(s, dir), 64, 48)),
@@ -1271,6 +1274,16 @@ object SparkEntry {
         |         ORDER BY score DESC, tf DESC, df, token) AS BIGINT) AS rk
         |       FROM sc)
         |SELECT doc_id, token, tf, df, score, rk FROM rk WHERE rk <= 3""".stripMargin),
+
+    "tx_entropy" -> (TokCte.stripSuffix("\n") +
+      """,
+        |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+        |tc AS (SELECT doc_id, token, count(*) AS c
+        |       FROM tok GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_types,
+        |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+        |FROM tc GROUP BY doc_id""".stripMargin),
 
     "tx_chunks" -> (TokCte.stripSuffix("\n") +
       """,

@@ -225,6 +225,24 @@ object TextOps {
       .select("rank", "token", "n_docs", "n_occurrences")
   }
 
+  /** Per-document token (Shannon) entropy in nats:
+    * H = ln(n) − Σ c·ln(c) / n over in-document term counts c — the
+    * lexical-diversity signal low-quality/boilerplate filters threshold
+    * on (degenerate repetition → H near 0). Token-less documents emit
+    * no row.
+    *
+    * One explode + two partial-aggregated groupBys, no window, no UDF.
+    * Output: (doc_id, n_tokens, n_types, entropy). */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .select(col("doc_id"), explode(col("tk")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c")), 6).as("entropy"))
+
   /** Top-k characteristic terms per document by tf-idf:
     * score = tf · ln(N / df) with tf the in-document term count, df the
     * number of documents containing the term, N the corpus size — the

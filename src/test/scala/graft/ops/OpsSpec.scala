@@ -259,6 +259,21 @@ class OpsSpec extends SparkSpec {
     assert(bf.toSeq === ivf.toSeq)
   }
 
+  test("tokenEntropy: hand-checked values, degenerate repetition near 0") {
+    val d = docs(
+      (0L, "a a b"),          // H = ln3 − (2·ln2)/3 = 0.636514
+      (1L, "x x x x"),        // single type → H = 0
+      (2L, "p q r s"),        // uniform → H = ln 4 = 1.386294
+      (3L, "   "))            // token-less → no row
+    val r = TextOps.tokenEntropy(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .toMap
+    assert(r(0L) == ((3L, 2L, 0.636514)))
+    assert(r(1L) == ((4L, 1L, 0.0)))
+    assert(r(2L) == ((4L, 4L, 1.386294)))
+    assert(!r.contains(3L))
+  }
+
   test("tfidf: tf·ln(N/df) scoring with deterministic rank ties") {
     val d = docs(
       (0L, "apple apple banana"),
