@@ -352,6 +352,10 @@ object SparkEntry {
     "ev_transitions" -> ((s, dir) =>
       streaming.Events.typeTransitions(events(s, dir))),
 
+    // Per-type inter-arrival gap percentiles (integral µs gaps, exact
+    // interpolated percentiles).
+    "ev_gaps" -> ((s, dir) => streaming.Events.gapStats(events(s, dir))),
+
     // Hourly volume anomalies per type: |z| > 2 decided by an exact
     // integer predicate (no FP in the comparison).
     "ev_anomaly" -> ((s, dir) =>
@@ -888,6 +892,35 @@ object SparkEntry {
         |       round(c12 * 1.0 / sum(c12) OVER (PARTITION BY from_type), 6)
         |         AS p_cond
         |FROM c""".stripMargin,
+
+    "ev_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |gg AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+        |st AS (SELECT event_type, count(*) AS n_gaps,
+        |              CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+        |              CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |              CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+        |       FROM gg GROUP BY event_type),
+        |rk AS (SELECT event_type, gap_us,
+        |              row_number() OVER (PARTITION BY event_type
+        |                ORDER BY gap_us) - 1 AS rnk
+        |       FROM gg),
+        |md AS (SELECT r.event_type,
+        |         CAST(sum(CASE WHEN r.rnk = (s.n_gaps - 1) // 2
+        |                       THEN r.gap_us ELSE 0 END)
+        |            + sum(CASE WHEN r.rnk = s.n_gaps // 2
+        |                       THEN r.gap_us ELSE 0 END) AS BIGINT)
+        |           AS p50_x2_gap_us
+        |       FROM rk r JOIN st s USING (event_type)
+        |       GROUP BY r.event_type)
+        |SELECT s.event_type, s.n_gaps, s.min_gap_us, m.p50_x2_gap_us,
+        |       s.max_gap_us, s.sum_gap_us
+        |FROM st s JOIN md m USING (event_type)""".stripMargin,
 
     "ev_anomaly" ->
       """WITH h AS (

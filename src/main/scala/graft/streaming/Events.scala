@@ -482,6 +482,51 @@ object Events {
         round(col("c12").cast("double") / col("c1"), 6).as("p_cond"))
   }
 
+  /** Per-type inter-arrival statistics: the distribution of gaps
+    * between a user's consecutive SAME-TYPE events — ingest/burst
+    * telemetry (a collapsing median flags hot loops; a fat max flags
+    * dormancy). Everything is EXACT integer arithmetic: gaps are
+    * integral microseconds from the deterministic order, and the
+    * median ships DOUBLED (`p50_x2 = v[(n−1)÷2] + v[n÷2]` over the
+    * sorted gaps) so no interpolation happens — an interpolated
+    * percentile at 1e11 µs magnitudes differs across engines in the
+    * last ulp, and decimal rounding cannot absorb that.
+    *
+    * One per-(user, type) lag window, one per-type rank window (exact
+    * order statistics need the sort — swap in `approx_percentile` when
+    * a type's gap count outgrows one task), one final groupBy.
+    * Output: (event_type, n_gaps, min_gap_us, p50_x2_gap_us,
+    * max_gap_us, sum_gap_us). */
+  def gapStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("us", "event_id")
+    val gaps = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .where(col("gap_us").isNotNull)
+    val stats = gaps.groupBy("event_type").agg(
+      count(lit(1)).as("n_gaps"),
+      min(col("gap_us")).as("min_gap_us"),
+      max(col("gap_us")).as("max_gap_us"),
+      sum(col("gap_us")).as("sum_gap_us"))
+    val ranked = gaps
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("event_type").orderBy("gap_us")).cast("long") - 1)
+    val med = ranked
+      .join(broadcast(stats.select(col("event_type"), col("n_gaps"))),
+        "event_type")
+      .groupBy("event_type", "n_gaps").agg(
+        (sum(when(col("rnk") === expr("(n_gaps - 1) div 2"), col("gap_us"))
+          .otherwise(0L)) +
+          sum(when(col("rnk") === expr("n_gaps div 2"), col("gap_us"))
+            .otherwise(0L))).as("p50_x2_gap_us"))
+      .select("event_type", "p50_x2_gap_us")
+    stats.join(med, "event_type")
+      .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
+        col("p50_x2_gap_us"), col("max_gap_us"), col("sum_gap_us"))
+  }
+
   def topUsers(events: DataFrame, k: Int = 3): DataFrame =
     LocalEvents.topUsers(events, k).getOrElse(
       rankTopUsers(userValueSums(events), k))

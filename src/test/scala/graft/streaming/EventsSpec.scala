@@ -88,6 +88,21 @@ class EventsSpec extends SparkSpec {
     assert(r.size == 2) // "buy" is never a from-state with a successor
   }
 
+  test("gapStats: same-type per-user gaps, exact percentiles") {
+    val d = evDf(
+      Ev(0, ts(0), 1, "a", 1.0), Ev(1, ts(1), 1, "a", 1.0),  // gap 60 s
+      Ev(2, ts(4), 1, "a", 1.0),                             // gap 180 s
+      Ev(3, ts(2), 1, "b", 1.0),                             // interleaved type
+      Ev(4, ts(0), 2, "a", 1.0), Ev(5, ts(2), 2, "a", 1.0))  // gap 120 s
+    val r = Events.gapStats(d).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5))).toMap
+    // type a gaps: 60e6, 180e6, 120e6 µs → doubled median 240e6
+    assert(r("a") == ((3L, 60000000L, 240000000L, 180000000L, 360000000L)))
+    assert(!r.contains("b")) // single event → no gap
+  }
+
   test("topUsers ranks by total value") {
     val d = evDf(Ev(0, ts(1), 1, "a", 5.0), Ev(1, ts(2), 2, "a", 9.0),
       Ev(2, ts(3), 1, "a", 1.0))
