@@ -932,8 +932,8 @@ object SparkEntry {
         |       FROM h GROUP BY event_type)
         |SELECT h.event_type, h.w_start, h.n_events,
         |       CAST(h.n_events * st.k - st.sum_n AS BIGINT) AS dev,
-        |       CAST(st.k * st.sum_n2 - st.sum_n * st.sum_n AS BIGINT)
-        |         AS var_num,
+        |       CAST(st.k * st.sum_n2 - st.sum_n * st.sum_n
+        |            AS DECIMAL(38,0)) AS var_num,
         |       CAST(CASE WHEN (h.n_events * st.k - st.sum_n)
         |                      * (h.n_events * st.k - st.sum_n)
         |                      * (st.k - 1)

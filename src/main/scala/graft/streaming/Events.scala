@@ -423,9 +423,13 @@ object Events {
     * The anomaly PREDICATE is exact integer arithmetic — no division,
     * no sqrt, no FP in the comparison:
     *   |z| > t  ⟺  (n·k − Σn)²·(k−1) > t²·(k·Σn² − (Σn)²)·k
-    * with the quadratic terms in decimal(38,0) so corpus-scale counts
-    * (n ~ 1e9, k ~ 1e4) cannot overflow a BIGINT. `dev = n·k − Σn` and
-    * `var_num = k·Σn² − (Σn)²` ride along for auditability.
+    * with EVERY quadratic term decimal(38,0) from the aggregation
+    * inward: Σn² accumulates `cast(n as decimal) * n` (n ~ 1e9, k ~ 1e4
+    * ⇒ Σn² ~ 1e22 and (Σn)² ~ 1e26 silently wrap an int64 under
+    * non-ANSI Spark if summed or squared as LongType — the cast must
+    * precede the multiply, not follow the sum). `dev = n·k − Σn` (a
+    * linear term, long-safe) and `var_num = k·Σn² − (Σn)²` (decimal —
+    * it genuinely exceeds int64 at scale) ride along for audit.
     *
     * Scale shape: one windowed groupBy over the raw events (partial
     * agg), one tiny per-type stats aggregate broadcast back onto the
@@ -437,17 +441,18 @@ object Events {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n_events"))
+    val dec = "decimal(38,0)"
     val stats = hourly.groupBy("event_type").agg(
       count(lit(1)).as("k"),
       sum(col("n_events")).as("sum_n"),
-      sum(col("n_events") * col("n_events")).as("sum_n2"))
-    val dec = "decimal(38,0)"
-    val dev = (col("n_events") * col("k") - col("sum_n")).cast(dec)
-    val varNum = (col("k") * col("sum_n2") -
-      col("sum_n") * col("sum_n")).cast(dec)
+      sum(col("n_events").cast(dec) * col("n_events")).as("sum_n2"))
+    val dev = (col("n_events").cast(dec) * col("k") - col("sum_n"))
+      .cast(dec)
+    val varNum = (col("k").cast(dec) * col("sum_n2") -
+      col("sum_n").cast(dec) * col("sum_n")).cast(dec)
     hourly.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("w_start"), col("n_events"),
-        dev.cast("long").as("dev"), varNum.cast("long").as("var_num"),
+        dev.cast("long").as("dev"), varNum.as("var_num"),
         when(dev * dev * (col("k") - 1).cast(dec) >
             lit(threshold * threshold) * varNum * col("k").cast(dec), 1L)
           .otherwise(0L).as("is_anomaly"))
@@ -492,12 +497,27 @@ object Events {
     * percentile at 1e11 µs magnitudes differs across engines in the
     * last ulp, and decimal rounding cannot absorb that.
     *
-    * One per-(user, type) lag window, one per-type rank window (exact
-    * order statistics need the sort — swap in `approx_percentile` when
-    * a type's gap count outgrows one task), one final groupBy.
+    * One per-(user, type) lag window feeds the gaps; the exact median
+    * is a RANGE-PARTITIONED global sort on (event_type, gap_us) plus a
+    * two-phase prefix scan (the `Mix.pack` / `EdgeOps.reorderMap`
+    * pattern): pass 1 streams each sorted partition once to count its
+    * per-type run lengths (types are contiguous runs, so the collected
+    * subtotal set is O(partitions + types), never row-scaled); the
+    * driver exclusive-scans those into per-(partition, type) start
+    * ranks and per-type target ranks; pass 2 re-streams the SAME
+    * persisted partitions and emits ONLY the rows sitting at the two
+    * middle order statistics — at most two rows per type leave the
+    * executors. A `row_number` window partitioned by event_type would
+    * instead sort every gap of a type in ONE task (type cardinality is
+    * tiny, gap counts are not) — the classic low-cardinality-window
+    * bottleneck this formulation exists to avoid. Both passes bind the
+    * partition id via `mapPartitionsWithIndex` (coalesce-proof, see
+    * Mix.pack).
     * Output: (event_type, n_gaps, min_gap_us, p50_x2_gap_us,
     * max_gap_us, sum_gap_us). */
   def gapStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy("us", "event_id")
     val gaps = events
@@ -510,18 +530,65 @@ object Events {
       min(col("gap_us")).as("min_gap_us"),
       max(col("gap_us")).as("max_gap_us"),
       sum(col("gap_us")).as("sum_gap_us"))
-    val ranked = gaps
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("event_type").orderBy("gap_us")).cast("long") - 1)
-    val med = ranked
-      .join(broadcast(stats.select(col("event_type"), col("n_gaps"))),
-        "event_type")
-      .groupBy("event_type", "n_gaps").agg(
-        (sum(when(col("rnk") === expr("(n_gaps - 1) div 2"), col("gap_us"))
-          .otherwise(0L)) +
-          sum(when(col("rnk") === expr("n_gaps div 2"), col("gap_us"))
-            .otherwise(0L))).as("p50_x2_gap_us"))
-      .select("event_type", "p50_x2_gap_us")
+    val sorted = gaps
+      .select(col("event_type"), col("gap_us"))
+      .as[(String, Long)]
+      .repartitionByRange(col("event_type"), col("gap_us"))
+      .sortWithinPartitions("event_type", "gap_us")
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-(partition, type) gap counts — contiguous runs in the
+    // sorted partitions, one streaming scan, O(partitions + types) out.
+    val counts: Array[(Int, String, Long)] =
+      sorted.mapPartitionsWithIndex { (pid, it) =>
+        val runs =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+        var cur: String = null
+        var n = 0L
+        it.foreach { case (t, _) =>
+          if (t != cur) {
+            if (cur != null) runs += ((pid, cur, n))
+            cur = t; n = 0L
+          }
+          n += 1L
+        }
+        if (cur != null) runs += ((pid, cur, n))
+        runs.iterator
+      }.collect()
+    // exclusive scan in partition order → global start rank of each
+    // (partition, type) run; totals → the two middle target ranks.
+    val baseB = Map.newBuilder[(Int, String), Long]
+    val totals = scala.collection.mutable.HashMap.empty[String, Long]
+    counts.sortBy(_._1).foreach { case (pid, t, n) =>
+      baseB += ((pid, t) -> totals.getOrElse(t, 0L))
+      totals(t) = totals.getOrElse(t, 0L) + n
+    }
+    val targets: Map[String, (Long, Long)] =
+      totals.iterator.map { case (t, n) => t -> (((n - 1) / 2, n / 2)) }
+        .toMap
+    val bcBase = spark.sparkContext.broadcast(baseB.result())
+    val bcTargets = spark.sparkContext.broadcast(targets)
+    // pass 2: same persisted partitions; emit only the rows whose global
+    // rank hits a target — the doubled median needs v[(n−1)÷2] + v[n÷2],
+    // so an odd-n type emits its single middle row already doubled.
+    val med = sorted.mapPartitionsWithIndex { (pid, it) =>
+        var cur: String = null
+        var rank = 0L; var t1 = -1L; var t2 = -1L
+        it.flatMap { case (t, v) =>
+          if (t != cur) {
+            cur = t; rank = bcBase.value((pid, t))
+            val tg = bcTargets.value(t); t1 = tg._1; t2 = tg._2
+          }
+          val r = rank; rank += 1L
+          if (r == t1 || r == t2)
+            Iterator((t, (if (r == t1) v else 0L) + (if (r == t2) v else 0L)))
+          else Iterator.empty
+        }
+      }.toDF("event_type", "p50_part")
+      .groupBy("event_type")
+      .agg(sum(col("p50_part")).as("p50_x2_gap_us"))
+      .localCheckpoint(true) // ≤ 2 rows/type; lets the sorted RDD go
+    sorted.unpersist(blocking = false)
     stats.join(med, "event_type")
       .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
         col("p50_x2_gap_us"), col("max_gap_us"), col("sum_gap_us"))

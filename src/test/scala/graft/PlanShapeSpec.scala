@@ -44,6 +44,22 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.localDedupMaxDocs")
   }
 
+  test("ev_gaps median carries no per-type rank window") {
+    val s = spark; import s.implicits._
+    val d = (0 until 40).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"),
+        (i % 4).toLong, s"t${i % 2}", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = streaming.Events.gapStats(d)
+    q.count()
+    // exact median = range-partitioned sort + two-phase prefix offsets;
+    // a row_number window partitioned by event_type alone would sort a
+    // whole type in one task — pin its absence (the surviving lag window
+    // is keyed by (user_id, event_type): high cardinality, safe)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), plan)
+  }
+
   test("distributed pack plans exactly one range exchange") {
     val s = spark; import s.implicits._
     spark.conf.set("spark.graft.localMixMaxRows", "0")
