@@ -1211,12 +1211,36 @@ object SparkEntry {
         |                - round(len(regexp_extract_all(text, '[.,;:!?]'))*1.0
         |                        / greatest(length(text), 1), 6)
         |           ELSE -1.0 END, 6) AS q
-        |       FROM toks JOIN documents d USING (doc_id))
-        |SELECT stratum, count(*) AS n_docs,
-        |       round(quantile_cont(q, 0.25), 6) AS q25,
-        |       round(quantile_cont(q, 0.5), 6) AS q50,
-        |       round(quantile_cont(q, 0.75), 6) AS q75
-        |FROM qs GROUP BY stratum""".stripMargin),
+        |       FROM toks JOIN documents d USING (doc_id)),
+        |qm AS (SELECT stratum, CAST(round(q * 1000000, 0) AS BIGINT) AS v
+        |       FROM qs),
+        |st AS (SELECT stratum, count(*) AS n FROM qm GROUP BY stratum),
+        |rk AS (SELECT stratum, v,
+        |         row_number() OVER (PARTITION BY stratum ORDER BY v) - 1
+        |           AS rnk
+        |       FROM qm),
+        |sel AS (SELECT r.stratum,
+        |    max(CASE WHEN rnk = (n-1)//4 THEN v END) AS v1lo,
+        |    max(CASE WHEN rnk = (n-1)//4
+        |          + CASE WHEN (n-1)%4 > 0 THEN 1 ELSE 0 END
+        |        THEN v END) AS v1hi,
+        |    max(CASE WHEN rnk = (2*(n-1))//4 THEN v END) AS v2lo,
+        |    max(CASE WHEN rnk = (2*(n-1))//4
+        |          + CASE WHEN (2*(n-1))%4 > 0 THEN 1 ELSE 0 END
+        |        THEN v END) AS v2hi,
+        |    max(CASE WHEN rnk = (3*(n-1))//4 THEN v END) AS v3lo,
+        |    max(CASE WHEN rnk = (3*(n-1))//4
+        |          + CASE WHEN (3*(n-1))%4 > 0 THEN 1 ELSE 0 END
+        |        THEN v END) AS v3hi
+        |  FROM rk r JOIN st USING (stratum) GROUP BY r.stratum)
+        |SELECT s.stratum, s.n AS n_docs,
+        |  ((4 - (s.n-1)%4) * v1lo + ((s.n-1)%4) * v1hi)
+        |    / 4000000.0 AS q25,
+        |  ((4 - (2*(s.n-1))%4) * v2lo + ((2*(s.n-1))%4) * v2hi)
+        |    / 4000000.0 AS q50,
+        |  ((4 - (3*(s.n-1))%4) * v3lo + ((3*(s.n-1))%4) * v3hi)
+        |    / 4000000.0 AS q75
+        |FROM st s JOIN sel USING (stratum)""".stripMargin),
 
     "tx_vocab" -> (TokCte.stripSuffix("\n") +
       """,

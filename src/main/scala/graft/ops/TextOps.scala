@@ -183,23 +183,61 @@ object TextOps {
         when(col("n_overlap") > 0, 1L).otherwise(0L).as("contaminated"))
   }
 
-  /** Exact quality-score percentiles per stratum (the distribution
+  /** Exact quality-score quartiles per stratum (the distribution
     * check behind per-language / per-source filter thresholds):
     * (stratum, n_docs, q25, q50, q75). `strata` carries
     * (doc_id, stratum).
     *
-    * `percentile` is Spark's exact interpolating order statistic
-    * (≡ SQL quantile_cont) — fine per-stratum at any corpus size
-    * because the sort is per-group; for truly enormous single strata
-    * `approx_percentile` is the drop-in relaxation. */
-  def qualityPercentiles(docs: DataFrame, strata: DataFrame): DataFrame =
-    quality(docs).select(col("doc_id"), col("quality_score"))
+    * NOT Spark's `percentile` aggregate: that buffers every value of a
+    * stratum in one aggregation buffer (a single enormous stratum OOMs
+    * one task), and its interpolation arithmetic differs from other
+    * engines' `quantile_cont` in the last ulp — `round` then amplifies
+    * the ulp to a visible digit whenever the interpolated value lands
+    * on a rounding boundary (quartile fractions {.25,.5,.75} of
+    * 6-decimal scores do, often).
+    *
+    * Instead, engine-exact linear interpolation from integer order
+    * statistics: scores become exact micro-units (round6 × 1e6 — a
+    * lossless long), `OrderStats.selectRanks` ships the two bracketing
+    * order statistics per quartile (range-partitioned sort + two-phase
+    * prefix scan — no per-stratum buffering anywhere), and the quartile
+    * is ((4−r)·v_lo + r·v_hi) / 4e6 with h = k·(n−1), lo = h div 4,
+    * r = h mod 4 — all-integer until one final division that every
+    * engine evaluates identically. */
+  def qualityPercentiles(docs: DataFrame, strata: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = quality(docs).select(col("doc_id"), col("quality_score"))
       .join(strata, "doc_id")
-      .groupBy("stratum").agg(
-        count(lit(1)).as("n_docs"),
-        round(percentile(col("quality_score"), lit(0.25)), 6).as("q25"),
-        round(percentile(col("quality_score"), lit(0.5)), 6).as("q50"),
-        round(percentile(col("quality_score"), lit(0.75)), 6).as("q75"))
+      .select(col("stratum"),
+        round(col("quality_score") * lit(1000000d), 0).cast("long").as("qm"))
+    val stats = q.groupBy("stratum").agg(count(lit(1)).as("n_docs"))
+    val sel = OrderStats.selectRanks[Long](spark,
+      q.as[(String, Long)].rdd,
+      n => (1 to 3).flatMap { k =>
+        val h = k * (n - 1)
+        Seq(h / 4, h / 4 + (if (h % 4 == 0) 0L else 1L))
+      }.distinct)
+    def lo(k: Int) = expr(s"($k * (n_docs - 1)) div 4")
+    def r(k: Int) = expr(s"($k * (n_docs - 1)) % 4")
+    def hi(k: Int) =
+      lo(k) + when(r(k) > 0, 1L).otherwise(0L)
+    val picked = sel.join(stats, col("key") === col("stratum"))
+      .groupBy(col("stratum"), col("n_docs"))
+      .agg(
+        max(when(col("rnk") === lo(1), col("value"))).as("v1lo"),
+        max(when(col("rnk") === hi(1), col("value"))).as("v1hi"),
+        max(when(col("rnk") === lo(2), col("value"))).as("v2lo"),
+        max(when(col("rnk") === hi(2), col("value"))).as("v2hi"),
+        max(when(col("rnk") === lo(3), col("value"))).as("v3lo"),
+        max(when(col("rnk") === hi(3), col("value"))).as("v3hi"))
+    def quart(k: Int, vlo: String, vhi: String) =
+      (((lit(4L) - r(k)) * col(vlo) + r(k) * col(vhi)) / lit(4000000d))
+    picked.select(col("stratum"), col("n_docs"),
+      quart(1, "v1lo", "v1hi").as("q25"),
+      quart(2, "v2lo", "v2hi").as("q50"),
+      quart(3, "v3lo", "v3hi").as("q75"))
+  }
 
   /** Top-k corpus vocabulary: (rank, token, n_docs, n_occurrences),
     * rank by (occurrences desc, token asc) — the vocab-building /

@@ -498,21 +498,13 @@ object Events {
     * last ulp, and decimal rounding cannot absorb that.
     *
     * One per-(user, type) lag window feeds the gaps; the exact median
-    * is a RANGE-PARTITIONED global sort on (event_type, gap_us) plus a
-    * two-phase prefix scan (the `Mix.pack` / `EdgeOps.reorderMap`
-    * pattern): pass 1 streams each sorted partition once to count its
-    * per-type run lengths (types are contiguous runs, so the collected
-    * subtotal set is O(partitions + types), never row-scaled); the
-    * driver exclusive-scans those into per-(partition, type) start
-    * ranks and per-type target ranks; pass 2 re-streams the SAME
-    * persisted partitions and emits ONLY the rows sitting at the two
-    * middle order statistics — at most two rows per type leave the
-    * executors. A `row_number` window partitioned by event_type would
-    * instead sort every gap of a type in ONE task (type cardinality is
-    * tiny, gap counts are not) — the classic low-cardinality-window
-    * bottleneck this formulation exists to avoid. Both passes bind the
-    * partition id via `mapPartitionsWithIndex` (coalesce-proof, see
-    * Mix.pack).
+    * is `OrderStats.selectRanks` — a range-partitioned global sort on
+    * (event_type, gap_us) + two-phase prefix scan that ships only the
+    * two middle order statistics per type out of the executors. A
+    * `row_number` window partitioned by event_type would instead sort
+    * every gap of a type in ONE task (type cardinality is tiny, gap
+    * counts are not) — the classic low-cardinality-window bottleneck
+    * that formulation exists to avoid.
     * Output: (event_type, n_gaps, min_gap_us, p50_x2_gap_us,
     * max_gap_us, sum_gap_us). */
   def gapStats(events: DataFrame): DataFrame = {
@@ -530,65 +522,15 @@ object Events {
       min(col("gap_us")).as("min_gap_us"),
       max(col("gap_us")).as("max_gap_us"),
       sum(col("gap_us")).as("sum_gap_us"))
-    val sorted = gaps
-      .select(col("event_type"), col("gap_us"))
-      .as[(String, Long)]
-      .repartitionByRange(col("event_type"), col("gap_us"))
-      .sortWithinPartitions("event_type", "gap_us")
-      .rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-(partition, type) gap counts — contiguous runs in the
-    // sorted partitions, one streaming scan, O(partitions + types) out.
-    val counts: Array[(Int, String, Long)] =
-      sorted.mapPartitionsWithIndex { (pid, it) =>
-        val runs =
-          scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-        var cur: String = null
-        var n = 0L
-        it.foreach { case (t, _) =>
-          if (t != cur) {
-            if (cur != null) runs += ((pid, cur, n))
-            cur = t; n = 0L
-          }
-          n += 1L
-        }
-        if (cur != null) runs += ((pid, cur, n))
-        runs.iterator
-      }.collect()
-    // exclusive scan in partition order → global start rank of each
-    // (partition, type) run; totals → the two middle target ranks.
-    val baseB = Map.newBuilder[(Int, String), Long]
-    val totals = scala.collection.mutable.HashMap.empty[String, Long]
-    counts.sortBy(_._1).foreach { case (pid, t, n) =>
-      baseB += ((pid, t) -> totals.getOrElse(t, 0L))
-      totals(t) = totals.getOrElse(t, 0L) + n
-    }
-    val targets: Map[String, (Long, Long)] =
-      totals.iterator.map { case (t, n) => t -> (((n - 1) / 2, n / 2)) }
-        .toMap
-    val bcBase = spark.sparkContext.broadcast(baseB.result())
-    val bcTargets = spark.sparkContext.broadcast(targets)
-    // pass 2: same persisted partitions; emit only the rows whose global
-    // rank hits a target — the doubled median needs v[(n−1)÷2] + v[n÷2],
-    // so an odd-n type emits its single middle row already doubled.
-    val med = sorted.mapPartitionsWithIndex { (pid, it) =>
-        var cur: String = null
-        var rank = 0L; var t1 = -1L; var t2 = -1L
-        it.flatMap { case (t, v) =>
-          if (t != cur) {
-            cur = t; rank = bcBase.value((pid, t))
-            val tg = bcTargets.value(t); t1 = tg._1; t2 = tg._2
-          }
-          val r = rank; rank += 1L
-          if (r == t1 || r == t2)
-            Iterator((t, (if (r == t1) v else 0L) + (if (r == t2) v else 0L)))
-          else Iterator.empty
-        }
-      }.toDF("event_type", "p50_part")
-      .groupBy("event_type")
-      .agg(sum(col("p50_part")).as("p50_x2_gap_us"))
-      .localCheckpoint(true) // ≤ 2 rows/type; lets the sorted RDD go
-    sorted.unpersist(blocking = false)
+    // the doubled median v[(n−1)÷2] + v[n÷2]: an odd-n type requests the
+    // same rank twice and selectRanks emits it twice, so the sum is
+    // already doubled.
+    val med = graft.ops.OrderStats.selectRanks[Long](spark,
+        gaps.select(col("event_type"), col("gap_us"))
+          .as[(String, Long)].rdd,
+        n => Seq((n - 1) / 2, n / 2))
+      .groupBy(col("key").as("event_type"))
+      .agg(sum(col("value")).as("p50_x2_gap_us"))
     stats.join(med, "event_type")
       .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
         col("p50_x2_gap_us"), col("max_gap_us"), col("sum_gap_us"))

@@ -60,6 +60,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("row_number"), plan)
   }
 
+  test("tx_quality_pcts selects order statistics, never buffers a stratum") {
+    val s = spark; import s.implicits._
+    val d = (0L until 30L).map(i =>
+      (i, s"tok$i " * 12 + "the and of to is it")).toDF("doc_id", "text")
+    val strata = (0L until 30L).map(i => (i, s"s${i % 2}"))
+      .toDF("doc_id", "stratum")
+    val q = ops.TextOps.qualityPercentiles(d, strata)
+    q.count()
+    // Spark's percentile aggregate buffers every value of a group in one
+    // aggregation buffer — pin its absence (quartiles come from
+    // OrderStats.selectRanks instead)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"), plan)
+  }
+
   test("distributed pack plans exactly one range exchange") {
     val s = spark; import s.implicits._
     spark.conf.set("spark.graft.localMixMaxRows", "0")
