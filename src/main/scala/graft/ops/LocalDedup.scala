@@ -454,19 +454,32 @@ object LocalDedup {
     * diverges on supplementary characters. */
   def tfidfRows(ids: Array[Long], texts: Array[String], k: Int)
       : Seq[(Long, String, Long, Long, Double, Long)] = {
-    val n = ids.length
-    val nCorpus = {
-      val s = new java.util.HashSet[java.lang.Long]()
-      ids.foreach(s.add(_))
-      s.size.toDouble
+    // Duplicate doc_ids are ONE logical document — the distributed twin
+    // aggregates term counts by (doc_id, token) — so merge their rows'
+    // counts up front; counting rows independently would double-count
+    // df and emit two rank lists for the same id.
+    val rowsOf = new java.util.LinkedHashMap[java.lang.Long,
+      java.util.ArrayList[Integer]]()
+    var ri = 0
+    while (ri < ids.length) {
+      rowsOf.computeIfAbsent(ids(ri),
+        _ => new java.util.ArrayList[Integer]()).add(ri)
+      ri += 1
     }
+    val n = rowsOf.size
+    val uids = new Array[Long](n)
+    val groups = new Array[java.util.ArrayList[Integer]](n)
+    var u = 0
+    rowsOf.forEach { (id, g) => uids(u) = id; groups(u) = g; u += 1 }
+    val nCorpus = n.toDouble
     val tfs = new Array[java.util.HashMap[String, java.lang.Long]](n)
     val dfm = new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.atomic.LongAdder]()
     java.util.stream.IntStream.range(0, n).parallel().forEach { d =>
       val m = new java.util.HashMap[String, java.lang.Long]()
-      tokens(texts(d)).foreach(t =>
-        m.merge(t, java.lang.Long.valueOf(1L), (a, b) => a + b))
+      groups(d).forEach(r =>
+        tokens(texts(r)).foreach(t =>
+          m.merge(t, java.lang.Long.valueOf(1L), (a, b) => a + b)))
       tfs(d) = m
       m.keySet().forEach(t =>
         dfm.computeIfAbsent(t,
@@ -492,7 +505,7 @@ object LocalDedup {
         else utf8Cmp(x._1, y._1) < 0
       }.take(k)
       perDoc(d) = ranked.zipWithIndex.map { case ((t, tf, df, sc), i) =>
-        (ids(d), t, tf, df, sc, i + 1L)
+        (uids(d), t, tf, df, sc, i + 1L)
       }.toSeq
     }
     perDoc.toSeq.flatten

@@ -194,17 +194,23 @@ object Mix {
       out.result()
     }
     val bcBase = spark.sparkContext.broadcast(base)
-    // pass 2: same persisted partitions → exact global running offset
-    sorted.mapPartitionsWithIndex { (pid, it) =>
-      var cur: String = null
-      var acc = 0L
-      it.map { case (s, id, t) =>
-        if (s != cur) { cur = s; acc = bcBase.value.getOrElse((pid, s), 0L) }
-        val off = acc
-        acc += t
-        (s, id, t, off, off / budget)
-      }
-    }.toDF("stratum", "doc_id", "n_tokens", "start_offset", "shard")
+    // pass 2: same persisted partitions → exact global running offset.
+    // Eagerly materialize the result (localCheckpoint) so the sorted
+    // RDD unpersists before return — without it every pack() call
+    // leaked a session-lifetime persisted RDD.
+    val out = sorted.mapPartitionsWithIndex { (pid, it) =>
+        var cur: String = null
+        var acc = 0L
+        it.map { case (s, id, t) =>
+          if (s != cur) { cur = s; acc = bcBase.value.getOrElse((pid, s), 0L) }
+          val off = acc
+          acc += t
+          (s, id, t, off, off / budget)
+        }
+      }.toDF("stratum", "doc_id", "n_tokens", "start_offset", "shard")
+      .localCheckpoint(true)
+    sorted.unpersist(blocking = false)
+    out
   }
 
   /** Token-budget mixing weights: per stratum (source), the sampling

@@ -81,6 +81,22 @@ class KernelFuzzSpec extends SparkSpec {
     }
   }
 
+  test("tfidf kernel ≡ distributed when doc_ids repeat across rows") {
+    val s = spark; import s.implicits._
+    // duplicate ids are ONE logical document for the distributed
+    // groupBy(doc_id, token) — the kernel must merge, not double-count
+    // df or emit two rank lists
+    val d = Seq(
+      (0L, "apple banana apple"),
+      (0L, "banana cherry"),
+      (1L, "apple cherry banana banana"),
+      (2L, "cherry"), (2L, "cherry"))
+      .toDF("doc_id", "text")
+    val (l, dist) = bothWays("spark.graft.localDedupMaxDocs")(
+      TextOps.tfidf(d, 3))
+    assert(l === dist)
+  }
+
   test("pack kernel ≡ distributed prefix sum on random strata (8 seeds)") {
     val s = spark; import s.implicits._
     for (seed <- 0L until 8L) {
