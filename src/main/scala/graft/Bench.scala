@@ -43,6 +43,57 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+
+    // Force a compacted, settled heap before a timed protocol phase —
+    // the harmonic mean amplifies a single GC pause landing in one run.
+    def gcSettle(): Unit = {
+      System.gc(); Thread.sleep(400); System.gc(); Thread.sleep(100)
+    }
+
+    // One sequential (protocol-exact) Graph500 block as a JSON object.
+    def seqProtocol(roots: Int): String = {
+      val t0 = System.nanoTime()
+      try {
+        val s = bench.Graph500.run(spark, scale, roots)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val bfsTotal = s.runs.map(_.bfs_time).sum
+        val valTotal = s.runs.map(_.validate_time).sum
+        // full Graph500 result block (reference key set, mpi/logfile.h:59-100)
+        val sb = bench.Graph500.statBlock(spark, s).head()
+        val stat = sb.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+          // stddev_samp is NULL for a single run; NaN is not valid JSON
+          val v = if (sb.isNullAt(i)) 0.0 else sb.getDouble(i)
+          val safe = if (v.isNaN || v.isInfinite) 0.0 else v
+          s""""$f":$safe"""
+        }.mkString("{", ",", "}")
+        s"""{"scale":$scale,"n_roots":$roots,"wall_sec":$wall,""" +
+          s""""generation_sec":${s.generationTime},""" +
+          s""""construction_sec":${s.constructionTime},""" +
+          s""""bfs_total_sec":$bfsTotal,"validate_total_sec":$valTotal,""" +
+          s""""harmonic_mean_teps":${s.harmonicMeanTeps},""" +
+          s""""max_nedge":${s.runs.map(_.nedge.toLong).max},""" +
+          s""""nedge_golden_ok":${s.nedgeGoldenOk},""" +
+          s""""validation_errors":${s.runs.map(_.errors).sum},""" +
+          s""""stat_block":$stat}"""
+      } catch { case e: Throwable =>
+        s"""{"error":"${e.getClass.getSimpleName}"}"""
+      }
+    }
+
+    // ISOLATED protocol: timed BEFORE the query surface touches the JVM
+    // — the quiet-JVM number a SPARK_GRAFT_QUERIES=0 run would record,
+    // in the same artifact as the full bench. A throwaway SCALE-14
+    // protocol first JIT-compiles the generate/construct/BFS stack
+    // (PRE_EXEC-style, untimed — the reference warms the whole pipeline
+    // before its timed runs, mpi/main.cc:91-103), then the heap settles.
+    val isolatedOn = g500On &&
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATED", "1") != "0"
+    val g500iso = if (!isolatedOn) None else {
+      try bench.Graph500.run(spark, 14, 4)
+      catch { case _: Throwable => () }
+      gcSettle()
+      Some(seqProtocol(nRoots))
+    }
     // PRE_EXEC-style warm-up (the reference warms the full pipeline before
     // its timed runs, mpi/main.cc:91-103): run every query once at the
     // smallest SF first. This JIT-compiles the whole Catalyst/codegen
@@ -91,16 +142,25 @@ object Bench {
     // exists to expose. Set SPARK_GRAFT_PASSES=1 for the round-3-style
     // single cold pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
-    val results = if (!queriesOn) Map.empty[String, Double]
-    else (1 to passes).map { _ =>
-      selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+    val passResults: Seq[Map[String, Double]] =
+      if (!queriesOn) Seq.empty
+      else (1 to passes).map { _ =>
+        selected.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
       }
-    }.reduce { (a, b) =>
-      a.map { case (k, v) => k -> math.min(v, b(k)) }
-    }
+    // Record BOTH the pass-1 (cold: shared-intermediate builds land on
+    // their first consumer) and the min (steady-state) — so the
+    // warm-cache min is never silently compared against cold baselines.
+    val resultsCold =
+      if (passResults.isEmpty) Map.empty[String, Double] else passResults.head
+    val results =
+      if (passResults.isEmpty) Map.empty[String, Double]
+      else passResults.reduce { (a, b) =>
+        a.map { case (k, v) => k -> math.min(v, b(k)) }
+      }
     // Phase boundary: the query surface leaves persisted tables,
     // broadcasts and kernel arrays behind; at SCALE 18+ the protocol
     // phase then allocates multi-hundred-MB primitive arrays into a
@@ -111,36 +171,9 @@ object Bench {
     if (queriesOn && g500On) {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      System.gc()
+      gcSettle()
     }
-    val g500 = if (g500On) {
-      val t0 = System.nanoTime()
-      try {
-        val s = bench.Graph500.run(spark, scale, nRoots)
-        val wall = (System.nanoTime() - t0) / 1e9
-        val bfsTotal = s.runs.map(_.bfs_time).sum
-        val valTotal = s.runs.map(_.validate_time).sum
-        // full Graph500 result block (reference key set, mpi/logfile.h:59-100)
-        val sb = bench.Graph500.statBlock(spark, s).head()
-        val stat = sb.schema.fieldNames.zipWithIndex.map { case (f, i) =>
-          // stddev_samp is NULL for a single run; NaN is not valid JSON
-          val v = if (sb.isNullAt(i)) 0.0 else sb.getDouble(i)
-          val safe = if (v.isNaN || v.isInfinite) 0.0 else v
-          s""""$f":$safe"""
-        }.mkString("{", ",", "}")
-        Some(s"""{"scale":$scale,"n_roots":$nRoots,"wall_sec":$wall,""" +
-          s""""generation_sec":${s.generationTime},""" +
-          s""""construction_sec":${s.constructionTime},""" +
-          s""""bfs_total_sec":$bfsTotal,"validate_total_sec":$valTotal,""" +
-          s""""harmonic_mean_teps":${s.harmonicMeanTeps},""" +
-          s""""max_nedge":${s.runs.map(_.nedge.toLong).max},""" +
-          s""""nedge_golden_ok":${s.nedgeGoldenOk},""" +
-          s""""validation_errors":${s.runs.map(_.errors).sum},""" +
-          s""""stat_block":$stat}""")
-      } catch { case e: Throwable =>
-        Some(s"""{"error":"${e.getClass.getSimpleName}"}""")
-      }
-    } else None
+    val g500 = if (g500On) Some(seqProtocol(nRoots)) else None
     val g500b = if (g500On) {
       try {
         val b = bench.Graph500.runBatched(spark, scale, nRoots)
@@ -155,13 +188,25 @@ object Bench {
         Some(s"""{"error":"${e.getClass.getSimpleName}"}""")
       }
     } else None
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Spec-mode parity: the reference's published protocol validates 64
+    // roots (REAL_BENCHMARK, mpi/parameters.h:156-161); record one
+    // 64-root sequential run alongside the 16-root blocks.
+    val spec64On = g500On &&
+      sys.env.getOrElse("SPARK_GRAFT_SPEC64", "1") != "0"
+    val g500spec = if (!spec64On) None else { gcSettle(); Some(seqProtocol(64)) }
+    def jmap(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val g500Field = g500.map(j => s""","graph500":$j""").getOrElse("") +
-      g500b.map(j => s""","graph500_batched":$j""").getOrElse("")
+    val coldField = if (passes > 1 && resultsCold.nonEmpty)
+      s""","queries_cold":${jmap(resultsCold)},"passes":$passes""" else ""
+    val g500Field =
+      g500iso.map(j => s""","graph500_isolated":$j""").getOrElse("") +
+      g500.map(j => s""","graph500":$j""").getOrElse("") +
+      g500b.map(j => s""","graph500_batched":$j""").getOrElse("") +
+      g500spec.map(j => s""","graph500_spec64":$j""").getOrElse("")
     val warmField = if (warmupOn) s""","warmup_sf":"$warmDir","warmup_sec":$warmupSec""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$warmField$g500Field}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$coldField$warmField$g500Field}""")
     spark.stop()
   }
 }

@@ -356,6 +356,46 @@ object SparkEntry {
     // interpolated percentiles).
     "ev_gaps" -> ((s, dir) => streaming.Events.gapStats(events(s, dir))),
 
+    // ---- STREAMING twins, driver-verified: each st_* replays the
+    // scale-factor table through a MemoryStream in micro-batches (state
+    // genuinely crosses batch boundaries) and canonicalizes the sink
+    // into a batch-comparable table with a full DuckDB oracle. ----
+
+    // Streaming sessionization (flatMapGroupsWithState): final per-user
+    // session state after the last micro-batch.
+    "st_sessions" -> ((s, dir) =>
+      streaming.StreamVerify.sessionsFinal(s, events(s, dir))),
+
+    // Streaming funnel (mapGroupsWithState): final per-user step times.
+    "st_funnel" -> ((s, dir) =>
+      streaming.StreamVerify.funnelFinal(s, events(s, dir))),
+
+    // Streaming as-of join: union of update-mode emissions ≡ the batch
+    // as-of join row set.
+    "st_asof" -> ((s, dir) =>
+      streaming.StreamVerify.asofMatches(s, events(s, dir))),
+
+    // Streaming interval join (watermarked stream-stream): every
+    // (purchase, prior-click-within-hour) pair.
+    "st_range" -> ((s, dir) =>
+      streaming.StreamVerify.rangePairs(s, events(s, dir))),
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark): first doc
+    // per content digest ≡ min-id canonical of batch exact dedup.
+    "st_exact" -> ((s, dir) =>
+      streaming.StreamVerify.exactSurvivors(s, docs(s, dir))),
+
+    // Streaming simhash dedup: first doc per 60-bit signature.
+    "st_simhash" -> ((s, dir) =>
+      streaming.StreamVerify.simhashSurvivors(s, docs(s, dir))),
+
+    // Streaming decontamination against the static benchmark slice
+    // (stateless broadcast membership).
+    "st_decontam" -> ((s, dir) =>
+      streaming.StreamVerify.decontamScores(s,
+        docs(s, dir).filter(col("doc_id") % 50 =!= 0),
+        docs(s, dir).filter(col("doc_id") % 50 === 0))),
+
     // Hourly volume anomalies per type: |z| > 2 decided by an exact
     // integer predicate (no FP in the comparison).
     "ev_anomaly" -> ((s, dir) =>
@@ -975,25 +1015,9 @@ object SparkEntry {
     // Same union+running-last window formulation as the Spark plan, so
     // the at-or-before tie-break (rights sort before lefts at equal us)
     // is mirrored exactly.
-    "ev_asof" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS us, value,
-        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left
-        |  FROM events WHERE event_type IN ('purchase', 'click')),
-        |a AS (
-        |  SELECT event_id, user_id, us, value, is_left,
-        |    last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)
-        |      OVER w AS asof_event_id,
-        |    last_value(CASE WHEN is_left = 0 THEN us END IGNORE NULLS)
-        |      OVER w AS asof_us,
-        |    last_value(CASE WHEN is_left = 0 THEN value END IGNORE NULLS)
-        |      OVER w AS asof_value
-        |  FROM e
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, is_left, event_id
-        |               ROWS UNBOUNDED PRECEDING))
-        |SELECT event_id, user_id, us, value,
-        |       asof_event_id, asof_us, asof_value
-        |FROM a WHERE is_left = 1""".stripMargin,
+    "ev_asof" -> EvAsofSql,
+    // streaming twin: identical row set (update-mode emissions union).
+    "st_asof" -> EvAsofSql,
 
     "ev_range" ->
       """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
@@ -1007,23 +1031,50 @@ object SparkEntry {
         |  AND r.us >= l.us - 3600000000 AND r.us < l.us
         |GROUP BY l.event_id, l.user_id, l.us""".stripMargin,
 
-    "ev_funnel" ->
-      """WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t_signup
-        |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
-        |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
-        |       FROM events e JOIN s0 ON e.user_id = s0.user_id
-        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s0.t_signup
-        |       GROUP BY e.user_id),
-        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
-        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
-        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t_click
-        |       GROUP BY e.user_id)
-        |SELECT s0.user_id, s0.t_signup, s1.t_click, s2.t_purchase,
-        |       CAST(1 + CASE WHEN s1.t_click IS NOT NULL THEN 1 ELSE 0 END
-        |              + CASE WHEN s2.t_purchase IS NOT NULL THEN 1 ELSE 0 END
-        |            AS BIGINT) AS steps_completed
-        |FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
-        |        LEFT JOIN s2 ON s0.user_id = s2.user_id""".stripMargin,
+    "ev_funnel" -> EvFunnelSql,
+    // streaming twin: final mapGroupsWithState state per user.
+    "st_funnel" -> EvFunnelSql,
+
+    // Streaming sessionization: final (= max session_idx) session per
+    // user, from the same session CTE as ev_sessions.
+    "st_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM e),
+        |sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |                count(*) AS n_events, max(us) AS last_us
+        |         FROM s GROUP BY user_id, session_idx)
+        |SELECT user_id, session_idx, n_events, last_us
+        |FROM sess
+        |QUALIFY session_idx = max(session_idx) OVER (PARTITION BY user_id)"""
+        .stripMargin,
+
+    // Streaming interval join: raw (purchase, prior click) match pairs
+    // (the batch ev_range aggregates these per purchase).
+    "st_range" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT event_id AS r_event_id, user_id, epoch_us(ts) AS r_us,
+        |             value AS r_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, l.us, r.r_event_id, r.r_us, r.r_value
+        |FROM l JOIN r ON r.user_id = l.user_id
+        |  AND r.r_us >= l.us - 3600000000 AND r.r_us < l.us""".stripMargin,
+
+    // Streaming exact dedup: the first-seen (= min doc_id, given the
+    // ordered replay) survivor per content digest.
+    "st_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+        |FROM documents GROUP BY md5(text)""".stripMargin,
 
     // ---- training-data pipeline oracles ----
 
@@ -1136,6 +1187,13 @@ object SparkEntry {
 
     "dd_simhash_sig" -> (SimhashCte + "SELECT doc_id, simhash FROM ssig"),
 
+    // Streaming simhash dedup: first-seen (= min doc_id) survivor per
+    // 60-bit signature, from the same signature CTE.
+    "st_simhash" -> (SimhashCte +
+      """SELECT doc_id, simhash FROM ssig
+        |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY simhash)"""
+        .stripMargin),
+
     "dd_simhash" -> (SimhashCte +
       """, chunks AS (SELECT doc_id, simhash, c,
         |               (simhash >> (c*15)) % 32768 AS chunk
@@ -1176,23 +1234,9 @@ object SparkEntry {
         |  round(COALESCE(c.covered, 0)*1.0 / greatest(b.n_tokens, 1), 6) AS dup_fraction
         |FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id""".stripMargin),
 
-    "tx_decontam" -> (TokCte.stripSuffix("\n") +
-      """,
-        |shidx AS (SELECT doc_id, tk,
-        |            unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS i
-        |          FROM toks),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS shingle
-        |       FROM shidx),
-        |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
-        |corp AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
-        |ov AS (SELECT doc_id, count(*) AS n_overlap
-        |       FROM corp JOIN bsh USING (shingle) GROUP BY doc_id),
-        |grams AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id)
-        |SELECT g.doc_id, g.n_grams,
-        |  CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
-        |  CAST(CASE WHEN COALESCE(o.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
-        |    AS contaminated
-        |FROM grams g LEFT JOIN ov o ON g.doc_id = o.doc_id""".stripMargin),
+    "tx_decontam" -> TxDecontamSql,
+    // streaming twin: stateless scoring, identical rows.
+    "st_decontam" -> TxDecontamSql,
 
     "sim_labelmeans" ->
       """WITH ex AS (SELECT label, embedding,
@@ -1577,6 +1621,65 @@ object SparkEntry {
         |comp AS (SELECT vertex, min(lab) AS component FROM dwalk GROUP BY vertex)""".stripMargin
 
   /** Tokens → 60-bit SimHash signatures (mirrors Dedup.simhash). */
+  /** Shared by ev_asof and its streaming twin st_asof (same row set). */
+  private val EvAsofSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, value,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |a AS (
+      |  SELECT event_id, user_id, us, value, is_left,
+      |    last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)
+      |      OVER w AS asof_event_id,
+      |    last_value(CASE WHEN is_left = 0 THEN us END IGNORE NULLS)
+      |      OVER w AS asof_us,
+      |    last_value(CASE WHEN is_left = 0 THEN value END IGNORE NULLS)
+      |      OVER w AS asof_value
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, is_left, event_id
+      |               ROWS UNBOUNDED PRECEDING))
+      |SELECT event_id, user_id, us, value,
+      |       asof_event_id, asof_us, asof_value
+      |FROM a WHERE is_left = 1""".stripMargin
+
+  /** Shared by ev_funnel and its streaming twin st_funnel. */
+  private val EvFunnelSql =
+    """WITH s0 AS (SELECT user_id, min(epoch_us(ts)) AS t_signup
+      |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      |       FROM events e JOIN s0 ON e.user_id = s0.user_id
+      |       WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s0.t_signup
+      |       GROUP BY e.user_id),
+      |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s1.t_click
+      |       GROUP BY e.user_id)
+      |SELECT s0.user_id, s0.t_signup, s1.t_click, s2.t_purchase,
+      |       CAST(1 + CASE WHEN s1.t_click IS NOT NULL THEN 1 ELSE 0 END
+      |              + CASE WHEN s2.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+      |            AS BIGINT) AS steps_completed
+      |FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+      |        LEFT JOIN s2 ON s0.user_id = s2.user_id""".stripMargin
+
+  /** Shared by tx_decontam and its streaming twin st_decontam. */
+  private lazy val TxDecontamSql = TokCte.stripSuffix("\n") +
+    """,
+      |shidx AS (SELECT doc_id, tk,
+      |            unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS i
+      |          FROM toks),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS shingle
+      |       FROM shidx),
+      |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+      |corp AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+      |ov AS (SELECT doc_id, count(*) AS n_overlap
+      |       FROM corp JOIN bsh USING (shingle) GROUP BY doc_id),
+      |grams AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id)
+      |SELECT g.doc_id, g.n_grams,
+      |  CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CAST(CASE WHEN COALESCE(o.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS contaminated
+      |FROM grams g LEFT JOIN ov o ON g.doc_id = o.doc_id""".stripMargin
+
   private val SimhashCte = TokCte.stripSuffix("\n") +
     """,
       |tok AS (SELECT DISTINCT doc_id, unnest(tk) AS t FROM toks),

@@ -1,0 +1,206 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-verifiable harness for the STREAMING twins: each runner feeds
+ * the scale-factor table through a `MemoryStream` in several
+ * micro-batches (so cross-batch state genuinely carries), runs the
+ * streaming operator to completion, and canonicalizes the sink into a
+ * batch-comparable table. Registered as `st_*` driver queries with full
+ * DuckDB oracles — the streaming engine passes the SAME
+ * rows/schema/hash gate as every batch operator, not just unit specs.
+ *
+ * Scale note: collecting the feed to the driver is inherent to REPLAY
+ * VERIFICATION (a MemoryStream is driver-side by definition), not to
+ * the operators — production deployments read Kafka/files via
+ * `readStream` with the identical transforms. The collected feed is
+ * bounded by the verification scale factor.
+ *
+ * Feed order: (ts, step-priority, event_id) — priority puts rights
+ * before lefts (clicks before purchases) and funnel predecessors
+ * before successors at equal timestamps, matching the batch
+ * tie-breaks; within a micro-batch the stateful twins re-sort by us,
+ * and Scala's stable sort preserves this feed order for ties.
+ */
+object StreamVerify {
+
+  case class EvRow(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class DocRow(doc_id: Long, text: String, ts: Timestamp)
+
+  private val qid = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `transform` over a MemoryStream fed `batches`, one
+    * micro-batch per element, into a uniquely-named memory sink;
+    * returns the sink table. */
+  private def run[T](spark: SparkSession, mem: MemoryStream[T],
+                     batches: Seq[Seq[T]], mode: String)(
+                     transform: DataFrame => Dataset[_]): DataFrame = {
+    val name = s"stream_verify_${qid.incrementAndGet()}"
+    val q = transform(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try batches.foreach { b =>
+      if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private def eventBatches(events: DataFrame, nBatches: Int)
+      : Seq[Seq[EvRow]] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prio = when(col("event_type") === "signup", 0)
+      .when(col("event_type") === "click", 1)
+      .when(col("event_type") === "purchase", 2)
+      .otherwise(3)
+    val rows = events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts"), prio, col("event_id"))
+      .as[EvRow].collect()
+    val per = math.max(1, (rows.length + nBatches - 1) / nBatches)
+    rows.grouped(per).map(_.toSeq).toSeq
+  }
+
+  /** Synthetic event time for the (timeless) documents table: a fixed
+    * base + doc_id µs keeps the whole corpus inside one watermark
+    * window, so dedup state never expires mid-verification. */
+  private val DocBaseUs = 1704067200000000L // 2024-01-01 UTC
+
+  private def withDocTs(docs: DataFrame): DataFrame =
+    docs.withColumn("ts",
+      expr(s"timestamp_micros($DocBaseUs + doc_id)"))
+
+  /** Two batches: first occurrences (by doc_id) of every dedup key,
+    * then everything else — batch 0 has no intra-batch key collisions
+    * (first-seen would be partition-order-dependent), batch 1
+    * exercises cross-batch state suppression on every duplicate. */
+  private def docBatchesByKey(docs: DataFrame, key: Column)
+      : Seq[Seq[DocRow]] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked = withDocTs(docs)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(key).orderBy("doc_id")))
+      .select(col("doc_id"), col("text"), col("ts"), col("rk"))
+      .orderBy("doc_id")
+      .as[(Long, String, Timestamp, Int)].collect()
+    Seq(
+      ranked.filter(_._4 == 1).map(r => DocRow(r._1, r._2, r._3)).toSeq,
+      ranked.filter(_._4 != 1).map(r => DocRow(r._1, r._2, r._3)).toSeq)
+  }
+
+  // ---- event twins ----
+
+  /** Final per-user session state from [[Events.sessionizeStream]]:
+    * the update-mode sink holds one row per (user, batch); per user the
+    * (session_idx, n_events, last_us) triple is lexicographically
+    * monotone across batches, so max(struct) is the last update. */
+  def sessionsFinal(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvRow]
+    run(spark, mem, eventBatches(events, 4), "update")(
+        df => Events.sessionizeStream(spark, df))
+      .groupBy("user_id")
+      .agg(max(struct(col("session_idx"), col("n_events"),
+        col("last_us"))).as("s"))
+      .select(col("user_id"), col("s.session_idx").as("session_idx"),
+        col("s.n_events").as("n_events"), col("s.last_us").as("last_us"))
+  }
+
+  /** Final per-user funnel state from [[Events.funnelStream]]:
+    * steps_completed is monotone and step times are set-once, so
+    * max(struct) per user is the last update ≡ batch [[Events.funnel]]. */
+  def funnelFinal(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvRow]
+    run(spark, mem, eventBatches(events, 4), "update")(
+        df => Events.funnelStream(spark, df))
+      .groupBy("user_id")
+      .agg(max(struct(col("steps_completed"), col("t_signup"),
+        col("t_click"), col("t_purchase"))).as("s"))
+      .select(col("user_id"), col("s.t_signup").as("t_signup"),
+        col("s.t_click").as("t_click"),
+        col("s.t_purchase").as("t_purchase"),
+        col("s.steps_completed").as("steps_completed"))
+  }
+
+  /** Union of [[Events.asofJoinStream]]'s update-mode emissions — one
+    * row per left event, emitted in the batch its left arrives —
+    * ≡ batch [[Events.asofJoin]] on the in-order feed. */
+  def asofMatches(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvRow]
+    run(spark, mem, eventBatches(events, 4), "update")(
+      df => Events.asofJoinStream(spark, df))
+  }
+
+  /** [[Events.rangeJoinStream]] match pairs (purchase × prior clicks
+    * within the hour). Inner stream-stream joins emit eagerly, so the
+    * in-order feed surfaces every pair without a watermark flush. */
+  def rangePairs(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvRow]
+    run(spark, mem, eventBatches(events, 4), "append")(
+        df => Events.rangeJoinStream(df, df))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("l_ts")).as("us"), col("r_event_id"),
+        unix_micros(col("r_ts")).as("r_us"), col("r_value"))
+  }
+
+  // ---- dedup / decontamination twins ----
+
+  /** [[graft.ops.Dedup.exactStream]] survivors: first doc per content
+    * digest ≡ min-doc_id canonical of the batch exact dedup. */
+  def exactSurvivors(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocRow]
+    run(spark, mem, docBatchesByKey(docs, md5(col("text"))), "append")(
+        df => graft.ops.Dedup.exactStream(df))
+      .select(col("doc_id"), col("content_hash"))
+  }
+
+  /** [[graft.ops.Dedup.simhashStream]] survivors: first doc per
+    * 60-bit simhash signature (zero-token docs pass through on their
+    * unique negative key). */
+  def simhashSurvivors(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sig = graft.ops.Dedup.simhash(docs)
+      .withColumnRenamed("simhash", "sig_key")
+    val key = coalesce(col("sig_key"), -col("doc_id") - 1)
+    val mem = MemoryStream[DocRow]
+    run(spark, mem,
+        docBatchesByKey(docs.join(sig, Seq("doc_id"), "left"), key),
+        "append")(
+        df => graft.ops.Dedup.simhashStream(df))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  /** [[graft.ops.TextOps.decontaminateStream]] over the corpus stream
+    * against the static benchmark slice — stateless, so the sink is
+    * directly ≡ batch [[graft.ops.TextOps.decontaminate]]. */
+  def decontamScores(spark: SparkSession, docs: DataFrame,
+                     bench: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val s = spark
+    val base = withDocTs(docs).orderBy("doc_id")
+      .as[DocRow].collect().toSeq
+    val per = math.max(1, (base.length + 2) / 3)
+    val mem = MemoryStream[DocRow]
+    run(spark, mem, base.grouped(per).toSeq, "append")(
+      df => graft.ops.TextOps.decontaminateStream(df, bench))
+  }
+}
