@@ -82,14 +82,16 @@ object Bench {
 
     // ISOLATED protocol: timed BEFORE the query surface touches the JVM
     // — the quiet-JVM number a SPARK_GRAFT_QUERIES=0 run would record,
-    // in the same artifact as the full bench. A throwaway SCALE-14
-    // protocol first JIT-compiles the generate/construct/BFS stack
-    // (PRE_EXEC-style, untimed — the reference warms the whole pipeline
-    // before its timed runs, mpi/main.cc:91-103), then the heap settles.
+    // in the same artifact as the full bench. A throwaway FULL-SCALE
+    // protocol runs first, untimed: PRE_EXEC-style — the reference
+    // warms the whole pipeline at benchmark scale before its timed
+    // runs (mpi/main.cc:91-103); a smaller warm scale measurably
+    // leaves ~1 s of JIT in the timed construction. Then the heap
+    // settles and the timed protocol runs.
     val isolatedOn = g500On &&
       sys.env.getOrElse("SPARK_GRAFT_ISOLATED", "1") != "0"
     val g500iso = if (!isolatedOn) None else {
-      try bench.Graph500.run(spark, 14, 4)
+      try bench.Graph500.run(spark, scale, 8)
       catch { case _: Throwable => () }
       gcSettle()
       Some(seqProtocol(nRoots))
@@ -142,14 +144,30 @@ object Bench {
     // exists to expose. Set SPARK_GRAFT_PASSES=1 for the round-3-style
     // single cold pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    // The st_* streaming twins are REPLAY-VERIFICATION harnesses: their
+    // cost is dominated by the driver-side MemoryStream feed + per-batch
+    // state-store churn, by construction (StreamVerify scaladoc), not by
+    // the operators — production streams read Kafka/files. Timing them
+    // into the headline would make `value` incomparable with the batch
+    // surface band, so they are timed ONCE into their own field.
+    val (streamSel, batchSel) = selected.partition(_._1.startsWith("st_"))
     val passResults: Seq[Map[String, Double]] =
       if (!queriesOn) Seq.empty
       else (1 to passes).map { _ =>
-        selected.map { case (name, fn) =>
+        batchSel.map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           name -> (System.nanoTime() - t0) / 1e9
         }
+      }
+    val streamOn = queriesOn && streamSel.nonEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_STREAMING", "1") != "0"
+    val streamResults: Map[String, Double] =
+      if (!streamOn) Map.empty
+      else streamSel.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
       }
     // Record BOTH the pass-1 (cold: shared-intermediate builds land on
     // their first consumer) and the min (steady-state) — so the
@@ -200,13 +218,16 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldField = if (passes > 1 && resultsCold.nonEmpty)
       s""","queries_cold":${jmap(resultsCold)},"passes":$passes""" else ""
+    val streamField = if (streamResults.nonEmpty)
+      s""","queries_streaming":${jmap(streamResults)}""" +
+        s""","streaming_total_sec":${streamResults.values.sum}""" else ""
     val g500Field =
       g500iso.map(j => s""","graph500_isolated":$j""").getOrElse("") +
       g500.map(j => s""","graph500":$j""").getOrElse("") +
       g500b.map(j => s""","graph500_batched":$j""").getOrElse("") +
       g500spec.map(j => s""","graph500_spec64":$j""").getOrElse("")
     val warmField = if (warmupOn) s""","warmup_sf":"$warmDir","warmup_sec":$warmupSec""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$coldField$warmField$g500Field}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$coldField$streamField$warmField$g500Field}""")
     spark.stop()
   }
 }

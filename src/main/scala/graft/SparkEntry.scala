@@ -565,14 +565,18 @@ object SparkEntry {
           "doc_id"),
         col("source"), 2048L)),
 
-    // Multimodal: stub decode metadata via batched mapPartitions.
+    // Multimodal: decode metadata via batched mapPartitions — image-kind
+    // payloads are real BMP files parsed by the actual javax.imageio
+    // codec; audio/video use the stub header parse.
     "mm_decode" -> ((s, dir) =>
-      ops.Multimodal.decodeMeta(s, ops.Multimodal.mediaFromDocuments(docs(s, dir)))),
+      ops.Multimodal.decodeMeta(s, ops.Multimodal.encodeImages(
+        s, ops.Multimodal.mediaFromDocuments(docs(s, dir))))),
 
     // Multimodal: resize metadata contract.
     "mm_resize" -> ((s, dir) =>
       ops.Multimodal.resize(
-        ops.Multimodal.decodeMeta(s, ops.Multimodal.mediaFromDocuments(docs(s, dir))))),
+        ops.Multimodal.decodeMeta(s, ops.Multimodal.encodeImages(
+          s, ops.Multimodal.mediaFromDocuments(docs(s, dir)))))),
 
     // Multimodal: video frame sampling (every 4th 256-byte frame).
     "mm_frames" -> ((s, dir) =>
@@ -1705,19 +1709,31 @@ object SparkEntry {
       |)
       |""".stripMargin
 
-  /** Stub media decode from document text bytes (mirrors
-    * Multimodal.mediaFromDocuments + decodeMeta; text is ASCII). */
+  /** Media decode from document text bytes (mirrors
+    * Multimodal.mediaFromDocuments + encodeImages + decodeMeta; text is
+    * ASCII). Image-kind payloads are real 24bpp BMP files whose encoded
+    * size is the deterministic `54 + h*rowSize` layout and whose decoded
+    * dims/bands come from the actual javax.imageio parse; audio/video
+    * stay the stub header parse over the raw text bytes. */
   private val MmDecodeCte =
-    """WITH dec AS (
+    """WITH dims AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    16 + ord(substr(text, 1, 1)) % 64 AS w,
+      |    16 + CASE WHEN length(text) > 1
+      |         THEN ord(substr(text, 2, 1)) % 64 ELSE 0 END AS h
+      |  FROM documents
+      |), dec AS (
       |  SELECT doc_id AS media_id,
       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |    CAST(length(text) AS BIGINT) AS n_bytes,
-      |    CAST(16 + ord(substr(text, 1, 1)) % 64 AS INT) AS width,
-      |    CAST(16 + CASE WHEN length(text) > 1
-      |         THEN ord(substr(text, 2, 1)) % 64 ELSE 0 END AS INT) AS height,
-      |    CAST(1 + length(text) % 3 AS INT) AS channels
-      |  FROM documents
+      |    CAST(CASE WHEN doc_id % 3 = 0 AND n > 0
+      |         THEN 54 + h * ((3 * w + 3) // 4 * 4)
+      |         ELSE n END AS BIGINT) AS n_bytes,
+      |    CAST(w AS INT) AS width,
+      |    CAST(h AS INT) AS height,
+      |    CAST(CASE WHEN doc_id % 3 = 0 AND n > 0 THEN 3
+      |         ELSE 1 + n % 3 END AS INT) AS channels
+      |  FROM dims
       |)
       |""".stripMargin
 }

@@ -20,10 +20,13 @@ case class MediaFeature(media_id: Long, n_bytes: Long, feature: Array[Long])
  * The Spark-side plumbing is real and tested — typed `Dataset[MediaRow]`
  * schema, per-partition batched processing via `mapPartitions` (the Scala
  * analogue of an Arrow-batched `mapInPandas` decode stage), and
- * explode-based frame sampling. The *decoder itself* is a clearly-marked
- * deterministic STUB (this container has no image/audio codecs): metadata
- * and features are pure functions of the payload bytes, so every stage is
- * oracle-checkable byte-for-byte.
+ * explode-based frame sampling. Image decode is REAL: image-kind
+ * payloads are encoded as actual BMP files ([[encodeImages]]) and parsed
+ * back through the `javax.imageio` codec (PNG payloads decode too).
+ * Audio/video decode remains a clearly-marked deterministic STUB (this
+ * container has no audio/video codecs): metadata and features are pure
+ * functions of the payload bytes, so every stage stays oracle-checkable
+ * byte-for-byte.
  *
  * Scale notes: decode/featurize are narrow per-partition maps (no
  * shuffle); frame sampling is a generator expression (`sequence` +
@@ -47,10 +50,67 @@ object Multimodal {
         .otherwise("video").as("kind"),
       col("text").cast("binary").as("payload"))
 
-  /** STUB decode (batched, per-partition): fake header parse producing
-    * (width, height, channels) as pure functions of the first bytes.
-    * A real build would replace `decodeOne` with the codec call; the
-    * mapPartitions batch shape, schema, and downstream contract stay. */
+  /** Deterministic (w, h) used by both the image encoder and the stub
+    * header parse — dims derive from the first payload bytes. */
+  private def stubDims(b: Array[Byte]): (Int, Int) = (
+    16 + (if (b.length > 0) (b(0) & 0xff) % 64 else 0),
+    16 + (if (b.length > 1) (b(1) & 0xff) % 64 else 0))
+
+  /** Encoded byte size of a 24bpp bottom-up BI_RGB BMP: 14-byte file
+    * header + 40-byte info header + h rows padded to 4-byte multiples. */
+  def bmpSize(w: Int, h: Int): Long = 54L + h.toLong * ((3 * w + 3) / 4 * 4)
+
+  /** Re-encode image-kind payloads as REAL 24bpp BMP files (narrow
+    * per-partition map, no shuffle): dims from [[stubDims]], grayscale
+    * pixels cycling the source bytes. Hand-rolled writer so the byte
+    * layout (and so `n_bytes`) is exact and engine-independent; the
+    * matching decode side goes through the actual `javax.imageio` codec. */
+  def encodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(64).flatMap(_.map { m =>
+        if (m.kind == "image" && m.payload.nonEmpty)
+          m.copy(payload = encodeBmp(m.payload))
+        else m
+      })
+    }.toDF()
+  }
+
+  /** 24bpp bottom-up BI_RGB BMP of the deterministic grayscale render. */
+  private def encodeBmp(src: Array[Byte]): Array[Byte] = {
+    val (w, h) = stubDims(src)
+    val rowSize = (3 * w + 3) / 4 * 4
+    val out = new Array[Byte](bmpSize(w, h).toInt)
+    def putInt(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putInt(2, out.length); putInt(10, 54)           // file size, pixel offset
+    putInt(14, 40); putInt(18, w); putInt(22, h)    // info header, dims
+    out(26) = 1; out(28) = 24                       // planes=1, bpp=24
+    putInt(34, h * rowSize)                         // image size (BI_RGB)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowSize       // bottom-up row order
+      var x = 0
+      while (x < w) {
+        val v = src((y * w + x) % src.length)
+        val p = rowOff + 3 * x
+        out(p) = v; out(p + 1) = v; out(p + 2) = v  // B = G = R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode (batched, per-partition): REAL codec for encoded images —
+    * BMP/PNG payloads are detected by magic bytes and parsed with
+    * `javax.imageio.ImageIO` (dependency-free; works headless) — and a
+    * clearly-marked deterministic STUB header parse for the audio/video
+    * kinds (this container has no audio/video codecs). The mapPartitions
+    * batch shape, schema, and downstream contract are shared by both. */
   def decodeMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val ds: Dataset[MediaRow] = media.as[MediaRow]
@@ -60,12 +120,28 @@ object Multimodal {
     }.toDF()
   }
 
-  /** STUB: deterministic fake of an image/audio header parse. */
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length > 54 && b(0) == 'B' && b(1) == 'M'
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G'
+
+  /** Real `ImageIO` decode for BMP/PNG payloads; deterministic stub
+    * header parse otherwise (including on a corrupt magic-prefixed
+    * payload, so the map is total either way). */
   private def decodeOne(m: MediaRow): DecodedMedia = {
     val b = m.payload
     val n = b.length.toLong
-    val w = 16 + (if (n > 0) (b(0) & 0xffL).toInt % 64 else 0)
-    val h = 16 + (if (n > 1) (b(1) & 0xffL).toInt % 64 else 0)
+    if (isBmp(b) || isPng(b)) {
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b))
+        if (img != null)
+          return DecodedMedia(m.media_id, m.kind, n, img.getWidth,
+            img.getHeight, img.getRaster.getNumBands)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val (w, h) = stubDims(b)
     DecodedMedia(m.media_id, m.kind, n, w, h, 1 + (n % 3).toInt)
   }
 

@@ -421,6 +421,54 @@ class OpsSpec extends SparkSpec {
     assert(f.length === 8 && f.sum === 600L * 'x'.toLong)
   }
 
+  test("image decode is the real javax.imageio codec (BMP round-trip)") {
+    val s = spark; import s.implicits._
+    val text = "abcdef"
+    val d = Seq((3L, text)).toDF("doc_id", "text")  // kind=image
+    val enc = Multimodal.encodeImages(
+      spark, Multimodal.mediaFromDocuments(d))
+    val payload = enc.select("payload").head().getAs[Array[Byte]](0)
+    val w = 16 + ('a' % 64)
+    val h = 16 + ('b' % 64)
+    assert(payload.length === Multimodal.bmpSize(w, h))
+    // ImageIO itself must parse the hand-rolled BMP: real dims + pixels
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img !== null)
+    assert(img.getWidth === w && img.getHeight === h)
+    val g0 = img.getRGB(0, 0) & 0xff          // pixel (0,0) = text byte 0
+    assert(g0 === 'a'.toInt)
+    val g1 = img.getRGB(1, 0) & 0xff          // pixel (1,0) = text byte 1
+    assert(g1 === 'b'.toInt)
+    // decodeMeta goes through the same codec, 3 bands, BMP byte length
+    val dec = Multimodal.decodeMeta(spark, enc).head()
+    assert(dec.getAs[Int]("width") === w)
+    assert(dec.getAs[Int]("height") === h)
+    assert(dec.getAs[Int]("channels") === 3)
+    assert(dec.getAs[Long]("n_bytes") === Multimodal.bmpSize(w, h))
+    // audio/video kinds pass through encodeImages untouched
+    val a = Seq((1L, text)).toDF("doc_id", "text")  // kind=audio
+    val aRow = Multimodal.encodeImages(
+      spark, Multimodal.mediaFromDocuments(a)).head()
+    assert(aRow.getAs[Array[Byte]]("payload").length === text.length)
+  }
+
+  test("decodeMeta parses PNG payloads through the real codec too") {
+    val s = spark; import s.implicits._
+    val img = new java.awt.image.BufferedImage(
+      7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 3, 0xff8040)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val rows = Seq((9L, "image", bos.toByteArray))
+      .toDF("media_id", "kind", "payload")
+    val dec = Multimodal.decodeMeta(spark, rows).head()
+    assert(dec.getAs[Int]("width") === 7)
+    assert(dec.getAs[Int]("height") === 5)
+    assert(dec.getAs[Int]("channels") === 3)
+    assert(dec.getAs[Long]("n_bytes") === bos.size().toLong)
+  }
+
   test("multi-root BFS matches single-root BFS per run") {
     val s = spark; import s.implicits._
     val raw = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (6L, 7L))
