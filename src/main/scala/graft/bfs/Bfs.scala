@@ -436,10 +436,17 @@ object Bfs {
               .join(recentSide("v"), col("vertex") === col("v"), "left_anti")
         }
 
+      // LAZY checkpoint + count = ONE job per level: the count is the
+      // materializing action (it computes and caches every partition at
+      // the checkpoint's storage level), after which the post-job
+      // LocalRDDCheckpointData pass finds nothing left to recompute. An
+      // eager checkpoint would submit a separate materialization job and
+      // the count a second one — at high SCALE the loop's floor is this
+      // fixed per-job latency × levels, not data volume.
       val next = discovered
         .groupBy("vertex").agg(min("pred").as("pred"))
         .withColumn("depth", lit(level))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       frontierSize = next.count()
       if (frontierSize > 0) {
         sizes += ((level, frontierSize))
@@ -595,10 +602,12 @@ object Bfs {
             .join(recentSide, Seq("run", "vertex"), "left_anti")
         }
 
+      // Lazy checkpoint + count = one job per level (see the
+      // single-source loop above for why this halves the latency floor).
       val next = discovered
         .groupBy("run", "vertex").agg(min("pred").as("pred"))
         .withColumn("depth", lit(level))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       frontierSize = next.count()
       if (frontierSize > 0) {
         visitedTotal += frontierSize

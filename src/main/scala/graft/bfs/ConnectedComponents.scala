@@ -123,12 +123,15 @@ object ConnectedComponents {
       // 2. pointer jump: follow the label one hop (mid's own current
       // label) — label chains halve, rounds become O(log d).
       val byId = labels.select(col("vertex").as("cv"), col("component").as("cc"))
+      // lazy checkpoint + count = one job per round (Bfs loop pattern):
+      // the filtered count's scan computes every partition fully, so the
+      // whole checkpoint caches during this one job
       val updated = stepped
         .join(byId, col("mid") === col("cv"), "left_outer")
         .select(col("vertex"),
           least(col("mid"), coalesce(col("cc"), col("mid"))).as("component"),
           col("old"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       changedCount = updated.filter(col("component") =!= col("old")).count()
       labels = updated.select("vertex", "component")
     }

@@ -315,12 +315,14 @@ object Sssp {
         .agg(min(struct(col("dist"), col("pred"))).as("s"))
         .select(col("vertex"), col("s.dist").as("dist"),
           col("s.pred").as("pred"))
+      // lazy checkpoint + count = one job per round (Bfs loop pattern:
+      // the count materializes and caches every checkpointed partition)
       val improved = best
         .join(dist.select(col("vertex"), col("dist").as("old")),
           Seq("vertex"), "left_outer")
         .filter(col("old").isNull || col("dist") < col("old"))
         .select("vertex", "dist", "pred")
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       improvedCount = improved.count()
       if (improvedCount > 0) {
         dist = dist.join(improved.select(col("vertex").as("iv")),
