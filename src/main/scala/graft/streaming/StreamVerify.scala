@@ -38,16 +38,29 @@ object StreamVerify {
 
   /** Run `transform` over a MemoryStream fed `batches`, one
     * micro-batch per element, into a uniquely-named memory sink;
-    * returns the sink table. */
+    * returns the sink table.
+    *
+    * Stateful operators pin one state store per shuffle partition for
+    * the query's lifetime, and every micro-batch checkpoints every
+    * store — at the session's 32 partitions the stream-stream join
+    * twin spends its time on store-file churn, not rows. Replay
+    * results are partition-count-independent (the same oracles pass
+    * at 8 and 32), so the harness drops to 8 for the stream's
+    * lifetime and restores the session value after. */
   private def run[T](spark: SparkSession, mem: MemoryStream[T],
                      batches: Seq[Seq[T]], mode: String)(
                      transform: DataFrame => Dataset[_]): DataFrame = {
     val name = s"stream_verify_${qid.incrementAndGet()}"
-    val q = transform(mem.toDF()).writeStream
-      .format("memory").queryName(name).outputMode(mode).start()
-    try batches.foreach { b =>
-      if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
-    } finally q.stop()
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partKey)
+    if (prevParts.toInt > 8) spark.conf.set(partKey, "8")
+    try {
+      val q = transform(mem.toDF()).writeStream
+        .format("memory").queryName(name).outputMode(mode).start()
+      try batches.foreach { b =>
+        if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    } finally spark.conf.set(partKey, prevParts)
     spark.table(name)
   }
 
