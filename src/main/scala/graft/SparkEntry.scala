@@ -423,6 +423,13 @@ object SparkEntry {
     "dd_keep" -> ((s, dir) =>
       ops.Dedup.keepFromClusters(minhashClusters(s, dir))),
 
+    // Quality-aware survivor per cluster: argmax quality (min-id ties)
+    // via partial-aggregating struct max — no per-cluster window sort.
+    "dd_keep_best" -> ((s, dir) =>
+      ops.Dedup.keepBestFromClusters(minhashClusters(s, dir),
+        ops.TextOps.quality(docs(s, dir))
+          .select(col("doc_id"), col("quality_score")))),
+
     // END-TO-END pipeline composition: dedup survivors ∩ quality gate ∩
     // deterministic stratified sample, with token counts — the manifest
     // a training run reads. One plan composed from three operator
@@ -512,6 +519,16 @@ object SparkEntry {
     // via TakeOrdered — no global sort.
     "tx_vocab" -> ((s, dir) => ops.TextOps.vocabulary(docs(s, dir), 100)),
 
+    // Exact heavy hitters (count ≥ N/500): Misra-Gries candidate pass
+    // + exact broadcast-filtered count — the long tail never shuffles.
+    "tx_heavyhitters" -> ((s, dir) =>
+      ops.TextOps.heavyHitters(docs(s, dir), 1L, 500L)),
+
+    // Corpus composition per (source, lang): counts, exact-integer mean
+    // quality, token share — the data-mix designer's profile table.
+    "tx_stats" -> ((s, dir) =>
+      ops.TextOps.corpusStats(docs(s, dir), docsMeta(s, dir))),
+
     // Bigram conditional probabilities (statistical-LM filter prep).
     "tx_bigram_lm" -> ((s, dir) =>
       ops.TextOps.bigramConditional(docs(s, dir), 5L)),
@@ -564,6 +581,10 @@ object SparkEntry {
             .select(col("doc_id"), col("ws_tokens").as("n_tokens")),
           "doc_id"),
         col("source"), 2048L)),
+
+    // Sequence-length histogram in power-of-two buckets (integer bit
+    // length, no floating log) — context-window sizing input.
+    "mix_hist" -> ((s, dir) => ops.TextOps.tokenHistogram(docs(s, dir))),
 
     // Multimodal: decode metadata via batched mapPartitions — image-kind
     // payloads are real BMP files parsed by the actual javax.imageio
@@ -1162,6 +1183,29 @@ object SparkEntry {
         |FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id
         |GROUP BY 1""".stripMargin),
 
+    // Argmax tie-break (score DESC, doc_id ASC) mirrors the struct-max
+    // (quality_score, -doc_id) in Dedup.keepBestFromClusters.
+    "dd_keep_best" -> (DdClustersCore +
+      """,
+        |cl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id
+        |       FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id),
+        |pq AS (SELECT d.doc_id,
+        |         round(CASE WHEN len(tk) >= 10
+        |           THEN round(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b'))*1.0
+        |                      / greatest(len(tk), 1), 6) * 2.0
+        |                - round(len(regexp_extract_all(text, '[.,;:!?]'))*1.0
+        |                        / greatest(length(text), 1), 6)
+        |           ELSE -1.0 END, 6) AS quality_score
+        |       FROM toks JOIN documents d USING (doc_id)),
+        |sel AS (SELECT cl.canonical_id, pq.doc_id, pq.quality_score,
+        |          row_number() OVER (PARTITION BY cl.canonical_id
+        |            ORDER BY pq.quality_score DESC, pq.doc_id) AS rn,
+        |          count(*) OVER (PARTITION BY cl.canonical_id) AS n_members
+        |        FROM cl JOIN pq USING (doc_id))
+        |SELECT canonical_id, n_members, doc_id AS best_doc_id,
+        |       quality_score AS best_score
+        |FROM sel WHERE rn = 1""".stripMargin),
+
     "pipe_filter" -> (DdClustersCore +
       """,
         |sv AS (SELECT d.doc_id
@@ -1301,6 +1345,41 @@ object SparkEntry {
         |       token, n_docs, n_occurrences
         |FROM vagg ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin),
 
+    // Threshold = integer cross-multiplication (θ = 1/500), NOT
+    // ceil(0.002·N): the double product rounds up at exact multiples
+    // while decimal engines don't — the rational form is engine-exact.
+    "tx_heavyhitters" -> (TokCte.stripSuffix("\n") +
+      """,
+        |tok AS (SELECT unnest(tk) AS token FROM toks),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, count(*) AS n_occurrences,
+        |       round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+        |FROM tok GROUP BY token
+        |HAVING count(*) * 500 >= (SELECT n FROM tot)""".stripMargin),
+
+    "tx_stats" -> (TokCte.stripSuffix("\n") +
+      """,
+        |pd AS (SELECT d.doc_id, d.source, d.lang,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(len(tk) AS BIGINT) AS n_tokens,
+        |         CAST(round(round(CASE WHEN len(tk) >= 10
+        |           THEN round(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b'))*1.0
+        |                      / greatest(len(tk), 1), 6) * 2.0
+        |                - round(len(regexp_extract_all(text, '[.,;:!?]'))*1.0
+        |                        / greatest(length(text), 1), 6)
+        |           ELSE -1.0 END, 6) * 1000000, 0) AS BIGINT) AS qm
+        |       FROM toks JOIN documents d USING (doc_id)),
+        |g AS (SELECT source, lang, count(*) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |        CAST(sum(qm) AS BIGINT) AS sum_qm
+        |      FROM pd GROUP BY source, lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ct FROM g)
+        |SELECT source, lang, n_docs, n_chars, n_tokens,
+        |       round(sum_qm / (n_docs * 1000000.0), 6) AS mean_quality,
+        |       round(n_tokens * 1.0 / (SELECT ct FROM tot), 6) AS token_share
+        |FROM g""".stripMargin),
+
     "tx_bigram_lm" -> (TokCte.stripSuffix("\n") +
       """,
         |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
@@ -1364,6 +1443,18 @@ object SparkEntry {
         |       CAST(start_offset AS BIGINT) AS start_offset,
         |       CAST(floor(start_offset / 2048.0) AS BIGINT) AS shard
         |FROM cum""".stripMargin),
+
+    // Bucket = integer bit length (digits of the base-2 rendering − 1),
+    // mirrored as Spark `conv(n,10,2)` / DuckDB `to_base(n,2)` — no
+    // floating log2 on either side.
+    "mix_hist" -> (TokCte.stripSuffix("\n") +
+      """,
+        |b AS (SELECT CAST(length(to_base(len(tk), 2)) - 1 AS BIGINT) AS bucket,
+        |        CAST(len(tk) AS BIGINT) AS n
+        |      FROM toks)
+        |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       min(n) AS min_tokens, max(n) AS max_tokens
+        |FROM b GROUP BY bucket""".stripMargin),
 
     "tx_tfidf" -> (TokCte.stripSuffix("\n") +
       """,

@@ -292,6 +292,29 @@ object Dedup {
       .groupBy(col("canonical_id").as("doc_id"))
       .agg(count(lit(1)).as("cluster_size"))
 
+  /** Quality-aware survivor selection: per near-dup cluster, keep the
+    * member with the HIGHEST quality score (min doc_id on ties) — the
+    * RefinedWeb/C4-style policy that beats min-id canonical when
+    * near-dups differ in boilerplate. `clusters` carries
+    * (doc_id, canonical_id); `scores` carries (doc_id, quality_score).
+    *
+    * One equi-join + one groupBy(canonical_id): the argmax is a
+    * `max(struct(quality_score, -doc_id))` — struct max partially
+    * aggregates map-side (unlike a row_number window, which sorts
+    * whole clusters in single tasks), so the exchange carries one
+    * candidate row per (cluster, partition) even for a pathological
+    * million-member cluster. Output: (canonical_id, n_members,
+    * best_doc_id, best_score). */
+  def keepBestFromClusters(clusters: DataFrame, scores: DataFrame): DataFrame =
+    clusters.join(scores, "doc_id")
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_score"), (-col("doc_id")).as("neg_id")))
+          .as("best"))
+      .select(col("canonical_id"), col("n_members"),
+        (-col("best.neg_id")).as("best_doc_id"),
+        col("best.quality_score").as("best_score"))
+
   /** Standalone exact n-gram Jaccard dedup (no LSH): all pairs sharing a
     * shingle with jaccard ≥ threshold. */
   def ngramJaccardDedup(docs: DataFrame, threshold: Double = 0.8,

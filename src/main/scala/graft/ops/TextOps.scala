@@ -440,4 +440,138 @@ object TextOps {
       col("doc_id"),
       graft.functions.StringPolyHash.fingerprint(col("text"))
         .as("fingerprint"))
+
+  /** EXACT corpus heavy hitters: every token whose global occurrence
+    * count is ≥ θ·N for θ = thetaNum/thetaDen (N = total token
+    * occurrences), with its exact count and corpus share — the
+    * stopword/boilerplate-discovery scan ahead of vocabulary pruning
+    * and contamination triage. θ is a RATIONAL and the threshold test
+    * is the integer cross-multiplication n·thetaDen ≥ thetaNum·N: a
+    * double `ceil(θ·N)` rounds 0.002·55000 up to 111 in binary
+    * floating point while a decimal engine gets 110 — the integer
+    * form is exact in every engine (valid while N·thetaDen < 2^63,
+    * i.e. beyond 10^16 tokens at the default θ).
+    *
+    * The naive plan — `groupBy(token).count()` then filter — partially
+    * aggregates map-side, but the exchange still carries one row per
+    * (partition, distinct token): for a heavy-tailed 100 TB corpus
+    * that is billions of hapax types shuffled only to be discarded by
+    * the HAVING. Two passes keep the shuffle candidate-sized instead:
+    *
+    *  1. CANDIDATES — each input partition streams its tokens through
+    *     a Misra-Gries summary of capacity ⌈2/θ⌉. MG guarantees any
+    *     item with partition-local count > n_p/cap survives the
+    *     partition, and averaging guarantees a globally θ-heavy token
+    *     is locally θ-heavy in at least one partition (if count_p <
+    *     θ·n_p for all p, summing contradicts count ≥ θ·N); with
+    *     cap ≥ 2/θ the local survival bound n_p/cap ≤ θ·n_p/2 sits
+    *     strictly under that, so the union of per-partition summaries
+    *     is a SUPERSET of the true heavy hitters — ≤ cap tokens per
+    *     partition, regardless of vocabulary size.
+    *  2. EXACT — rescan, map every non-candidate token to NULL via a
+    *     broadcast join against the candidate set, and count groups:
+    *     partial aggregation folds the entire long tail into one NULL
+    *     row per partition, so the exchange carries ≤ cap·partitions
+    *     + partitions rows total. The NULL group also completes N
+    *     (= Σ all group counts) without a third corpus scan; the tiny
+    *     grouped table is eagerly checkpointed so the total and the
+    *     final filter don't re-run the pass.
+    *
+    * The sketch pass is heuristic but the OUTPUT is exact and
+    * deterministic: candidates only ever over-approximate, and the
+    * final threshold filter uses true counts. Output: (token,
+    * n_occurrences, share), share rounded to 6dp. */
+  def heavyHitters(docs: DataFrame, thetaNum: Long = 1L,
+                   thetaDen: Long = 500L): DataFrame = {
+    require(thetaNum > 0 && thetaDen >= thetaNum,
+      s"theta = $thetaNum/$thetaDen must be in (0,1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cap = math.max(8, (2L * thetaDen / thetaNum).toInt)
+    val toks = tokenized(docs).select(explode(col("tk")).as("token"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val m = new java.util.HashMap[String, java.lang.Long](cap * 2)
+      while (it.hasNext) {
+        val t = it.next()
+        val cur = m.get(t)
+        if (cur != null) m.put(t, cur + 1L)
+        else if (m.size < cap) m.put(t, 1L)
+        else {
+          // Misra-Gries decrement: all counters down one, zeros evicted
+          val entries = m.entrySet().iterator()
+          while (entries.hasNext) {
+            val e = entries.next()
+            if (e.getValue == 1L) entries.remove()
+            else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      scala.jdk.CollectionConverters.SetHasAsScala(m.keySet()).asScala.iterator
+    }.toDF("token").distinct()
+    val grouped = toks
+      .join(broadcast(candidates.withColumn("cand", lit(1))),
+        Seq("token"), "left")
+      .select(when(col("cand").isNotNull, col("token")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_occurrences"))
+      .localCheckpoint(true) // ≤ cap·partitions + 1 rows
+    val total = grouped.agg(sum(col("n_occurrences")).as("n_total"))
+    grouped
+      .where(col("t").isNotNull)
+      .crossJoin(broadcast(total))
+      .where(col("n_occurrences") * lit(thetaDen) >=
+        lit(thetaNum) * col("n_total"))
+      .select(col("t").as("token"), col("n_occurrences"),
+        round(col("n_occurrences") / col("n_total"), 6).as("share"))
+  }
+
+  /** Corpus composition profile per (source, lang): doc/char/token
+    * counts, mean quality score, and each stratum's share of corpus
+    * tokens — the table a data-mix designer reads before setting
+    * sampling weights.
+    *
+    * One groupBy over codegen'd per-doc signals. The mean is computed
+    * in exact integer micro-units (round6 × 1e6 per doc, summed as
+    * long, ONE final double division) so it is bit-identical across
+    * engines — a double `avg` accumulates in partition order and can
+    * flip the 6th decimal. Token share divides two exact longs; the
+    * grouped table (≤ |sources|·|langs| rows) is eagerly checkpointed
+    * so the corpus-total crossJoin doesn't rescan the corpus. */
+  def corpusStats(docs: DataFrame, meta: DataFrame): DataFrame = {
+    val perDoc = quality(docs)
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        round(col("quality_score") * lit(1000000d), 0).cast("long").as("qm"))
+      .join(meta.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+    val grouped = perDoc.groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("qm")).as("sum_qm"))
+      .localCheckpoint(true) // ≤ |sources|·|langs| rows
+    val total = grouped.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    grouped.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+        col("n_tokens"),
+        round(col("sum_qm") / (col("n_docs") * lit(1000000d)), 6)
+          .as("mean_quality"),
+        round(col("n_tokens") / col("corpus_tokens"), 6).as("token_share"))
+  }
+
+  /** Token-length histogram in power-of-two buckets: bucket k holds
+    * docs with n_tokens in [2^k, 2^(k+1)) — the sequence-length
+    * distribution a packing planner sizes context windows against.
+    * The bucket index is the INTEGER bit length (digits of the base-2
+    * rendering, minus one), not ⌊log₂⌋ of a double — `log2(2^k)` can
+    * land on 8.999… and misbucket exact powers, and it can't differ
+    * between engines if no engine computes a logarithm. One narrow map
+    * + one tiny groupBy (≤ 64 buckets). */
+  def tokenHistogram(docs: DataFrame): DataFrame =
+    tokenized(docs)
+      .select((length(conv(size(col("tk")).cast("long").cast("string"),
+          10, 2)) - 1).cast("long").as("bucket"),
+        size(col("tk")).cast("long").as("n"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
 }

@@ -188,6 +188,84 @@ class OpsSpec extends SparkSpec {
     assert(r == Map(0L -> 3L, 2L -> 1L))
   }
 
+  test("keepBestFromClusters: argmax quality, min doc_id on ties") {
+    val s = spark; import s.implicits._
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "canonical_id")
+    val scores = Seq((0L, 0.1), (1L, 0.9), (2L, 0.9), (3L, -1.0), (4L, -1.0))
+      .toDF("doc_id", "quality_score")
+    val r = Dedup.keepBestFromClusters(clusters, scores)
+      .orderBy("canonical_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    // cluster 0: 1 and 2 tie at 0.9 → min id 1; cluster 3: tie → 3
+    assert(r.toSeq === Seq((0L, 3L, 1L, 0.9), (3L, 2L, 3L, -1.0)))
+  }
+
+  test("heavyHitters: exact counts equal brute force, partition-proof") {
+    val s = spark; import s.implicits._
+    // skewed corpus: "the" ~40%, "of" ~20%, tail of near-hapax tokens
+    val rnd = new scala.util.Random(17L)
+    val d = Seq.tabulate(300) { i =>
+      val body = Seq.fill(10) {
+        val x = rnd.nextInt(10)
+        if (x < 4) "the" else if (x < 6) "of" else s"tail${rnd.nextInt(800)}"
+      }.mkString(" ")
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+    val brute = TextOps.tokenized(d)
+      .select(explode(col("tk")).as("t")).groupBy("t").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val n = brute.values.sum
+    val expect = brute.filter { case (_, c) => c * 50L >= n }
+      .map { case (t, c) =>
+        (t, c, BigDecimal(c.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.sortBy(_._1)
+    // θ = 1/50 on 1, 7, and 32 input partitions: the Misra-Gries
+    // candidate pass must stay a superset under any partitioning
+    for (p <- Seq(1, 7, 32)) {
+      val got = TextOps.heavyHitters(d.repartition(p), 1L, 50L)
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+        .toSeq.sortBy(_._1)
+      assert(got === expect, s"partitions=$p")
+    }
+  }
+
+  test("corpusStats: counts, exact mean quality, token share") {
+    val s = spark; import s.implicits._
+    val d = docs(
+      (0L, "the a of to in is it and the a"),   // 10 tokens, all stopwords
+      (1L, "one two three"),                    // < 10 tokens → score -1
+      (2L, "x y z"))
+    val meta = Seq((0L, "en", "web"), (1L, "en", "web"), (2L, "fr", "book"))
+      .toDF("doc_id", "lang", "source")
+    val r = TextOps.corpusStats(d, meta)
+      .orderBy("source", "lang").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(4),
+        x.getDouble(5), x.getDouble(6)))
+    // doc0: stop_ratio 1.0 → score 2.0; doc1: -1 → (web,en) mean 0.5
+    assert(r.toSeq === Seq(
+      ("book", "fr", 1L, 3L, -1.0, 0.1875),
+      ("web", "en", 2L, 13L, 0.5, 0.8125)))
+  }
+
+  test("tokenHistogram: integer bit-length buckets, powers exact") {
+    val s = spark; import s.implicits._
+    val d = docs(
+      (0L, "a"),            // 1 token  → bucket 0
+      (1L, "a b"),          // 2        → bucket 1
+      (2L, "a b c"),        // 3        → bucket 1
+      (3L, "a b c d"),      // 4        → bucket 2 (the log2 FP trap)
+      (4L, "a b c d e f g h"), // 8     → bucket 3
+      (5L, ""))             // 0        → bucket 0
+    val r = TextOps.tokenHistogram(d).orderBy("bucket").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.toSeq === Seq(
+      (0L, 2L, 1L, 0L, 1L), (1L, 2L, 5L, 2L, 3L),
+      (2L, 1L, 4L, 4L, 4L), (3L, 1L, 8L, 8L, 8L)))
+  }
+
   test("jaccard pairs: exact value") {
     val d = docs((0L, "a b c d"), (1L, "a b c e"))
     // shingles: {abc,bcd} vs {abc,bce} => J = 1/3
