@@ -356,6 +356,10 @@ object SparkEntry {
     // interpolated percentiles).
     "ev_gaps" -> ((s, dir) => streaming.Events.gapStats(events(s, dir))),
 
+    // Hourly peak session concurrency: +1/−1 interval sweep via the
+    // two-phase distributed prefix sum (no global-ORDER-BY window).
+    "ev_peak" -> ((s, dir) => streaming.Events.peakConcurrency(events(s, dir))),
+
     // ---- STREAMING twins, driver-verified: each st_* replays the
     // scale-factor table through a MemoryStream in micro-batches (state
     // genuinely crosses batch boundaries) and canonicalizes the sink
@@ -986,6 +990,35 @@ object SparkEntry {
         |SELECT s.event_type, s.n_gaps, s.min_gap_us, m.p50_x2_gap_us,
         |       s.max_gap_us, s.sum_gap_us
         |FROM st s JOIN md m USING (event_type)""".stripMargin,
+
+    // Running sum ordered (us, delta DESC) mirrors the Spark sweep's
+    // (us, −delta) range-sort: starts before ends at tied timestamps.
+    "ev_peak" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e),
+        |iv AS (SELECT user_id, sess, min(us) AS s_us, max(us) AS e_us
+        |       FROM s GROUP BY user_id, sess),
+        |d AS (SELECT s_us AS us, 1 AS delta FROM iv
+        |      UNION ALL SELECT e_us, -1 FROM iv),
+        |r AS (SELECT us, delta,
+        |        sum(delta) OVER (ORDER BY us, delta DESC
+        |                         ROWS UNBOUNDED PRECEDING) AS running
+        |      FROM d)
+        |SELECT us // 3600000000 AS hour_bucket,
+        |       CAST(max(running) AS BIGINT) AS peak_sessions,
+        |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_starts
+        |FROM r GROUP BY 1""".stripMargin,
 
     "ev_anomaly" ->
       """WITH h AS (

@@ -557,4 +557,72 @@ object Events {
       .filter(col("rank") <= k)
       .select(col("event_type"), col("user_id"),
         col("rank").cast("long").as("rank"), col("total_value"))
+
+  /** Peak session concurrency per hour — the capacity-planning sweep:
+    * how many gap-sessions (the [[sessionize]] boundaries) are open
+    * simultaneously, maxed within each hour bucket of the sweep
+    * timeline. Sessions are CLOSED intervals [first_us, last_us]; at a
+    * tied timestamp starts count before ends, so a session touching
+    * another end-to-start overlaps it and a single-event session
+    * counts itself.
+    *
+    * The sweep is the classic +1/−1 delta scan — and a running sum
+    * over a GLOBAL ORDER BY is the other canonical single-task window
+    * (one partition sorts every delta, the ev_gaps lesson). Instead:
+    * range-partitioned sort on (us, −delta) + the two-phase prefix
+    * sum (per-partition subtotals → driver scan of one long per
+    * partition → per-partition offset replay, pids bound by
+    * mapPartitionsWithIndex). Ties inside a rank never cross engines
+    * differently: equal (us, delta) rows contribute identical deltas,
+    * so the prefix-value multiset — and the hourly max — is
+    * order-invariant. Output: (hour_bucket, peak_sessions, n_starts),
+    * hour_bucket = us div 3600000000 (integer, no FP bucketing). */
+  def peakConcurrency(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intervals = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    // explode, not union: a self-union would re-run the sessionize
+    // window once per branch (Catalyst doesn't share the subplan)
+    val deltas = intervals
+      .select(explode(array(
+        struct(col("s_us").as("us"), lit(1L).as("delta")),
+        struct(col("e_us").as("us"), lit(-1L).as("delta")))).as("d"))
+      .select(col("d.us"), col("d.delta"))
+    val sorted = deltas
+      .select(col("us"), col("delta"), (-col("delta")).as("negd"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(col("us"), col("negd"))
+      .sortWithinPartitions("us", "negd")
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: one running-sum offset per partition (longs, driver-tiny)
+      val subtotals = sorted
+        .mapPartitionsWithIndex { (pid, it) =>
+          var acc = 0L; it.foreach(acc += _._2); Iterator((pid, acc))
+        }.collect().sortBy(_._1).map(_._2)
+      val offsets = subtotals.scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast(offsets)
+      // pass 2: replay with the partition's offset, bucket hourly
+      val swept = sorted.mapPartitionsWithIndex { (pid, it) =>
+        var acc = bc.value(pid)
+        it.map { case (us, d, _) => acc += d; (us, d, acc) }
+      }
+      swept.toDF("us", "delta", "running")
+        .groupBy(expr("us div 3600000000").as("hour_bucket"))
+        .agg(max(col("running")).as("peak_sessions"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+        .localCheckpoint(eager = true)
+    } finally sorted.unpersist(blocking = false)
+  }
 }

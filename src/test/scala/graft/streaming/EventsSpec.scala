@@ -28,6 +28,23 @@ class EventsSpec extends SparkSpec {
       (2L, 1L, 1L, 0L)))
   }
 
+  test("peakConcurrency: interval sweep, ties start-before-end") {
+    // user 1: session [00:00, 00:10]; user 2: session [00:10, 00:15]
+    // (start tied with user 1's end → both open at 00:10 → peak 2);
+    // user 3: singleton at 02:00 in a later hour bucket
+    val d = evDf(
+      Ev(0, ts(0), 1, "a", 0.0), Ev(1, ts(10), 1, "a", 0.0),
+      Ev(2, ts(10), 2, "a", 0.0), Ev(3, ts(15), 2, "a", 0.0),
+      Ev(4, Timestamp.valueOf("2024-01-01 02:00:00"), 3, "a", 0.0))
+    val r = Events.peakConcurrency(d).orderBy("hour_bucket").collect()
+      .map(x => (x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq((2L, 2L), (1L, 1L)))
+    // partition-count robustness of the two-phase prefix sum
+    val r1 = Events.peakConcurrency(d.repartition(7))
+      .orderBy("hour_bucket").collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(r1.toSeq === r.toSeq)
+  }
+
   test("windowedCounts tumbling hour") {
     val d = evDf(Ev(0, ts(1), 1, "a", 1.5), Ev(1, ts(59), 2, "a", 2.5),
       Ev(2, ts(30), 3, "b", 1.0))
