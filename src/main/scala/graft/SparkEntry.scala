@@ -470,6 +470,10 @@ object SparkEntry {
     // Embedding cosine near-dup pairs.
     "dd_embedding" -> ((s, dir) => ops.Dedup.embeddingDedup(emb(s, dir), 0.3)),
 
+    // SemDeDup: connected components over the cosine pair graph,
+    // min-id canonical per semantic cluster (singletons self).
+    "sim_semdedup" -> ((s, dir) => ops.Dedup.semanticClusters(emb(s, dir), 0.3)),
+
     // Brute-force cosine top-5 for queries vec_id<10 (exact baseline).
     "sim_brute" -> ((s, dir) => ops.Similarity.bruteForceTopK(emb(s, dir), 5, 10)),
 
@@ -1550,6 +1554,23 @@ object SparkEntry {
         |         round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS cosine
         |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.3""".stripMargin),
+
+    // dd_embedding's pair predicate + the recursive min-label walk of
+    // the dd_clusters oracle, with singleton left-join fallback.
+    "sim_semdedup" -> (EmbCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      .stripSuffix("\n") +
+      """, ep AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6) >= 0.3),
+        |eedges AS (SELECT src, dst FROM ep UNION ALL SELECT dst, src FROM ep),
+        |ewalk(vertex, lab) AS (
+        |  SELECT DISTINCT src, src FROM eedges
+        |  UNION
+        |  SELECT e.dst, w.lab FROM ewalk w JOIN eedges e ON e.src = w.vertex),
+        |comp AS (SELECT vertex, min(lab) AS component FROM ewalk GROUP BY vertex)
+        |SELECT e.vec_id, coalesce(c.component, e.vec_id) AS canonical_id
+        |FROM embeddings e LEFT JOIN comp c ON c.vertex = e.vec_id""".stripMargin),
 
     "sim_brute" -> (EmbCte +
       """, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 10),

@@ -292,6 +292,22 @@ object Dedup {
       .groupBy(col("canonical_id").as("doc_id"))
       .agg(count(lit(1)).as("cluster_size"))
 
+  /** SemDeDup-style semantic clustering: connected components over the
+    * embedding-cosine near-dup pair graph ([[embeddingDedup]] — LSH
+    * bands above the broadcast gate, exact cosine on candidates only),
+    * min-id canonical per component, singletons self-canonical. The
+    * output (vec_id, canonical_id) is the semantic analogue of the
+    * minhash cluster map: downstream keeps one representative per
+    * semantic cluster. Component walk is the same pointer-jumping
+    * kernel the text path uses — no new scale surface. */
+  def semanticClusters(embeddings: DataFrame,
+                       threshold: Double = 0.95): DataFrame =
+    clustersFromPairs(
+      embeddings.select(col("vec_id").as("doc_id")),
+      embeddingDedup(embeddings, threshold)
+        .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+
   /** Quality-aware survivor selection: per near-dup cluster, keep the
     * member with the HIGHEST quality score (min doc_id on ties) — the
     * RefinedWeb/C4-style policy that beats min-id canonical when

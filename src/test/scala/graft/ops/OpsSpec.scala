@@ -311,6 +311,17 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq === Seq((0L, 1L, 1.0)))
   }
 
+  test("semanticClusters: transitive closure over cosine pairs") {
+    val s = spark; import s.implicits._
+    // 0∥1 and 1∥2 (cosine 1), 3 orthogonal → cluster {0,1,2} + singleton
+    val e = Seq((0L, Array(1f, 0f)), (1L, Array(2f, 0f)),
+      (2L, Array(3f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semanticClusters(e, 0.99).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+  }
+
   // ---- Similarity ----
 
   test("bruteForceTopK ranks by cosine desc") {
