@@ -594,6 +594,13 @@ object SparkEntry {
     // length, no floating log) — context-window sizing input.
     "mix_hist" -> ((s, dir) => ops.TextOps.tokenHistogram(docs(s, dir))),
 
+    // Stride-scheduled deterministic interleaving by language weight:
+    // exact-integer epoch keys, per-stratum ranks via the two-phase
+    // prefix sum (no per-stratum window).
+    "mix_interleave" -> ((s, dir) =>
+      ops.Mix.interleave(docsMeta(s, dir), col("lang"),
+        Map("en" -> 4L, "es" -> 2L, "fr" -> 2L, "de" -> 1L, "zh" -> 1L))),
+
     // Multimodal: decode metadata via batched mapPartitions — image-kind
     // payloads are real BMP files parsed by the actual javax.imageio
     // codec; audio/video use the stub header parse.
@@ -1492,6 +1499,21 @@ object SparkEntry {
         |SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
         |       min(n) AS min_tokens, max(n) AS max_tokens
         |FROM b GROUP BY bucket""".stripMargin),
+
+    // lcm(4,2,2,1,1)=4: en stride 1, es/fr 2, de/zh (and unknowns) 4.
+    "mix_interleave" ->
+      """WITH r AS (
+        |  SELECT lang AS stratum, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1
+        |           AS rank_in_stratum
+        |  FROM documents)
+        |SELECT stratum, doc_id,
+        |       CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum,
+        |       CAST((2*rank_in_stratum + 1) *
+        |            (CASE stratum WHEN 'en' THEN 1 WHEN 'es' THEN 2
+        |                          WHEN 'fr' THEN 2 ELSE 4 END) AS BIGINT)
+        |         AS interleave_key
+        |FROM r""".stripMargin,
 
     "tx_tfidf" -> (TokCte.stripSuffix("\n") +
       """,

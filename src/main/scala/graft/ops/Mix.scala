@@ -235,4 +235,40 @@ object Mix {
         floor(round(w, 6) * col("n_tokens")).cast("long")
           .as("expected_tokens"))
   }
+
+  /** Deterministic stride-scheduled interleaving — the training-order
+    * schedule: stratum s with integer weight w_s contributes its i-th
+    * document (doc_id order) at key (2i+1)·(L/w_s), L = lcm of the
+    * weights. Sorting by the key yields the classic stride schedule: a
+    * weight-4 stratum appears 4× as often as a weight-1 stratum,
+    * evenly spread, reproducible across runs and engines because the
+    * key is EXACT integer arithmetic (w_s | L, so no division
+    * truncates and no float ever orders the epoch).
+    *
+    * The per-stratum rank is [[pack]] with unit token counts — the
+    * two-phase distributed prefix sum, NOT a per-stratum `row_number`
+    * window (one task per stratum at corpus scale). Output:
+    * (stratum, doc_id, rank_in_stratum, interleave_key). */
+  def interleave(meta: DataFrame, stratum: Column,
+                 weights: Map[String, Long],
+                 defaultWeight: Long = 1L): DataFrame = {
+    require(defaultWeight > 0 && weights.values.forall(_ > 0),
+      "interleave: weights must be positive")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (weights.values.toSeq :+ defaultWeight)
+      .foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val ranked = pack(
+        meta.select(col("doc_id"), lit(1L).as("n_tokens"),
+          stratum.cast("string").as("stratum")),
+        col("stratum"), 1L)
+      .select(col("stratum"), col("doc_id"),
+        col("start_offset").as("rank_in_stratum"))
+    val stride = weights.foldLeft(lit(lcm / defaultWeight)) {
+      case (acc, (k, w)) =>
+        when(col("stratum") === k, lit(lcm / w)).otherwise(acc)
+    }
+    ranked.select(col("stratum"), col("doc_id"), col("rank_in_stratum"),
+      ((col("rank_in_stratum") * 2L + 1L) * stride).as("interleave_key"))
+  }
 }

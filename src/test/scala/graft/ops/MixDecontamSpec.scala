@@ -283,6 +283,24 @@ class MixDecontamSpec extends SparkSpec {
     assert(r(11L) == (("b", 1L, 150L, 3L)))
   }
 
+  test("interleave: exact-integer stride schedule, weighted round-robin") {
+    val s = spark; import s.implicits._
+    val d = Seq((0L, "en"), (1L, "en"), (2L, "en"), (3L, "en"),
+      (4L, "de"), (5L, "xx")).toDF("doc_id", "lang")
+    val r = Mix.interleave(d, col("lang"), Map("en" -> 4L, "de" -> 1L))
+      .collect()
+      .map(x => x.getLong(1) -> (x.getString(0), x.getLong(2), x.getLong(3)))
+      .toMap
+    // lcm(4,1,1)=4: en stride 1 → keys 1,3,5,7; de/xx stride 4 → key 4
+    assert(r(0L) == (("en", 0L, 1L)) && r(1L) == (("en", 1L, 3L)))
+    assert(r(2L) == (("en", 2L, 5L)) && r(3L) == (("en", 3L, 7L)))
+    assert(r(4L) == (("de", 0L, 4L)) && r(5L) == (("xx", 0L, 4L)))
+    // sorted epoch: en appears 4× for every one de/xx appearance
+    val order = r.toSeq.sortBy { case (id, (_, _, k)) => (k, id) }
+      .map(_._2._1)
+    assert(order === Seq("en", "en", "de", "xx", "en", "en"))
+  }
+
   test("pack: kernel ≡ two-phase prefix sum ≡ window cumsum") {
     val s = spark; import s.implicits._
     val d = (0L until 2000L)
