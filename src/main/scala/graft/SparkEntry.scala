@@ -500,6 +500,12 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet")
           .select("vec_id", "embedding"))),
 
+    // Exact covariance moments (n, s_x, s_y, s_xy) per upper-triangle
+    // dim pair — decimal sums, one partial-agg'd groupBy, no self-join.
+    "sim_cov" -> ((s, dir) =>
+      ops.Similarity.covarianceMoments(
+        s.read.parquet(s"$dir/embeddings.parquet").select("embedding"))),
+
     // Language-ID marker scores + argmax prediction.
     "tx_langid" -> ((s, dir) => ops.TextOps.langId(docs(s, dir))),
 
@@ -600,6 +606,43 @@ object SparkEntry {
     "mix_interleave" -> ((s, dir) =>
       ops.Mix.interleave(docsMeta(s, dir), col("lang"),
         Map("en" -> 4L, "es" -> 2L, "fr" -> 2L, "de" -> 1L, "zh" -> 1L))),
+
+    // Deterministic 90/5/5 stratified train/val/test assignment —
+    // salted hash stream, pure narrow map.
+    "mix_split" -> ((s, dir) =>
+      ops.Mix.assignSplits(docsMeta(s, dir), col("lang"), 9000L, 9500L)),
+
+    // Relational warehouse shapes over the TPC-H-ish tables: exact
+    // decimal pricing rollup with a sargable scan filter.
+    "rel_pricing" -> ((s, dir) =>
+      ops.Relational.pricingSummary(
+        s.read.parquet(s"$dir/lineitem.parquet"), "1998-09-02")),
+
+    // Star-join revenue rollup: pre-aggregated fact joins + broadcast
+    // nation/region dimensions.
+    "rel_regionrev" -> ((s, dir) =>
+      ops.Relational.revenueByNation(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"),
+        "1997-01-01", "1998-01-01")),
+
+    // Per-segment top-10 orders by exact scaled-integer revenue via the
+    // bounded-heap TopKPairMin aggregate (no segment-wide window).
+    "rel_toporders" -> ((s, dir) =>
+      ops.Relational.topOrdersPerSegment(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"), 10)),
+
+    // Existential filter: priority counts among orders with a deeply
+    // discounted line — left-semi probe on the order key.
+    "rel_orderprio" -> ((s, dir) =>
+      ops.Relational.orderPriorityCounts(
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"), 0.05)),
 
     // Multimodal: decode metadata via batched mapPartitions — image-kind
     // payloads are real BMP files parsed by the actual javax.imageio
@@ -1515,6 +1558,82 @@ object SparkEntry {
         |         AS interleave_key
         |FROM r""".stripMargin,
 
+    "mix_split" ->
+      """SELECT doc_id, stratum, bucket,
+        |  CASE WHEN bucket < 9000 THEN 'train'
+        |       WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang AS stratum,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(
+        |        CAST(doc_id AS VARCHAR) || ':' || lang || '#split', ''),
+        |      c -> CAST(ord(c) AS BIGINT))),
+        |    (h, cp) -> (h * 31 + cp) % 1000000007) % 10000 AS bucket
+        |  FROM documents)""".stripMargin,
+
+    // Decimal mirrors of the relational family: every money aggregate
+    // runs in exact decimal (or scaled-integer) arithmetic on both
+    // engines; DOUBLE appears only as the final rendering cast.
+    "rel_pricing" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS b,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+        |         AS DECIMAL(24,4)) AS dp,
+        |    CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(4,2)) AS t1
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(q) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(b) AS DOUBLE) AS sum_base,
+        |  CAST(sum(dp) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(dp * t1 AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS n_rows
+        |FROM l GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_regionrev" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+        |         AS DECIMAL(24,4))) AS DECIMAL(34,4)) AS order_rev
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT r_name AS region, n_name AS nation,
+        |  CAST(sum(order_rev) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM rev
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "rel_toporders" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |        (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+        |                    AS BIGINT))) AS rs
+        |  FROM lineitem GROUP BY l_orderkey),
+        |rk AS (
+        |  SELECT c_mktsegment AS mktsegment, o_orderkey, rs,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY rs DESC, o_orderkey) AS rk
+        |  FROM rev JOIN orders ON l_orderkey = o_orderkey
+        |           JOIN customer ON o_custkey = c_custkey)
+        |SELECT mktsegment, o_orderkey, rs / 10000.0 AS revenue,
+        |       CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 10""".stripMargin,
+
+    "rel_orderprio" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.05)
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "tx_tfidf" -> (TokCte.stripSuffix("\n") +
       """,
         |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
@@ -1569,6 +1688,31 @@ object SparkEntry {
         |            END AS BIGINT) AS q,
         |       round(mx / 127.0, 6) AS scale
         |FROM ex""".stripMargin,
+
+    // Mirrors covarianceMoments exactly: one micro-unit quantization
+    // (double round, ties away from zero on both engines), then exact
+    // integer/decimal moments rendered by constant division.
+    "sim_cov" ->
+      """WITH e AS (SELECT vec_id,
+        |             unnest(generate_series(1, len(embedding))) AS ii,
+        |             embedding
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, ii AS i,
+        |             CAST(round(CAST(embedding[ii] AS DOUBLE) * 1000000.0)
+        |                  AS BIGINT) AS q
+        |      FROM e),
+        |s AS (SELECT i, sum(CAST(q AS DECIMAL(38,0))) AS sx
+        |      FROM x GROUP BY i),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |             sum(CAST(a.q * b.q AS DECIMAL(38,0))) AS sxy,
+        |             count(*) AS n
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |      GROUP BY a.i, b.i)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j, n,
+        |       CAST(si.sx AS DOUBLE) / 1e6 AS s_x,
+        |       CAST(sj.sx AS DOUBLE) / 1e6 AS s_y,
+        |       CAST(p.sxy AS DOUBLE) / 1e12 AS s_xy
+        |FROM p JOIN s si ON p.i = si.i JOIN s sj ON p.j = sj.i""".stripMargin,
 
     "dd_embedding" -> (EmbCte +
       """SELECT * FROM (

@@ -49,6 +49,29 @@ object Mix {
       when(bucket < cut, 1L).otherwise(0L).as("kept"))
   }
 
+  /** Deterministic stratified train/val/test assignment: bucket =
+    * polyhash(doc_id ":" stratum "#split") mod 10000 (a DIFFERENT hash
+    * stream than [[stratifiedSample]]'s, via the "#split" salt — the
+    * split must not correlate with the sampling decision), split =
+    * train below `trainCut`, val below `valCut`, test otherwise.
+    *
+    * Same reproducibility contract as sampling: the assignment is a
+    * pure row function — retries, repartitions and incremental corpus
+    * growth never move a document between splits, and growing a cut
+    * only promotes documents monotonically (test→val→train). A narrow
+    * codegen map; nothing shuffles. */
+  def assignSplits(docs: DataFrame, stratum: Column,
+                   trainCut: Long, valCut: Long): DataFrame = {
+    val bucket = pmod(graft.functions.StringPolyHash.fingerprint(
+      concat(col("doc_id").cast("string"), lit(":"), stratum,
+        lit("#split"))), lit(Buckets))
+    docs.select(col("doc_id"), stratum.as("stratum"),
+      bucket.as("bucket"),
+      when(bucket < trainCut, "train")
+        .when(bucket < valCut, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** EXACT-size stratified sample: the k documents per stratum with the
     * smallest (bucket, doc_id) hash rank — the fixed-quota counterpart
     * of [[stratifiedSample]]'s rate-based keep. Deterministic for the

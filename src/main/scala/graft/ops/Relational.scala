@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/**
+ * Relational analytics over the TPC-H-ish star schema — the classic
+ * warehouse query shapes (pricing rollup, dimension-star revenue,
+ * per-group top-k, existential filter) expressed as the Spark plans
+ * you'd want at 100 TB:
+ *
+ *  - Money math is EXACT: prices/discounts/taxes are 2-decimal values,
+ *    so every aggregate runs in decimal (or scaled-integer long), never
+ *    floating point — a reducer-order change can't flip a cent, and the
+ *    engine matches any exact-arithmetic oracle bit-for-bit. Doubles
+ *    appear only in final display columns derived deterministically
+ *    from exact values.
+ *  - Fact tables are filtered by sargable range predicates (pushed to
+ *    the parquet scan), aggregated with partial aggregation (the
+ *    exchange carries group cards, not rows), and joined to the tiny
+ *    dimensions via explicit `broadcast()` — nation/region are O(100)
+ *    rows at any scale factor. Fact-to-fact joins (lineitem⋈orders,
+ *    orders⋈customer) stay shuffle hash joins on their keys and are
+ *    pre-aggregated to the join key first, so the shuffled payload is
+ *    the aggregate, not the raw fact table.
+ *  - Per-group top-k uses the bounded-heap
+ *    [[graft.functions.TopKPairMin]] aggregate: ≤k pairs per (group,
+ *    map partition) on the exchange — never the low-cardinality window
+ *    rank that funnels each group through one task.
+ */
+object Relational {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Pricing summary (reference shape: TPC-H Q1): per (returnflag,
+    * linestatus) sums of quantity, base price, discounted price and
+    * charge over lineitems shipped up to `cutoff` (inclusive).
+    *
+    * All four sums are exact decimal: qty/price/discount/tax are
+    * 2-decimal values, so disc_price has ≤4 and charge ≤6 fractional
+    * digits — each product is cast to a decimal wide enough to hold it
+    * exactly before summing. One sargable scan filter, one
+    * partial-agg'd groupBy of ~6 groups; the final DOUBLE casts are
+    * exact-to-nearest renderings of equal decimals. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame = {
+    val disc1 = (lit(BigDecimal(1)) - dec2(col("l_discount")))
+      .cast(DecimalType(4, 2))
+    val tax1 = (lit(BigDecimal(1)) + dec2(col("l_tax")))
+      .cast(DecimalType(4, 2))
+    val discPrice = (dec2(col("l_extendedprice")) * disc1)
+      .cast(DecimalType(24, 4))
+    val charge = (discPrice * tax1).cast(DecimalType(30, 6))
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        dec2(col("l_quantity")).as("q"),
+        dec2(col("l_extendedprice")).as("b"),
+        discPrice.as("dp"), charge.as("ch"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("q")).cast("double").as("sum_qty"),
+        sum(col("b")).cast("double").as("sum_base"),
+        sum(col("dp")).cast("double").as("sum_disc_price"),
+        sum(col("ch")).cast("double").as("sum_charge"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Revenue by (region, nation) over orders placed in [from, until):
+    * the star-join rollup. lineitem is pre-aggregated to l_orderkey
+    * BEFORE the fact-fact joins (the shuffle carries one row per
+    * order, not one per line), orders⋈customer are key-partitioned
+    * hash joins, and nation/region ride in as explicit broadcasts.
+    * Revenue is exact decimal, rendered as DOUBLE at the end. */
+  def revenueByNation(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, nation: DataFrame,
+                      region: DataFrame, from: String,
+                      until: String): DataFrame = {
+    val discPrice = (dec2(col("l_extendedprice")) *
+      (lit(BigDecimal(1)) - dec2(col("l_discount"))).cast(DecimalType(4, 2)))
+      .cast(DecimalType(24, 4))
+    val perOrder = lineitem
+      .select(col("l_orderkey"), discPrice.as("dp"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("dp")).cast(DecimalType(34, 4)).as("order_rev"))
+    val ordersIn = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    perOrder
+      .join(ordersIn, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("order_rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select("region", "nation", "revenue", "n_orders")
+  }
+
+  /** Top-k orders by revenue within each market segment. Revenue is the
+    * scaled-integer long `cents(extendedprice) * (100 - pct(discount))`
+    * (4 implied decimals — exact), so the per-segment ranking runs
+    * through [[graft.functions.TopKPairMin]] on `(-revenue, orderkey)`:
+    * a bounded heap per map partition, ≤k pairs per partition on the
+    * exchange, no segment-wide window sort. Ties break to the smaller
+    * orderkey. */
+  def topOrdersPerSegment(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, k: Int): DataFrame = {
+    val cents = (dec2(col("l_extendedprice")) * lit(100)).cast(LongType)
+    val discPct = (dec2(col("l_discount")) * lit(100)).cast(LongType)
+    val perOrder = lineitem
+      .select(col("l_orderkey"), (cents * (lit(100L) - discPct)).as("rs"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("rs")).as("rev_scaled"))
+    perOrder
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(graft.functions.TopKPairMin
+        .topk(-col("rev_scaled"), col("o_orderkey"), k).as("picks"))
+      .select(col("mktsegment"), posexplode(col("picks")).as(Seq("pos", "p")))
+      .select(col("mktsegment"), col("p.id").as("o_orderkey"),
+        (-col("p.score") / lit(10000.0)).as("revenue"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  /** Order counts per priority among orders with at least one deeply
+    * discounted line (discount ≥ `minDiscount`): the existential-filter
+    * shape. The probe is a LEFT SEMI join on the order key — the fact
+    * table is filtered and projected to the key before the join, never
+    * materialized per matching line, and the count aggregates with
+    * partial aggregation over ~5 groups. */
+  def orderPriorityCounts(orders: DataFrame, lineitem: DataFrame,
+                          minDiscount: Double): DataFrame =
+    orders
+      .join(
+        lineitem.filter(col("l_discount") >= minDiscount)
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+}

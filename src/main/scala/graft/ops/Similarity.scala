@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Similarity search over an embedding column (`ARRAY<FLOAT>`).
@@ -340,6 +341,60 @@ object Similarity {
       .groupBy(col("label"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n_vecs"),
         round(avg(col("v").cast("double")), 6).as("centroid"))
+
+  /** Exact second-moment (covariance) accumulation over the embedding
+    * matrix — the single-pass statistic behind PCA whitening, feature
+    * decorrelation and Mahalanobis scoring. Emits, for every
+    * upper-triangle dim pair (i ≤ j, 1-based): the vector count `n`,
+    * the per-dim sums `s_x`, `s_y` and the cross-product sum `s_xy` —
+    * the moments from which mean/covariance are one driver-side
+    * division (kept un-divided so the output is EXACT and mergeable
+    * across shards, like the reference's statistics blocks that ship
+    * raw sums, mpi/logfile.h:32-43).
+    *
+    * Exactness: elements are quantized ONCE to micro-units
+    * (q = round(x·10⁶), ties away from zero — the one rounding rule
+    * double `round` shares across engines; a direct double→decimal
+    * cast does NOT, its 12th-digit ties resolve differently) and every
+    * moment then runs in exact integer/decimal arithmetic, so reducer
+    * order can't perturb a bit and the result matches any
+    * exact-arithmetic oracle. The final DOUBLE columns divide equal
+    * decimals by the scale constants — equal in, equal out.
+    *
+    * Shape: codegen-free-but-narrow HOF `transform` expands each row to
+    * its d(d+1)/2 products (no self-join — the row never meets another
+    * row), and ONE partial-agg'd groupBy(i, j) reduces them: the
+    * exchange carries O(d²) partial sums per map partition, never the
+    * n·d² product rows. Per-dim sums reduce the same way (O(d) groups)
+    * and join back by broadcast — both join sides are dimension-sized. */
+  def covarianceMoments(embeddings: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val v = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1000000.0), 0).cast("long"))
+    val prods = flatten(transform(sequence(lit(1), size(col("v"))), i =>
+      transform(sequence(i, size(col("v"))), j =>
+        struct(i.cast("long").as("i"), j.cast("long").as("j"),
+          (element_at(col("v"), i) * element_at(col("v"), j)).cast(dec)
+            .as("p")))))
+    val rows = embeddings.select(v.as("v"))
+    val pairSums = rows
+      .select(explode(prods).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("sxy"), count(lit(1)).as("n"))
+    val dimSums = rows
+      .select(posexplode(col("v")).as(Seq("d0", "x")))
+      .groupBy((col("d0") + 1).cast("long").as("d"))
+      .agg(sum(col("x").cast(dec)).as("s"))
+    pairSums
+      .join(broadcast(dimSums.select(col("d").as("i"), col("s").as("si"))),
+        "i")
+      .join(broadcast(dimSums.select(col("d").as("j"), col("s").as("sj"))),
+        "j")
+      .select(col("i"), col("j"), col("n"),
+        (col("si").cast("double") / lit(1e6)).as("s_x"),
+        (col("sj").cast("double") / lit(1e6)).as("s_y"),
+        (col("sxy").cast("double") / lit(1e12)).as("s_xy"))
+  }
 
   /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
     * reduction step an embedding store applies before ANN serving:

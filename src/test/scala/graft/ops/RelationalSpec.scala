@@ -1,0 +1,148 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Semantics of the relational warehouse family on hand-built inputs —
+  * exact decimal money math, broadcast star joins, bounded-heap top-k,
+  * semi-join existential counts. */
+class RelationalSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  private def lineitem = {
+    val s = spark; import s.implicits._
+    Seq(
+    // (orderkey, extendedprice, discount, tax, qty, flag, status, ship)
+    (1L, 100.00, 0.10, 0.05, 2.0, "N", "O", ts("1997-03-01")),
+    (1L, 200.00, 0.00, 0.00, 1.0, "N", "O", ts("1997-03-02")),
+    (2L, 50.00, 0.50, 0.10, 4.0, "R", "F", ts("1997-06-01")),
+    (3L, 10.00, 0.00, 0.00, 1.0, "N", "O", ts("1999-01-01")) // past cutoff
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax",
+      "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate")
+  }
+
+  private def orders = {
+    val s = spark; import s.implicits._
+    Seq(
+    (1L, 10L, ts("1997-02-01"), "1-URGENT"),
+    (2L, 20L, ts("1997-05-01"), "5-LOW"),
+    (3L, 10L, ts("1998-12-01"), "1-URGENT")
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+  }
+
+  private def customer = {
+    val s = spark; import s.implicits._
+    Seq((10L, 100, "BUILDING"), (20L, 200, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+  }
+
+  private def nation = {
+    val s = spark; import s.implicits._
+    Seq((100, 1, "FRANCE"), (200, 2, "JAPAN"))
+      .toDF("n_nationkey", "n_regionkey", "n_name")
+  }
+
+  private def region = {
+    val s = spark; import s.implicits._
+    Seq((1, "EUROPE"), (2, "ASIA")).toDF("r_regionkey", "r_name")
+  }
+
+  test("pricingSummary: exact decimal sums, cutoff filter applied") {
+    val out = Relational.pricingSummary(lineitem, "1998-09-02")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    // N/O: rows 1+2 (row 4 is past the cutoff): qty 3, base 300,
+    // disc 100*0.9 + 200 = 290, charge 90*1.05 + 200 = 294.5
+    // R/F: disc 50*0.5 = 25, charge 25*1.1 = 27.5
+    assert(out === Seq(
+      ("N", "O", 3.0, 300.0, 290.0, 294.5, 2L),
+      ("R", "F", 4.0, 50.0, 25.0, 27.5, 1L)))
+  }
+
+  test("revenueByNation: star rollup, order-date window, broadcast dims") {
+    val out = Relational.revenueByNation(lineitem, orders, customer,
+        nation, region, "1997-01-01", "1998-01-01")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._2)
+    // order 1 → FRANCE/EUROPE rev 290; order 2 → JAPAN/ASIA rev 25;
+    // order 3 outside the window
+    assert(out === Seq(("EUROPE", "FRANCE", 290.0, 1L),
+      ("ASIA", "JAPAN", 25.0, 1L)))
+  }
+
+  test("topOrdersPerSegment: scaled-integer revenue, rank and ties") {
+    // two orders in one segment to exercise ranking
+    val s = spark; import s.implicits._
+    val o2 = Seq((1L, 10L), (2L, 10L)).toDF("o_orderkey", "o_custkey")
+    val c2 = Seq((10L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+    val out = Relational.topOrdersPerSegment(lineitem, o2, c2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._4)
+    // order 1: 10000*90 + 20000*100 = 2,900,000 (= 290.0)
+    // order 2: 5000*50 = 250,000 (= 25.0); order 3 not in o2
+    assert(out === Seq(("BUILDING", 1L, 290.0, 1L),
+      ("BUILDING", 2L, 25.0, 2L)))
+  }
+
+  test("topOrdersPerSegment: k bounds the per-segment output") {
+    val s = spark; import s.implicits._
+    val o2 = Seq((1L, 10L), (2L, 10L)).toDF("o_orderkey", "o_custkey")
+    val c2 = Seq((10L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+    val out = Relational.topOrdersPerSegment(lineitem, o2, c2, 1)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out === Seq((1L, 1L)))
+  }
+
+  test("orderPriorityCounts: semi-join keeps each order once") {
+    // order 1 has a 0.10-discount line, order 2 a 0.50; order 3 none ≥ 0.05
+    val out = Relational.orderPriorityCounts(orders, lineitem, 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(out === Seq(("1-URGENT", 1L), ("5-LOW", 1L)))
+  }
+
+  test("assignSplits: deterministic, stratified, monotone cuts") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val a = Mix.assignSplits(docs, org.apache.spark.sql.functions.col("lang"),
+      9000L, 9500L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val b = Mix.assignSplits(docs.repartition(7),
+      org.apache.spark.sql.functions.col("lang"), 9000L, 9500L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(a.sortBy(_._1) === b.sortBy(_._1)) // partition-invariant
+    assert(a.forall { case (_, _, bk, sp) =>
+      sp == (if (bk < 9000) "train" else if (bk < 9500) "val" else "test") })
+    // widening the train cut only promotes (test/val → train)
+    val wide = Mix.assignSplits(docs,
+      org.apache.spark.sql.functions.col("lang"), 9500L, 9750L).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    val rank = Map("train" -> 0, "val" -> 1, "test" -> 2)
+    assert(a.forall { case (id, _, _, sp) => rank(wide(id)) <= rank(sp) })
+  }
+
+  test("covarianceMoments: matches naive double-loop moments") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, -0.5f)),
+      (2L, Array(0.25f, -1.0f, 3.0f)),
+      (3L, Array(0.5f, 0.5f, 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.covarianceMoments(df.select("embedding"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.size === 6) // 3*(3+1)/2 upper-triangle pairs
+    val m = vecs.map(_._2.map(_.toDouble))
+    for (i <- 0 until 3; j <- i until 3) {
+      val (n, sx, sy, sxy) = out((i + 1L, j + 1L))
+      assert(n === 3L)
+      assert(math.abs(sx - m.map(_(i)).sum) < 1e-9)
+      assert(math.abs(sy - m.map(_(j)).sum) < 1e-9)
+      assert(math.abs(sxy - m.map(v => v(i) * v(j)).sum) < 1e-9)
+    }
+  }
+}
