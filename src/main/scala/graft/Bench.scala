@@ -20,6 +20,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       // NOTE measured, not guessed: forcing size-based AQE coalescing
       // (parallelismFirst=false) or a 64 MB auto-broadcast threshold both
       // LOSE here — mid-size (~100 MB) join stages collapse to one task /

@@ -736,16 +736,27 @@ object SparkEntry {
     cachedTable(s, s"$dir/embeddings")(
       s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"))
 
-  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
-    * refuses natively; read nanos as long and truncate to microsecond
-    * timestamps — exactly what DuckDB does when it loads the same file
-    * (ns → µs TIMESTAMP), keeping the oracle comparison aligned. */
+  /** The events table has shipped as either TIMESTAMP(MICROS) (read
+    * natively) or TIMESTAMP(NANOS) parquet, which Spark 4 refuses
+    * natively; in the nanos case read nanos as long and truncate to
+    * microsecond timestamps — exactly what DuckDB does when it loads
+    * the same file (ns → µs TIMESTAMP), keeping the oracle comparison
+    * aligned. Adapt to whichever schema is on disk. */
   private def events(s: SparkSession, dir: String): DataFrame =
     cachedTable(s, s"$dir/events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .select("event_id", "ts", "user_id", "event_type", "value")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val withTs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // TIMESTAMP_NTZ → LTZ is value-preserving under the UTC session
+        // timezone every entry point pins, and downstream `unix_micros`
+        // then matches DuckDB's epoch_us over the same file.
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
+      withTs.select("event_id", "ts", "user_id", "event_type", "value")
     }
 
   /** Deterministic pseudo run-stats: 64 smallest orders; bfs_time from

@@ -178,9 +178,12 @@ class LocalEventsSpec extends SparkSpec {
 
   test("kernel ≡ distributed on sf0.001 events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .persist()
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }).persist()
     try {
       val (lw, dw) = bothWays(Events.windowedCounts(ev))
       assert(lw === dw, "windowedCounts")
