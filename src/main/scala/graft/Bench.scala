@@ -92,8 +92,11 @@ object Bench {
     val isolatedOn = g500On &&
       sys.env.getOrElse("SPARK_GRAFT_ISOLATED", "1") != "0"
     val g500iso = if (!isolatedOn) None else {
+      // a failed throwaway warm run means the timed "isolated" block is
+      // actually a cold-JVM number — surface that instead of hiding it
       try bench.Graph500.run(spark, scale, 8)
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] isolated warm run failed: $e") }
       gcSettle()
       Some(seqProtocol(nRoots))
     }

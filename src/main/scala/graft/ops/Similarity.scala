@@ -368,23 +368,145 @@ object Similarity {
     * n·d² product rows. Per-dim sums reduce the same way (O(d) groups)
     * and join back by broadcast — both join sides are dimension-sized. */
   def covarianceMoments(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
     val dec = DecimalType(38, 0)
     val v = transform(col("embedding"),
       x => round(x.cast("double") * lit(1000000.0), 0).cast("long"))
-    val prods = flatten(transform(sequence(lit(1), size(col("v"))), i =>
-      transform(sequence(i, size(col("v"))), j =>
-        struct(i.cast("long").as("i"), j.cast("long").as("j"),
-          (element_at(col("v"), i) * element_at(col("v"), j)).cast(dec)
-            .as("p")))))
-    val rows = embeddings.select(v.as("v"))
-    val pairSums = rows
-      .select(explode(prods).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("sxy"), count(lit(1)).as("n"))
-    val dimSums = rows
-      .select(posexplode(col("v")).as(Seq("d0", "x")))
-      .groupBy((col("d0") + 1).cast("long").as("d"))
-      .agg(sum(col("x").cast(dec)).as("s"))
+    // Map side: per-partition Gram accumulation into primitive long
+    // triangles (the classic distributed second-moment kernel — compare
+    // MLlib's Gramian treeAggregate). Each partition emits at most
+    // d(d+1)/2 + d partial rows, so the ONE shuffle carries
+    // O(partitions × d²) — never the n·d²/2 product rows the previous
+    // explode-based plan materialized map-side (measured 2.7 s → the
+    // explode dominated the query at sf0.1; at 100 TB it would dominate
+    // the job). Long accumulators spill to BigInteger on (rare)
+    // overflow, so the moments stay EXACT — same micro-unit
+    // quantization, same bit-reproducible sums as before.
+    val quantized = {
+      import spark.implicits._
+      embeddings.select(v.as("v")).as[Array[Long]]
+    }
+    val partialRows = quantized.rdd.mapPartitions { it =>
+      // triangular layout k(i,j) = j(j+1)/2 + i (0-based, i ≤ j):
+      // independent of the eventual max dimension, so ragged inputs
+      // only ever APPEND cells.
+      var dMax = 0
+      var acc: Array[Long] = new Array[Long](0)
+      var spill: Array[java.math.BigInteger] = new Array(0)
+      var dimAcc: Array[Long] = new Array[Long](0)
+      var dimSpill: Array[java.math.BigInteger] = new Array(0)
+      var lenCnt: Array[Long] = new Array[Long](0)
+      def grow(d: Int): Unit = if (d > dMax) {
+        acc = java.util.Arrays.copyOf(acc, d * (d + 1) / 2)
+        spill = java.util.Arrays.copyOf(spill, d * (d + 1) / 2)
+        dimAcc = java.util.Arrays.copyOf(dimAcc, d)
+        dimSpill = java.util.Arrays.copyOf(dimSpill, d)
+        lenCnt = java.util.Arrays.copyOf(lenCnt, d + 1)
+        dMax = d
+      }
+      @inline def flushPair(k: Int): Unit = {
+        val b = if (spill(k) == null) java.math.BigInteger.ZERO else spill(k)
+        spill(k) = b.add(java.math.BigInteger.valueOf(acc(k))); acc(k) = 0L
+      }
+      @inline def flushDim(j: Int): Unit = {
+        val b = if (dimSpill(j) == null) java.math.BigInteger.ZERO
+                else dimSpill(j)
+        dimSpill(j) = b.add(java.math.BigInteger.valueOf(dimAcc(j)))
+        dimAcc(j) = 0L
+      }
+      val sqrtMax = 3037000499L // floor(sqrt(Long.MaxValue))
+      while (it.hasNext) {
+        val row = it.next()
+        if (row != null && row.length > 0) {
+          val len = row.length
+          grow(len)
+          lenCnt(len) += 1
+          // q·q can only overflow when an element exceeds √Long.Max —
+          // |x| > ~3e3 at micro-quantization; route such rows through
+          // exact BigInteger arithmetic instead of the fast loop.
+          var safe = true
+          var t = 0
+          while (t < len) {
+            val a = if (row(t) < 0) -row(t) else row(t)
+            if (a > sqrtMax) safe = false
+            t += 1
+          }
+          var j = 0
+          while (j < len) {
+            val qj = row(j)
+            val base = j * (j + 1) / 2
+            if (safe) {
+              var i = 0
+              while (i <= j) {
+                val p = row(i) * qj
+                val k = base + i
+                val s = acc(k) + p
+                // signed-overflow test: overflow iff operands share sign
+                // and the sum's sign differs
+                if (((acc(k) ^ s) & (p ^ s)) < 0) { flushPair(k); acc(k) = p }
+                else acc(k) = s
+                i += 1
+              }
+            } else {
+              var i = 0
+              while (i <= j) {
+                val k = base + i
+                flushPair(k)
+                spill(k) = spill(k).add(
+                  java.math.BigInteger.valueOf(row(i))
+                    .multiply(java.math.BigInteger.valueOf(qj)))
+                i += 1
+              }
+            }
+            val sd = dimAcc(j) + qj
+            if (((dimAcc(j) ^ sd) & (qj ^ sd)) < 0) { flushDim(j); dimAcc(j) = qj }
+            else dimAcc(j) = sd
+            j += 1
+          }
+        }
+      }
+      if (dMax == 0) Iterator.empty
+      else {
+        // cntGE(j) = rows long enough to contain 0-based dim j — the
+        // exact per-pair n for ragged inputs (a pair (i,j), i ≤ j, is
+        // present in a row iff the row has dim j).
+        val cntGE = new Array[Long](dMax)
+        var g = dMax - 1
+        var run = 0L
+        while (g >= 0) { run += lenCnt(g + 1); cntGE(g) = run; g -= 1 }
+        def big(l: Long, b: java.math.BigInteger): java.math.BigDecimal =
+          new java.math.BigDecimal(
+            (if (b == null) java.math.BigInteger.ZERO else b)
+              .add(java.math.BigInteger.valueOf(l)))
+        val out = Iterator.range(0, dMax).flatMap { j =>
+          Iterator.range(0, j + 1).map { i =>
+            org.apache.spark.sql.Row(
+              (i + 1).toLong, (j + 1).toLong,
+              big(acc(j * (j + 1) / 2 + i), spill(j * (j + 1) / 2 + i)),
+              cntGE(j))
+          }
+        } ++ Iterator.range(0, dMax).map { dd =>
+          org.apache.spark.sql.Row(
+            (dd + 1).toLong, 0L, big(dimAcc(dd), dimSpill(dd)), cntGE(dd))
+        }
+        out
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("p", dec, nullable = true),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val partials = spark.createDataFrame(partialRows, schema)
+    val reduced = partials.groupBy("i", "j")
+      .agg(sum("p").as("sxy"), sum("n").as("n"))
+    val pairSums = reduced.filter(col("j") > 0)
+      .select(col("i"), col("j"), col("sxy"), col("n"))
+    val dimSums = reduced.filter(col("j") === 0)
+      .select(col("i").as("d"), col("sxy").as("s"))
     pairSums
       .join(broadcast(dimSums.select(col("d").as("i"), col("s").as("si"))),
         "i")

@@ -517,23 +517,38 @@ object Events {
         expr("unix_micros(ts)").as("us"))
       .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
       .where(col("gap_us").isNotNull)
-    val stats = gaps.groupBy("event_type").agg(
-      count(lit(1)).as("n_gaps"),
-      min(col("gap_us")).as("min_gap_us"),
-      max(col("gap_us")).as("max_gap_us"),
-      sum(col("gap_us")).as("sum_gap_us"))
-    // the doubled median v[(n−1)÷2] + v[n÷2]: an odd-n type requests the
-    // same rank twice and selectRanks emits it twice, so the sum is
-    // already doubled.
-    val med = graft.ops.OrderStats.selectRanks[Long](spark,
-        gaps.select(col("event_type"), col("gap_us"))
-          .as[(String, Long)].rdd,
-        n => Seq((n - 1) / 2, n / 2))
-      .groupBy(col("key").as("event_type"))
-      .agg(sum(col("value")).as("p50_x2_gap_us"))
-    stats.join(med, "event_type")
-      .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
-        col("p50_x2_gap_us"), col("max_gap_us"), col("sum_gap_us"))
+    // The lag window (scan + per-user shuffle) feeds THREE consumers —
+    // the range-partitioner sample, the selection sort, and the scalar
+    // stats. Persist its projection once so the window runs once, and
+    // reduce the scalars from the SAME persisted partitions; both
+    // consumers are eager (selectRanks checkpoints; the stat reduction
+    // collects O(#types) rows), so the cache is dropped before return
+    // and no corpus-sized state outlives the call.
+    val gapsRdd = gaps.select(col("event_type"), col("gap_us"))
+      .as[(String, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the doubled median v[(n−1)÷2] + v[n÷2]: an odd-n type requests
+      // the same rank twice and selectRanks emits it twice, so the sum
+      // is already doubled.
+      val med = graft.ops.OrderStats.selectRanks[Long](spark, gapsRdd,
+          n => Seq((n - 1) / 2, n / 2))
+        .groupBy(col("key").as("event_type"))
+        .agg(sum(col("value")).as("p50_x2_gap_us"))
+      val stats = gapsRdd
+        .mapValues(g => (1L, g, g, g))
+        .reduceByKey((a: (Long, Long, Long, Long),
+                      b: (Long, Long, Long, Long)) =>
+          (a._1 + b._1, math.min(a._2, b._2), math.max(a._3, b._3),
+            a._4 + b._4))
+        .collect().toSeq
+        .map { case (t, (n, mn, mx, sm)) => (t, n, mn, mx, sm) }
+        .toDF("event_type", "n_gaps", "min_gap_us", "max_gap_us",
+          "sum_gap_us")
+      stats.join(med, "event_type")
+        .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
+          col("p50_x2_gap_us"), col("max_gap_us"), col("sum_gap_us"))
+    } finally gapsRdd.unpersist(blocking = false)
   }
 
   def topUsers(events: DataFrame, k: Int = 3): DataFrame =
@@ -593,11 +608,15 @@ object Events {
       .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
     // explode, not union: a self-union would re-run the sessionize
     // window once per branch (Catalyst doesn't share the subplan)
+    // persist the deltas: the range exchange SAMPLES its child before
+    // the real shuffle, which would otherwise run the sessionize window
+    // pipeline twice end-to-end
     val deltas = intervals
       .select(explode(array(
         struct(col("s_us").as("us"), lit(1L).as("delta")),
         struct(col("e_us").as("us"), lit(-1L).as("delta")))).as("d"))
       .select(col("d.us"), col("d.delta"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sorted = deltas
       .select(col("us"), col("delta"), (-col("delta")).as("negd"))
       .as[(Long, Long, Long)]
@@ -623,6 +642,9 @@ object Events {
         .agg(max(col("running")).as("peak_sessions"),
           sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
         .localCheckpoint(eager = true)
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      deltas.unpersist(blocking = false)
+    }
   }
 }

@@ -145,4 +145,32 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(sxy - m.map(v => v(i) * v(j)).sum) < 1e-9)
     }
   }
+
+  test("covarianceMoments: ragged rows and overflow-spill stay exact") {
+    val s = spark; import s.implicits._
+    // 4e3-magnitude elements quantize to ~4e9 > √Long.Max, forcing the
+    // kernel's BigInteger product path; the 2-dim row makes dim 3's n
+    // smaller than dim 1's (ragged-count semantics).
+    val vecs = Seq(
+      (1L, Array(4000.0f, -4000.0f, 4000.0f)),
+      (2L, Array(1.0f, 2.0f)),
+      (3L, Array(-0.5f, 0.25f, 2.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.covarianceMoments(df.select("embedding"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.size === 6)
+    val m = vecs.map(_._2.map(x => math.round(x.toDouble * 1e6) / 1e6))
+    def col(i: Int) = m.filter(_.length > i).map(_(i))
+    for (i <- 0 until 3; j <- i until 3) {
+      val (n, sx, sy, sxy) = out((i + 1L, j + 1L))
+      val rows = m.filter(_.length > j)
+      assert(n === rows.size.toLong, s"n($i,$j)")
+      assert(math.abs(sx - col(i).sum) < 1e-6, s"sx($i,$j)")
+      assert(math.abs(sy - col(j).sum) < 1e-6, s"sy($i,$j)")
+      assert(math.abs(sxy - rows.map(v => v(i) * v(j)).sum) < 1e-4,
+        s"sxy($i,$j)")
+    }
+  }
 }
