@@ -612,6 +612,16 @@ object SparkEntry {
     "mix_split" -> ((s, dir) =>
       ops.Mix.assignSplits(docsMeta(s, dir), col("lang"), 9000L, 9500L)),
 
+    // Train→eval contamination audit: eval docs sharing a normalized
+    // content digest with any train doc (distinct-ed build side, one
+    // digest-keyed probe join). Joins the cached text + meta
+    // projections back together (at real scale: one pruned scan).
+    "mix_leakage" -> ((s, dir) =>
+      ops.Mix.splitLeakage(
+        docs(s, dir).join(docsMeta(s, dir).select("doc_id", "lang"),
+          "doc_id"),
+        col("lang"), 9000L, 9500L)),
+
     // Relational warehouse shapes over the TPC-H-ish tables: exact
     // decimal pricing rollup with a sargable scan filter.
     "rel_pricing" -> ((s, dir) =>
@@ -1568,6 +1578,29 @@ object SparkEntry {
         |                          WHEN 'fr' THEN 2 ELSE 4 END) AS BIGINT)
         |         AS interleave_key
         |FROM r""".stripMargin,
+
+    // Same bucket stream as mix_split + dd_norm's digest; the leakage
+    // count is a distinct-ed digest semi-probe.
+    "mix_leakage" ->
+      """WITH a AS (
+        |  SELECT doc_id, lang AS stratum,
+        |    CASE WHEN bucket < 9000 THEN 'train'
+        |         WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
+        |  FROM (SELECT doc_id, lang, text,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |          CAST(doc_id AS VARCHAR) || ':' || lang || '#split', ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |      (h, cp) -> (h * 31 + cp) % 1000000007) % 10000 AS bucket
+        |    FROM documents)),
+        |t AS (SELECT DISTINCT h FROM a WHERE split = 'train')
+        |SELECT a.split, a.stratum, count(*) AS n_docs,
+        |       sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS n_leaked
+        |FROM a LEFT JOIN t ON a.h = t.h
+        |WHERE a.split <> 'train'
+        |GROUP BY a.split, a.stratum""".stripMargin,
 
     "mix_split" ->
       """SELECT doc_id, stratum, bucket,

@@ -72,6 +72,40 @@ object Mix {
         .otherwise("test").as("split"))
   }
 
+  /** Train→eval contamination audit over [[assignSplits]]: for every
+    * (split, stratum) outside train, how many documents share a
+    * normalized content digest ([[Dedup.normalizedText]] → md5, the
+    * fuzzy-exact dedup rung) with ANY train document — the leakage an
+    * eval split must report before its numbers mean anything.
+    *
+    * Scale shape: the digest and the split are both narrow scan-time
+    * expressions; the train digest set is `distinct`-ed BEFORE the
+    * probe join (a hot boilerplate digest in train must not multiply
+    * eval rows), and the probe is one digest-keyed equi-join feeding a
+    * ~|splits×strata|-group aggregate. Two scans of the corpus (build
+    * side, probe side) — the standard semi-join audit shape.
+    *
+    * Output: (split, stratum, n_docs, n_leaked). */
+  def splitLeakage(docs: DataFrame, stratum: Column,
+                   trainCut: Long, valCut: Long): DataFrame = {
+    val bucket = pmod(graft.functions.StringPolyHash.fingerprint(
+      concat(col("doc_id").cast("string"), lit(":"), stratum,
+        lit("#split"))), lit(Buckets))
+    val assigned = docs.select(col("doc_id"), stratum.as("stratum"),
+      when(bucket < trainCut, "train")
+        .when(bucket < valCut, "val")
+        .otherwise("test").as("split"),
+      md5(Dedup.normalizedText(col("text"))).as("h"))
+    val trainH = assigned.filter(col("split") === "train")
+      .select("h").distinct()
+    assigned.filter(col("split") =!= "train")
+      .join(trainH.withColumn("in_train", lit(1L)), Seq("h"), "left")
+      .groupBy("split", "stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("in_train").isNotNull, 1L).otherwise(0L))
+          .as("n_leaked"))
+  }
+
   /** EXACT-size stratified sample: the k documents per stratum with the
     * smallest (bucket, doc_id) hash rank — the fixed-quota counterpart
     * of [[stratifiedSample]]'s rate-based keep. Deterministic for the

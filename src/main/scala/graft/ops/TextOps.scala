@@ -211,13 +211,22 @@ object TextOps {
       .join(strata, "doc_id")
       .select(col("stratum"),
         round(col("quality_score") * lit(1000000d), 0).cast("long").as("qm"))
-    val stats = q.groupBy("stratum").agg(count(lit(1)).as("n_docs"))
-    val sel = OrderStats.selectRanks[Long](spark,
-      q.as[(String, Long)].rdd,
-      n => (1 to 3).flatMap { k =>
-        val h = k * (n - 1)
-        Seq(h / 4, h / 4 + (if (h % 4 == 0) 0L else 1L))
-      }.distinct)
+    // the regex-heavy scoring pipeline would otherwise run three times
+    // (stratum counts, the range-partitioner sample, the selection
+    // sort) — persist its projection once; both consumers are eager, so
+    // the cache drops before return
+    val qRdd = q.as[(String, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (sel, stats) = try {
+      val s0 = OrderStats.selectRanks[Long](spark, qRdd,
+        n => (1 to 3).flatMap { k =>
+          val h = k * (n - 1)
+          Seq(h / 4, h / 4 + (if (h % 4 == 0) 0L else 1L))
+        }.distinct)
+      val c0 = qRdd.mapValues(_ => 1L).reduceByKey(_ + _)
+        .collect().toSeq.toDF("stratum", "n_docs")
+      (s0, c0)
+    } finally qRdd.unpersist(blocking = false)
     def lo(k: Int) = expr(s"($k * (n_docs - 1)) div 4")
     def r(k: Int) = expr(s"($k * (n_docs - 1)) % 4")
     def hi(k: Int) =

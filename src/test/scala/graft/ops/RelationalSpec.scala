@@ -2,6 +2,8 @@ package graft.ops
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Semantics of the relational warehouse family on hand-built inputs —
@@ -122,6 +124,36 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(3))).toMap
     val rank = Map("train" -> 0, "val" -> 1, "test" -> 2)
     assert(a.forall { case (id, _, _, sp) => rank(wide(id)) <= rank(sp) })
+  }
+
+  test("splitLeakage: counts eval docs whose digest appears in train") {
+    val s = spark; import s.implicits._
+    // force the split with extreme cuts: bucket < 0 never → everything
+    // test; instead use a tiny corpus and derive the splits to assert
+    // against the op's own assignment (the assignment is already pinned
+    // by the assignSplits spec + oracle).
+    val docs = (1L to 60L)
+      .map(i => (i, if (i % 3 == 0) "DUP TEXT" else s"unique text $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val splits = Mix.assignSplits(
+      docs.select(col("doc_id"), col("lang")), col("lang"), 5000L, 7500L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val out = Mix.splitLeakage(docs, col("lang"), 5000L, 7500L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val dupInTrain = (1L to 60L)
+      .exists(i => i % 3 == 0 && splits(i) == "train")
+    for (sp <- Seq("val", "test")) {
+      val ids = (1L to 60L).filter(i => splits(i) == sp)
+      if (ids.nonEmpty) {
+        val (n, leaked) = out((sp, "en"))
+        assert(n === ids.size.toLong)
+        val expLeaked =
+          if (dupInTrain) ids.count(_ % 3 == 0).toLong else 0L
+        assert(leaked === expLeaked, s"split $sp")
+      } else assert(!out.contains((sp, "en")))
+    }
   }
 
   test("covarianceMoments: matches naive double-loop moments") {
