@@ -273,4 +273,53 @@ class KernelFuzzSpec extends SparkSpec {
       } finally df.unpersist()
     }
   }
+
+  test("covarianceMoments Gram kernel ≡ naive moments (6 seeds)") {
+    val s = spark; import s.implicits._
+    for (seed <- 0L until 6L) {
+      val rnd = new scala.util.Random(seed)
+      // ragged dims, nulls, empties, negative and large-ish magnitudes,
+      // and enough rows to span several of the 32 shuffle partitions
+      val n = 50 + rnd.nextInt(100)
+      val dmax = 1 + rnd.nextInt(7)
+      val rows: Seq[Array[Float]] = Seq.tabulate(n) { i =>
+        if (i % 17 == 16) null
+        else {
+          val d = 1 + rnd.nextInt(dmax)
+          Array.fill(d)(((rnd.nextGaussian() * 40) *
+            (if (rnd.nextInt(10) == 0) 100 else 1)).toFloat)
+        }
+      }
+      val df = rows.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+        .repartition(11)
+      val out = Similarity.covarianceMoments(df.select("embedding"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+      // naive oracle over the SAME micro-unit quantization
+      // mirror Spark's Round-on-double exactly: the multiply happens in
+      // double, then BigDecimal.valueOf (canonical string repr) rounds
+      val qs = rows.filter(v => v != null && v.nonEmpty)
+        .map(_.map(x => BigDecimal(
+          java.math.BigDecimal.valueOf(x.toDouble * 1000000.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP))))
+      val dTop = if (qs.isEmpty) 0 else qs.map(_.length).max
+      assert(out.size === dTop * (dTop + 1) / 2, s"seed=$seed size")
+      for (i <- 0 until dTop; j <- i until dTop) {
+        val present = qs.filter(_.length > j)
+        val (nn, sx, sy, sxy) = out((i + 1L, j + 1L))
+        assert(nn === present.size.toLong, s"seed=$seed n($i,$j)")
+        val expSx = qs.filter(_.length > i).map(_(i)).sum / BigDecimal(1e6)
+        val expSy = qs.filter(_.length > j).map(_(j)).sum / BigDecimal(1e6)
+        val expSxy = present.map(v => v(i) * v(j)).sum / BigDecimal(1e12)
+        assert(math.abs(sx - expSx.toDouble) <= math.ulp(expSx.toDouble),
+          s"seed=$seed sx($i,$j)")
+        assert(math.abs(sy - expSy.toDouble) <= math.ulp(expSy.toDouble),
+          s"seed=$seed sy($i,$j)")
+        assert(math.abs(sxy - expSxy.toDouble) <=
+          4 * math.ulp(expSxy.toDouble), s"seed=$seed sxy($i,$j)")
+      }
+    }
+  }
 }
