@@ -360,6 +360,10 @@ object SparkEntry {
     // two-phase distributed prefix sum (no global-ORDER-BY window).
     "ev_peak" -> ((s, dir) => streaming.Events.peakConcurrency(events(s, dir))),
 
+    // Semi-structured sidecar extraction: codegen JSONPath parse of the
+    // `props` column → per-(event_type, decade) profile.
+    "ev_props" -> ((s, dir) => streaming.Events.propsProfile(events(s, dir))),
+
     // ---- STREAMING twins, driver-verified: each st_* replays the
     // scale-factor table through a MemoryStream in micro-batches (state
     // genuinely crosses batch boundaries) and canonicalizes the sink
@@ -766,7 +770,8 @@ object SparkEntry {
           raw.withColumn("ts", col("ts").cast("timestamp"))
         case _ => raw
       }
-      withTs.select("event_id", "ts", "user_id", "event_type", "value")
+      withTs.select("event_id", "ts", "user_id", "event_type", "value",
+        "props")
     }
 
   /** Deterministic pseudo run-stats: 64 smallest orders; bfs_time from
@@ -1094,6 +1099,17 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_starts
         |FROM r GROUP BY 1""".stripMargin,
+
+    "ev_props" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k,
+        |         value
+        |  FROM events)
+        |SELECT event_type, CAST(floor(k / 10.0) AS BIGINT) AS k_decade,
+        |       count(*) AS n_events, min(k) AS min_k, max(k) AS max_k,
+        |       round(sum(value), 6) AS sum_value
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     "ev_anomaly" ->
       """WITH h AS (

@@ -555,6 +555,29 @@ object Events {
     LocalEvents.topUsers(events, k).getOrElse(
       rankTopUsers(userValueSums(events), k))
 
+  /** Semi-structured property profile: parse the JSON `props` sidecar
+    * with the codegen JSONPath expression (`get_json_object` — one
+    * shared parse per row, no interpreted UDF), project the numeric
+    * field `$.k`, and profile it per (event_type, decade bucket).
+    * This is the metadata-slicing primitive a training-data pipeline
+    * runs over per-record sidecar attributes without maintaining a
+    * separate exploded metadata table.
+    *
+    * Scale shape: one narrow codegen map (JSON parse + floor-div
+    * bucket) feeding one partially-aggregated groupBy — the exchange
+    * carries O(event_types × buckets) partial rows regardless of input
+    * size. The bucket uses exact integral floor division
+    * ((k − pmod(k,10)) div 10), never FP, so the grouping key cannot
+    * drift between engines. Rows whose props lack a numeric `k` land
+    * in a NULL bucket rather than being dropped. */
+  def propsProfile(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"), expr("(k - pmod(k, 10)) div 10").as("k_decade"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        round(sum(col("value")), 6).as("sum_value"))
+
   /** The stateful half of top-k: running per-(event_type, user) value
     * sums. Streaming-safe — under readStream this is an update-mode
     * aggregation whose state Spark checkpoints. */

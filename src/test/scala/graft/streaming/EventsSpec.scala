@@ -297,4 +297,21 @@ class EventsSpec extends SparkSpec {
       assert(ranked.last === Seq(("a", 2L, 1L, 7.0), ("a", 1L, 2L, 5.0)))
     } finally q.stop()
   }
+
+  test("propsProfile: JSON sidecar extraction, decade buckets, null bucket") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, ts(0), 1L, "a", 1.5, """{"k": 7}"""),
+      (1L, ts(1), 2L, "a", 2.5, """{"k": 13}"""),
+      (2L, ts(2), 3L, "a", 1.0, """{"k": 19}"""),
+      (3L, ts(3), 4L, "b", 4.0, """{"k": -3}"""),   // floor → decade -1
+      (4L, ts(4), 5L, "b", 0.5, "not json"))        // null bucket kept
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.propsProfile(d)
+      .orderBy("event_type", "k_decade").collect()
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) null else x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq(("a", 0L, 1L), ("a", 1L, 2L),
+      ("b", null, 1L), ("b", -1L, 1L)))   // Spark orders NULLS FIRST asc
+  }
 }
