@@ -770,7 +770,15 @@ object SparkEntry {
           raw.withColumn("ts", col("ts").cast("timestamp"))
         case _ => raw
       }
-      withTs.select("event_id", "ts", "user_id", "event_type", "value",
+      // `props` is optional: the driver regenerates the testdata between
+      // rounds and has changed the events schema before (ts nanos→micros);
+      // a missing sidecar column must degrade only ev_props (NULL parse →
+      // NULL bucket), never the shared reader every ev_* query goes
+      // through.
+      val withProps =
+        if (withTs.columns.contains("props")) withTs
+        else withTs.withColumn("props", lit(null).cast("string"))
+      withProps.select("event_id", "ts", "user_id", "event_type", "value",
         "props")
     }
 
