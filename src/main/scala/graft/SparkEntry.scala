@@ -364,6 +364,10 @@ object SparkEntry {
     // `props` column → per-(event_type, decade) profile.
     "ev_props" -> ((s, dir) => streaming.Events.propsProfile(events(s, dir))),
 
+    // DAU + trailing-7-day WAU via explode-to-bucket rolling distinct
+    // (no distinct-over-window, no 7-way self-join).
+    "ev_active" -> ((s, dir) => streaming.Events.activeUsers(events(s, dir))),
+
     // ---- STREAMING twins, driver-verified: each st_* replays the
     // scale-factor table through a MemoryStream in micro-batches (state
     // genuinely crosses batch boundaries) and canonicalizes the sink
@@ -657,6 +661,19 @@ object SparkEntry {
       ops.Relational.orderPriorityCounts(
         s.read.parquet(s"$dir/orders.parquet"),
         s.read.parquet(s"$dir/lineitem.parquet"), 0.05)),
+
+    // Customer order-count distribution (TPC-H Q13 shape): orders
+    // pre-aggregated to the join key, zero-order customers kept.
+    "rel_custdist" -> ((s, dir) =>
+      ops.Relational.customerDistribution(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))),
+
+    // Power-of-two degree-distribution histogram (integer bit-length
+    // buckets over the q3 degree table).
+    "gr_degdist" -> ((s, dir) =>
+      etl.EdgeOps.degreeHistogram(
+        withCsr(s, dir)(_.degreesDf(s))(etl.EdgeOps.degrees(clean(s, dir))))),
 
     // Multimodal: decode metadata via batched mapPartitions — image-kind
     // payloads are real BMP files parsed by the actual javax.imageio
@@ -1701,6 +1718,32 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.05)
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "rel_custdist" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count""".stripMargin,
+
+    "gr_degdist" -> (GraphCte +
+      """, deg AS (SELECT src, count(*) AS degree FROM clean GROUP BY src)
+        |SELECT CAST(length(to_base(degree, 2)) - 1 AS BIGINT) AS bucket,
+        |       count(*) AS n_vertices, CAST(sum(degree) AS BIGINT) AS sum_degree,
+        |       min(degree) AS min_degree, max(degree) AS max_degree
+        |FROM deg GROUP BY bucket""".stripMargin),
+
+    "ev_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |wau AS (
+        |  SELECT b.day, count(*) AS wau7 FROM (
+        |    SELECT DISTINCT u.user_id, u.day + o.o AS day
+        |    FROM ud u CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS o) o) b
+        |  GROUP BY b.day)
+        |SELECT d.day, d.dau, w.wau7 FROM dau d JOIN wau w ON d.day = w.day""".stripMargin,
 
     "tx_tfidf" -> (TokCte.stripSuffix("\n") +
       """,

@@ -41,6 +41,24 @@ object EdgeOps {
   def degrees(clean: DataFrame): DataFrame =
     clean.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
 
+  /** Power-of-two degree-distribution histogram over [[degrees]] —
+    * the first chart anyone draws of a scale-free graph (the
+    * Kronecker generator's whole point is its heavy tail). Bucket =
+    * INTEGER bit length of the degree (`conv` to base 2, never
+    * `log2` — FP rounding at bucket edges would misbucket vs an exact
+    * oracle). One partial-agg'd groupBy over the already-aggregated
+    * degree table; the exchange carries O(log maxdeg) buckets per
+    * partition. */
+  def degreeHistogram(degrees: DataFrame): DataFrame =
+    degrees
+      .select((length(conv(col("degree").cast("string"), 10, 2)) - 1)
+        .cast("long").as("bucket"), col("degree"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_vertices"),
+        sum(col("degree")).as("sum_degree"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+
   /**
    * Vertex→dense-id reorder map (reference O2, graph_constructor.hpp:288-352;
    * modes per mpi/parameters.h:38-41):

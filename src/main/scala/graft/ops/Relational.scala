@@ -145,4 +145,22 @@ object Relational {
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
+
+  /** Customer order-count distribution (reference shape: TPC-H Q13):
+    * how many customers placed exactly `c_count` orders — INCLUDING
+    * the zero-order customers a naive inner join silently drops.
+    *
+    * Scale shape: orders is pre-aggregated to (custkey, n) FIRST, so
+    * the customer⋈orders shuffle carries one aggregate row per
+    * ordering customer, never the raw fact table; the left join keeps
+    * no-order customers as n=0; the final distribution groupBy's
+    * exchange is O(distinct counts). Both joins/aggs are plain
+    * hash-partitioned equi-shapes that hold at any scale factor. */
+  def customerDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(
+        orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
 }

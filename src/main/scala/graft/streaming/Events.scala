@@ -555,6 +555,33 @@ object Events {
     LocalEvents.topUsers(events, k).getOrElse(
       rankTopUsers(userValueSums(events), k))
 
+  /** Daily + rolling-weekly active users — the engagement series every
+    * event warehouse serves. For each day present in the data: `dau` =
+    * distinct users that day, `wau7` = distinct users over the
+    * trailing 7 days [day−6, day].
+    *
+    * The rolling distinct is NOT a window function (distinct doesn't
+    * compose over frames) and NOT a 7× self-join: each distinct
+    * (user, day) pair is exploded to the ≤7 trailing buckets it
+    * feeds, re-distinct-ed, and counted — two hash-partitioned
+    * distincts over the user-day set (≪ the event table), each a
+    * single shuffle with partial aggregation. Day arithmetic is exact
+    * integral µs division, matching the oracle's `epoch_us // 86400e6`. */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(6))).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau7"))
+    // inner join: phantom buckets past the last observed day drop out
+    dau.join(wau, Seq("day"))
+  }
+
   /** Semi-structured property profile: parse the JSON `props` sidecar
     * with the codegen JSONPath expression (`get_json_object` — one
     * shared parse per row, no interpreted UDF), project the numeric

@@ -36,6 +36,19 @@ class EdgeOpsSpec extends SparkSpec {
     assert(counts.getAs[Long]("undirected_edge_count") === 4L)
   }
 
+  test("degreeHistogram: integer bit-length buckets, no FP edges") {
+    val implicits = spark.implicits
+    import implicits._
+    // degrees 1,2,3,4,7,8 → buckets 0,1,1,2,2,3 (bit_length − 1)
+    val deg = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 7L),
+      (6L, 8L)).toDF("vertex", "degree")
+    val out = EdgeOps.degreeHistogram(deg).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(out.toSeq === Seq((0L, 1L, 1L, 1L, 1L), (1L, 2L, 5L, 2L, 3L),
+      (2L, 2L, 11L, 4L, 7L), (3L, 1L, 8L, 8L, 8L)))
+  }
+
   test("reorderMap modes produce dense ids; mode 2 is degree-descending") {
     val clean = EdgeOps.cleanEdges(tiny)
     for (mode <- Seq(0, 1, 2)) {

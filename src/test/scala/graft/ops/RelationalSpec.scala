@@ -105,6 +105,17 @@ class RelationalSpec extends SparkSpec {
     assert(out === Seq(("1-URGENT", 1L), ("5-LOW", 1L)))
   }
 
+  test("customerDistribution: zero-order customers survive the left join") {
+    val s = spark; import s.implicits._
+    // customer 10 has orders 1+3 (count 2), 20 has order 2 (count 1),
+    // 30 has none (count 0) — the row an inner join would lose
+    val cust3 = Seq((10L, 100, "BUILDING"), (20L, 200, "AUTOMOBILE"),
+      (30L, 300, "MACHINERY")).toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val out = Relational.customerDistribution(cust3, orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out === Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
   test("assignSplits: deterministic, stratified, monotone cuts") {
     val s = spark; import s.implicits._
     val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "zh"))

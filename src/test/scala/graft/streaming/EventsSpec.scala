@@ -298,6 +298,19 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("activeUsers: trailing-7-day distinct, multi-day users count once") {
+    val s = spark; import s.implicits._
+    def tsd(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // user 1 active days 1 and 2 (counts ONCE in day 2's wau7);
+    // user 2 active day 2; user 3 active day 9 (day 2 aged out of [3,9])
+    val d = evDf(
+      Ev(0, tsd(1), 1, "a", 0.0), Ev(1, tsd(2), 1, "a", 0.0),
+      Ev(2, tsd(2), 2, "a", 0.0), Ev(3, tsd(9), 3, "a", 0.0))
+    val r = Events.activeUsers(d).orderBy("day").collect()
+      .map(x => (x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq((1L, 1L), (2L, 2L), (1L, 1L)))
+  }
+
   test("propsProfile: JSON sidecar extraction, decade buckets, null bucket") {
     val s = spark; import s.implicits._
     val d = Seq(
