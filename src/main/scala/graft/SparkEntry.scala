@@ -373,6 +373,11 @@ object SparkEntry {
     // genuinely crosses batch boundaries) and canonicalizes the sink
     // into a batch-comparable table with a full DuckDB oracle. ----
 
+    // Streaming windowed aggregation (watermark + update mode): final
+    // per-(window, type) state ≡ batch ev_window.
+    "st_window" -> ((s, dir) =>
+      streaming.StreamVerify.windowFinal(s, events(s, dir))),
+
     // Streaming sessionization (flatMapGroupsWithState): final per-user
     // session state after the last micro-batch.
     "st_sessions" -> ((s, dir) =>
@@ -1211,6 +1216,11 @@ object SparkEntry {
 
     // Streaming sessionization: final (= max session_idx) session per
     // user, from the same session CTE as ev_sessions.
+    "st_window" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "st_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

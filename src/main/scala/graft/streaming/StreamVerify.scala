@@ -115,6 +115,24 @@ object StreamVerify {
     * the update-mode sink holds one row per (user, batch); per user the
     * (session_idx, n_events, last_us) triple is lexicographically
     * monotone across batches, so max(struct) is the last update. */
+  /** Final per-window state from [[Events.windowedCountsStream]] — the
+    * canonical watermarked streaming aggregation. Update-mode
+    * emissions are strictly monotone in n_events per (window, type)
+    * key, so max(struct) per key is the completed window ≡ batch
+    * [[Events.windowedCounts]] (the feed is in ts order, so nothing
+    * is watermark-late). */
+  def windowFinal(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvRow]
+    run(spark, mem, eventBatches(events, 4), "update")(
+        df => Events.windowedCountsStream(df, "1 hour"))
+      .groupBy("w_start", "event_type")
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("s"))
+      .select(col("w_start"), col("event_type"),
+        col("s.n_events").as("n_events"), col("s.sum_value").as("sum_value"))
+  }
+
   def sessionsFinal(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
