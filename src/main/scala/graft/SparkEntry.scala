@@ -680,6 +680,12 @@ object SparkEntry {
       etl.EdgeOps.degreeHistogram(
         withCsr(s, dir)(_.degreesDf(s))(etl.EdgeOps.degrees(clean(s, dir))))),
 
+    // Degree-assortativity moments: exact integer edge-endpoint degree
+    // sums (Pearson numerator/denominator pieces, division left to the
+    // reader).
+    "gr_assort" -> ((s, dir) =>
+      etl.EdgeOps.assortativityMoments(clean(s, dir))),
+
     // Multimodal: decode metadata via batched mapPartitions — image-kind
     // payloads are real BMP files parsed by the actual javax.imageio
     // codec; audio/video use the stub header parse.
@@ -1742,6 +1748,17 @@ object SparkEntry {
         |       count(*) AS n_vertices, CAST(sum(degree) AS BIGINT) AS sum_degree,
         |       min(degree) AS min_degree, max(degree) AS max_degree
         |FROM deg GROUP BY bucket""".stripMargin),
+
+    "gr_assort" -> (GraphCte +
+      """, deg AS (SELECT src AS vertex, count(*) AS degree
+        |           FROM clean GROUP BY src)
+        |SELECT count(*) AS n_edges,
+        |       CAST(sum(ds.degree) AS BIGINT) AS sum_d,
+        |       CAST(sum(ds.degree * ds.degree) AS BIGINT) AS sum_d2,
+        |       CAST(sum(ds.degree * dd.degree) AS BIGINT) AS sum_dxdy
+        |FROM clean e
+        |JOIN deg ds ON e.src = ds.vertex
+        |JOIN deg dd ON e.dst = dd.vertex""".stripMargin),
 
     "ev_active" ->
       """WITH ud AS (

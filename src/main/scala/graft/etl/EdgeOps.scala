@@ -59,6 +59,32 @@ object EdgeOps {
         min(col("degree")).as("min_degree"),
         max(col("degree")).as("max_degree"))
 
+  /** Degree-assortativity moments: over every directed edge entry of
+    * the symmetrized graph, the exact integer sums
+    * (n, Σdeg(src), Σdeg(src)², Σdeg(src)·deg(dst)) from which the
+    * Pearson degree-correlation coefficient derives (symmetry makes
+    * the src and dst marginals identical, so one side's moments
+    * suffice). Long sums are associative — reducer order cannot
+    * perturb a bit, and the oracle matches exactly; any FP division
+    * happens AFTER aggregation, outside the compared columns.
+    *
+    * Scale shape: the degree table (one row per vertex, ≪ edges) is
+    * joined to the edge list twice — plain shuffle-hash equi-joins
+    * that AQE may broadcast when degrees fit — then a single global
+    * agg whose exchange carries one partial row per partition. */
+  def assortativityMoments(clean: DataFrame): DataFrame = {
+    val deg = degrees(clean)
+    clean
+      .join(deg.select(col("vertex").as("src"), col("degree").as("ds")),
+        Seq("src"))
+      .join(deg.select(col("vertex").as("dst"), col("degree").as("dd")),
+        Seq("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("ds")).as("sum_d"),
+        sum(col("ds") * col("ds")).as("sum_d2"),
+        sum(col("ds") * col("dd")).as("sum_dxdy"))
+  }
+
   /**
    * Vertex→dense-id reorder map (reference O2, graph_constructor.hpp:288-352;
    * modes per mpi/parameters.h:38-41):

@@ -49,6 +49,19 @@ class EdgeOpsSpec extends SparkSpec {
       (2L, 2L, 11L, 4L, 7L), (3L, 1L, 8L, 8L, 8L)))
   }
 
+  test("assortativityMoments: exact endpoint-degree sums on the path P3") {
+    val implicits = spark.implicits
+    import implicits._
+    // path 1-2-3 symmetrized: degrees 1,2,1; directed entries
+    // (1,2),(2,1),(2,3),(3,2) → ds: 1,2,2,1; ds*dd: 2,2,2,2
+    val p3 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = EdgeOps.assortativityMoments(EdgeOps.cleanEdges(p3)).head()
+    assert(out.getLong(0) === 4L)   // n_edges
+    assert(out.getLong(1) === 6L)   // sum_d
+    assert(out.getLong(2) === 10L)  // sum_d2
+    assert(out.getLong(3) === 8L)   // sum_dxdy
+  }
+
   test("reorderMap modes produce dense ids; mode 2 is degree-descending") {
     val clean = EdgeOps.cleanEdges(tiny)
     for (mode <- Seq(0, 1, 2)) {
