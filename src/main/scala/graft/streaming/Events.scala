@@ -567,7 +567,10 @@ object Events {
     * distincts over the user-day set (≪ the event table), each a
     * single shuffle with partial aggregation. Day arithmetic is exact
     * integral µs division, matching the oracle's `epoch_us // 86400e6`. */
-  def activeUsers(events: DataFrame): DataFrame = {
+  def activeUsers(events: DataFrame): DataFrame =
+    LocalEvents.activeUsers(events).getOrElse(activeUsersDistributed(events))
+
+  private[streaming] def activeUsersDistributed(events: DataFrame): DataFrame = {
     val ud = events
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"))
@@ -596,10 +599,16 @@ object Events {
     * size. The bucket uses exact integral floor division
     * ((k − pmod(k,10)) div 10), never FP, so the grouping key cannot
     * drift between engines. Rows whose props lack a numeric `k` land
-    * in a NULL bucket rather than being dropped. */
+    * in a NULL bucket rather than being dropped — `try_cast`, because
+    * under ANSI mode a plain cast would FAIL THE JOB on the first
+    * malformed payload (a non-numeric `$.k` anywhere in 100 TB). */
   def propsProfile(events: DataFrame): DataFrame =
+    LocalEvents.propsProfile(events).getOrElse(propsProfileDistributed(events))
+
+  private[streaming] def propsProfileDistributed(events: DataFrame): DataFrame =
     events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k",
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
       .groupBy(col("event_type"), expr("(k - pmod(k, 10)) div 10").as("k_decade"))
       .agg(count(lit(1)).as("n_events"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"),
@@ -642,7 +651,11 @@ object Events {
     * so the prefix-value multiset — and the hourly max — is
     * order-invariant. Output: (hour_bucket, peak_sessions, n_starts),
     * hour_bucket = us div 3600000000 (integer, no FP bucketing). */
-  def peakConcurrency(events: DataFrame): DataFrame = {
+  def peakConcurrency(events: DataFrame): DataFrame =
+    LocalEvents.peakConcurrency(events).getOrElse(
+      peakConcurrencyDistributed(events))
+
+  private[streaming] def peakConcurrencyDistributed(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

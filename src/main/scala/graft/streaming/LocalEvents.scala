@@ -25,7 +25,8 @@ object LocalEvents {
     graft.functions.Ship.df(spark, cols: _*)
 
   private type Rows =
-    (Array[Long], Array[Long], Array[Long], Array[String], Array[Double])
+    (Array[Long], Array[Long], Array[Long], Array[String], Array[Double],
+     Array[String])
 
   /** Collected rows keyed on the DataFrame INSTANCE (weakly — entries
     * die with the DataFrame): the three batch kernels all consume the
@@ -39,8 +40,9 @@ object LocalEvents {
   private val rowsCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, Rows]())
 
-  /** Collected (event_id, us, user_id, event_type, value) under the
-    * gate; None → take the distributed transform. */
+  /** Collected (event_id, us, user_id, event_type, value, props) under
+    * the gate (props all-null when the column is absent — unit-test DFs
+    * predate the sidecar); None → take the distributed transform. */
   private def localRows(events: DataFrame): Option[Rows] = {
     if (events.isStreaming) return None
     val spark = events.sparkSession
@@ -52,22 +54,27 @@ object LocalEvents {
       return if (cached._1.length <= gate) Some(cached) else None
     if (events.select("event_id").count() > gate) None
     else {
+      val propsCol =
+        if (events.columns.contains("props")) col("props")
+        else lit(null).cast("string").as("props")
       val rows = events.select(col("event_id"), unix_micros(col("ts")),
-        col("user_id"), col("event_type"), col("value")).collect()
+        col("user_id"), col("event_type"), col("value"), propsCol).collect()
       val n = rows.length
       val eid = new Array[Long](n)
       val us = new Array[Long](n)
       val uid = new Array[Long](n)
       val et = new Array[String](n)
       val v = new Array[Double](n)
+      val props = new Array[String](n)
       var i = 0
       while (i < n) {
         val r = rows(i)
         eid(i) = r.getLong(0); us(i) = r.getLong(1); uid(i) = r.getLong(2)
         et(i) = r.getString(3); v(i) = r.getDouble(4)
+        props(i) = if (r.isNullAt(5)) null else r.getString(5)
         i += 1
       }
-      val out = (eid, us, uid, et, v)
+      val out = (eid, us, uid, et, v, props)
       rowsCache.put(events, out)
       Some(out)
     }
@@ -76,7 +83,7 @@ object LocalEvents {
   /** ≡ Events.windowedCounts (batch): tumbling 1-hour counts + rounded
     * value sums per event_type. */
   private[streaming] def windowedCounts(events: DataFrame): Option[DataFrame] =
-    localRows(events).map { case (_, us, _, et, v) =>
+    localRows(events).map { case (_, us, _, et, v, _) =>
       val hourUs = 3600L * 1000 * 1000
       val m = new java.util.LinkedHashMap[(Long, String), (Long, Double)]()
       var i = 0
@@ -108,7 +115,7 @@ object LocalEvents {
   /** ≡ Events.sessionize: per-user gap-based sessions ordered by
     * (ts, event_id). */
   private[streaming] def sessionize(events: DataFrame): Option[DataFrame] =
-    localRows(events).map { case (eid, us, uid, _, v) =>
+    localRows(events).map { case (eid, us, uid, _, v, _) =>
       // group per user, order by (us, event_id)
       val byUser = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
       var i = 0
@@ -165,7 +172,7 @@ object LocalEvents {
     * order carrying the last right-type event. */
   private[streaming] def asofJoin(events: DataFrame, leftType: String,
                                   rightType: String): Option[DataFrame] =
-    localRows(events).map { case (eid, us, uid, et, v) =>
+    localRows(events).map { case (eid, us, uid, et, v, _) =>
       val byUser = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
       var i = 0
       while (i < us.length) {
@@ -216,7 +223,7 @@ object LocalEvents {
   private[streaming] def rangeJoinCounts(events: DataFrame, leftType: String,
                                          rightType: String,
                                          windowUs: Long): Option[DataFrame] =
-    localRows(events).map { case (eid, us, uid, et, v) =>
+    localRows(events).map { case (eid, us, uid, et, v, _) =>
       val rightsByUser = new java.util.HashMap[Long, (Array[Long], Array[Double])]()
       val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
       var i = 0
@@ -277,7 +284,7 @@ object LocalEvents {
     * step's first event at-or-after the previous step's time. */
   private[streaming] def funnel(events: DataFrame,
                                 steps: Seq[String]): Option[DataFrame] =
-    localRows(events).map { case (_, us, uid, et, _) =>
+    localRows(events).map { case (_, us, uid, et, _, _) =>
       val stepIdx = steps.zipWithIndex.toMap
       // per user, per step: sorted event times
       val byUser = new java.util.HashMap[Long, Array[scala.collection.mutable.ArrayBuffer[Long]]]()
@@ -335,7 +342,7 @@ object LocalEvents {
     * — identical to casting a UTC timestamp to DATE for the epoch-
     * positive range. */
   private[streaming] def retention(events: DataFrame): Option[DataFrame] =
-    localRows(events).map { case (_, us, uid, _, _) =>
+    localRows(events).map { case (_, us, uid, _, _, _) =>
       val dayUs = 86400L * 1000 * 1000
       val cohort = new java.util.HashMap[Long, Long]()
       var i = 0
@@ -373,7 +380,7 @@ object LocalEvents {
     }
 
   private[streaming] def topUsers(events: DataFrame, k: Int): Option[DataFrame] =
-    localRows(events).map { case (_, _, uid, et, v) =>
+    localRows(events).map { case (_, _, uid, et, v, _) =>
       val sums = new java.util.LinkedHashMap[(String, Long), Double]()
       var i = 0
       while (i < uid.length) {
@@ -407,5 +414,162 @@ object LocalEvents {
       shipDf(events.sparkSession, "event_type" -> outT.result(),
         "user_id" -> outU.result(), "rank" -> outR.result(),
         "total_value" -> outV.result())
+    }
+
+  private val PropsK = """\{"k": (-?\d{1,18})\}""".r
+
+  /** Strict-shape twin of `get_json_object(props, '$.k')`: handles
+    * exactly the `{"k": <long>}` scalar payload (null → the NULL
+    * bucket). ANY other payload routes the whole input to the
+    * distributed plan — the two paths can then never disagree on
+    * exotic JSON (the `pack`-for-nulls convention). */
+  private[streaming] def propsProfile(events: DataFrame): Option[DataFrame] =
+    localRows(events).flatMap { case (_, _, _, et, v, props) =>
+      val n = et.length
+      val kk = new Array[Long](n)
+      val has = new Array[Boolean](n)
+      var ok = true
+      var i = 0
+      while (ok && i < n) {
+        props(i) match {
+          case null       => // NULL bucket
+          case PropsK(d)  => kk(i) = d.toLong; has(i) = true
+          case _          => ok = false
+        }
+        i += 1
+      }
+      if (!ok) None
+      else {
+        val cnt = new java.util.LinkedHashMap[(String, java.lang.Long),
+          (Long, Long, Long)]()
+        val sums = new java.util.LinkedHashMap[(String, java.lang.Long),
+          Double]()
+        i = 0
+        while (i < n) {
+          val dec: java.lang.Long =
+            if (has(i)) java.lang.Long.valueOf(Math.floorDiv(kk(i), 10L))
+            else null
+          val key = (et(i), dec)
+          val p = cnt.get(key)
+          if (p == null) cnt.put(key, (1L, kk(i), kk(i)))
+          else cnt.put(key, (p._1 + 1L,
+            math.min(p._2, kk(i)), math.max(p._3, kk(i))))
+          val s = sums.get(key)
+          sums.put(key, if (s == null) v(i) else s + v(i))
+          i += 1
+        }
+        val g = cnt.size()
+        val oT = new Array[String](g)
+        val oD = new Array[java.lang.Long](g)
+        val oN = new Array[Long](g)
+        val oMin = new Array[java.lang.Long](g)
+        val oMax = new Array[java.lang.Long](g)
+        val oS = new Array[Double](g)
+        var j = 0
+        cnt.forEach { (key, p) =>
+          oT(j) = key._1; oD(j) = key._2; oN(j) = p._1
+          oMin(j) = if (key._2 == null) null else java.lang.Long.valueOf(p._2)
+          oMax(j) = if (key._2 == null) null else java.lang.Long.valueOf(p._3)
+          oS(j) = round6(sums.get(key))
+          j += 1
+        }
+        Some(shipDf(events.sparkSession, "event_type" -> oT,
+          "k_decade" -> oD, "n_events" -> oN, "min_k" -> oMin,
+          "max_k" -> oMax, "sum_value" -> oS))
+      }
+    }
+
+  /** DAU + trailing-7-day WAU over the distinct user-day set. Exact
+    * integer arithmetic throughout — bit-identical to the distributed
+    * explode-to-bucket plan by construction. */
+  private[streaming] def activeUsers(events: DataFrame): Option[DataFrame] =
+    localRows(events).map { case (_, us, uid, _, _, _) =>
+      val dayUs = 86400L * 1000 * 1000
+      val byDay = new java.util.TreeMap[Long, java.util.HashSet[Long]]()
+      var i = 0
+      while (i < us.length) {
+        val d = Math.floorDiv(us(i), dayUs)
+        var set = byDay.get(d)
+        if (set == null) { set = new java.util.HashSet[Long](); byDay.put(d, set) }
+        set.add(uid(i))
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val days = byDay.keySet().asScala.toArray
+      val dau = days.map(d => byDay.get(d).size.toLong)
+      val wau = days.map { d =>
+        val s = new java.util.HashSet[Long]()
+        var dd = d - 6
+        while (dd <= d) {
+          val set = byDay.get(dd)
+          if (set != null) s.addAll(set)
+          dd += 1
+        }
+        s.size.toLong
+      }
+      shipDf(events.sparkSession, "day" -> days, "dau" -> dau, "wau7" -> wau)
+    }
+
+  /** Hourly peak session concurrency: the same ±1 sweep as the
+    * distributed two-phase prefix sum, on driver arrays — sessionize
+    * per user (order (us, event_id), 30-min gap), emit closed
+    * [first, last] intervals, sort deltas by (us, starts-first),
+    * running-sum, max + start-count per hour bucket. All integral. */
+  private[streaming] def peakConcurrency(events: DataFrame): Option[DataFrame] =
+    localRows(events).map { case (eid, us, uid, _, _, _) =>
+      val n = us.length
+      val order = Array.range(0, n)
+        .sortBy(i => (uid(i), us(i), eid(i)))
+      val sUs = scala.collection.mutable.ArrayBuilder.make[Long]
+      val eUs = scala.collection.mutable.ArrayBuilder.make[Long]
+      var j = 0
+      var curStart = 0L
+      var lastUs = 0L
+      var curUid = Long.MinValue
+      var open = false
+      while (j < n) {
+        val i = order(j)
+        val boundary = !open || uid(i) != curUid ||
+          us(i) - lastUs > Events.SessionGapUs
+        if (boundary) {
+          if (open) { sUs += curStart; eUs += lastUs }
+          curStart = us(i); curUid = uid(i); open = true
+        }
+        lastUs = us(i)
+        j += 1
+      }
+      if (open) { sUs += curStart; eUs += lastUs }
+      val starts = sUs.result()
+      val ends = eUs.result()
+      // deltas sorted by (us, starts-first): +1 before −1 at a tie
+      val m = starts.length
+      val dUs = new Array[Long](2 * m)
+      val dD = new Array[Long](2 * m)
+      var p = 0
+      while (p < m) {
+        dUs(2 * p) = starts(p); dD(2 * p) = 1L
+        dUs(2 * p + 1) = ends(p); dD(2 * p + 1) = -1L
+        p += 1
+      }
+      val dOrder = Array.range(0, 2 * m).sortBy(i => (dUs(i), -dD(i)))
+      val hourUs = 3600L * 1000 * 1000
+      val byHour = new java.util.TreeMap[Long, Array[Long]]() // peak, nStarts
+      var run = 0L
+      p = 0
+      while (p < dOrder.length) {
+        val i = dOrder(p)
+        run += dD(i)
+        val h = Math.floorDiv(dUs(i), hourUs)
+        var acc = byHour.get(h)
+        if (acc == null) { acc = Array(Long.MinValue, 0L); byHour.put(h, acc) }
+        if (run > acc(0)) acc(0) = run
+        if (dD(i) == 1L) acc(1) += 1L
+        p += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val hours = byHour.keySet().asScala.toArray
+      shipDf(events.sparkSession, "hour_bucket" -> hours,
+        "peak_sessions" -> hours.map(h => byHour.get(h)(0)),
+        "n_starts" -> hours.map(h => byHour.get(h)(1)))
     }
 }

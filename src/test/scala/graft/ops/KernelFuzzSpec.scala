@@ -215,11 +215,20 @@ class KernelFuzzSpec extends SparkSpec {
           case _ => raw
         }
         prevUs = us
+        // props: valid {"k": n} (negatives included) and nulls — the
+        // shapes the strict kernel parser handles; exotic-JSON
+        // fallback is pinned separately below
+        val props = rnd.nextInt(6) match {
+          case 0 => null
+          case 1 => s"""{"k": ${-(rnd.nextInt(1000) + 1)}}"""
+          case _ => s"""{"k": ${rnd.nextInt(10000)}}"""
+        }
         (i.toLong, us,
           (rnd.nextInt(5) + 1).toLong,
           Seq("click", "view", "buy")(rnd.nextInt(3)),
-          math.round(rnd.nextDouble() * 10000) / 100.0)
-      }.toDF("event_id", "us", "user_id", "event_type", "value")
+          math.round(rnd.nextDouble() * 10000) / 100.0,
+          props)
+      }.toDF("event_id", "us", "user_id", "event_type", "value", "props")
         .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
         .persist()
       try {
@@ -232,7 +241,10 @@ class KernelFuzzSpec extends SparkSpec {
             ev, "buy", "click", halfHourUs)),
           ("funnel", () => graft.streaming.Events.funnel(
             ev, Seq("view", "click", "buy"))),
-          ("retention", () => graft.streaming.Events.retention(ev)))) {
+          ("retention", () => graft.streaming.Events.retention(ev)),
+          ("props", () => graft.streaming.Events.propsProfile(ev)),
+          ("active", () => graft.streaming.Events.activeUsers(ev)),
+          ("peak", () => graft.streaming.Events.peakConcurrency(ev)))) {
           val (l, d) = bothWays("spark.graft.localEventsMaxRows")(q())
           assert(l === d, s"seed=$seed $name")
         }

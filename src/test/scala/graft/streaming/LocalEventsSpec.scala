@@ -199,6 +199,30 @@ class LocalEventsSpec extends SparkSpec {
       assert(lf === df, "funnel")
       val (lre, dre) = bothWays(Events.retention(ev))
       assert(lre === dre, "retention")
+      val (lp, dp) = bothWays(Events.propsProfile(ev))
+      assert(lp === dp, "propsProfile")
+      assert(lp.nonEmpty)
+      val (lac, dac) = bothWays(Events.activeUsers(ev))
+      assert(lac === dac, "activeUsers")
+      val (lpk, dpk) = bothWays(Events.peakConcurrency(ev))
+      assert(lpk === dpk, "peakConcurrency")
     } finally ev.unpersist()
+  }
+
+  test("propsProfile kernel refuses exotic JSON (falls back distributed)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // nested object and quoted number — get_json_object territory the
+    // strict kernel parser must NOT guess at
+    val ev = Seq(
+      (1L, 1000L, 1L, "a", 1.0, """{"k": {"x": 1}}"""),
+      (2L, 2000L, 1L, "a", 1.0, """{"k": "7"}"""),
+      (3L, 3000L, 2L, "b", 1.0, """{"k": 9}"""))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val (l, d) = bothWays(Events.propsProfile(ev))
+    assert(l === d) // kernel declined → both sides ARE the distributed plan
+    // quoted "7" still lands in decade 0 via get_json_object semantics
+    assert(d.exists(r => r.head == "a" && r(1) == 0L))
   }
 }
