@@ -531,6 +531,14 @@ object SparkEntry {
     // Rolling-hash document fingerprint.
     "tx_fingerprint" -> ((s, dir) => ops.TextOps.fingerprint(docs(s, dir))),
 
+    // Winnowing fingerprint selection (MOSS): window minima over k-gram
+    // rolling hashes — a narrow, shuffle-free within-row map.
+    "tx_winnow" -> ((s, dir) => ops.TextOps.winnow(docs(s, dir))),
+
+    // Out-of-vocabulary rate vs the corpus top-100 vocabulary: bounded
+    // top-k vocab build + narrow membership probe.
+    "tx_oov" -> ((s, dir) => ops.TextOps.oovRate(docs(s, dir))),
+
     // PII scrub: email/phone/IPv4 counts + redacted text.
     "tx_pii" -> ((s, dir) => ops.TextOps.piiScrub(docs(s, dir))),
 
@@ -673,6 +681,25 @@ object SparkEntry {
       ops.Relational.customerDistribution(
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"))),
+
+    // Top-20 customers by returned-item revenue (TPC-H Q10 shape):
+    // returned lines pre-aggregated per order, scaled-integer exact
+    // revenue, broadcast nation, bounded-heap global top-k.
+    "rel_returned" -> ((s, dir) =>
+      ops.Relational.returnedRevenueTopCustomers(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        "1996-01-01", "1998-01-01", 20)),
+
+    // Promo revenue share per ship month (TPC-H Q14 shape): lineitem ⋈
+    // part as a key-partitioned hash join (part is fact-sized at
+    // warehouse scale — never a broadcast), exact decimal sums.
+    "rel_promoshare" -> ((s, dir) =>
+      ops.Relational.promoRevenueShare(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"), "PROMO")),
 
     // Power-of-two degree-distribution histogram (integer bit-length
     // buckets over the q3 degree table).
@@ -1742,6 +1769,46 @@ object SparkEntry {
         |  GROUP BY c_custkey)
         |SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count""".stripMargin,
 
+    "rel_returned" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |        (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+        |                    AS BIGINT))) AS order_rev
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+        |pc AS (
+        |  SELECT o_custkey, sum(order_rev) AS rs, count(*) AS n_orders
+        |  FROM rev JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name AS nation,
+        |  rs / 10000.0 AS revenue, n_orders
+        |FROM pc JOIN customer ON o_custkey = c_custkey
+        |        JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rs DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "rel_promoshare" ->
+      """WITH j AS (
+        |  SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+        |         AS DECIMAL(24,4)) AS dp,
+        |    (p_type = 'PROMO') AS is_promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT ship_month,
+        |  CAST(CAST(sum(CASE WHEN is_promo THEN dp
+        |                     ELSE CAST(0 AS DECIMAL(24,4)) END)
+        |       AS DECIMAL(34,4)) AS DOUBLE) AS promo_rev,
+        |  CAST(CAST(sum(dp) AS DECIMAL(34,4)) AS DOUBLE) AS total_rev,
+        |  round(CAST(CAST(sum(CASE WHEN is_promo THEN dp
+        |                           ELSE CAST(0 AS DECIMAL(24,4)) END)
+        |             AS DECIMAL(34,4)) AS DOUBLE) /
+        |        CAST(CAST(sum(dp) AS DECIMAL(34,4)) AS DOUBLE) * 100.0, 6)
+        |    AS promo_share_pct,
+        |  count(*) AS n_lines
+        |FROM j GROUP BY ship_month""".stripMargin,
+
     "gr_degdist" -> (GraphCte +
       """, deg AS (SELECT src, count(*) AS degree FROM clean GROUP BY src)
         |SELECT CAST(length(to_base(degree, 2)) - 1 AS BIGINT) AS bucket,
@@ -1971,6 +2038,35 @@ object SparkEntry {
         |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |    (h, cp) -> (h * 31 + cp) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "tx_winnow" -> (TokCte.stripSuffix("\n") +
+      """,
+        |hw AS (SELECT doc_id,
+        |         list_transform(generate_series(1, greatest(len(tk) - 3, 1)),
+        |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                  list_transform(
+        |                    string_split(array_to_string(tk[i:i+3], ' '), ''),
+        |                    c -> CAST(ord(c) AS BIGINT))),
+        |                (h, cp) -> (h * 31 + cp) % 1000000007)) AS hs
+        |       FROM toks)
+        |SELECT DISTINCT doc_id, fingerprint FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+        |      j -> list_aggregate(hs[j:j+3], 'min'))) AS fingerprint
+        |  FROM hw)""".stripMargin),
+
+    "tx_oov" -> (TokCte.stripSuffix("\n") +
+      """,
+        |vl AS (SELECT list(token) AS vlist FROM (
+        |         SELECT token
+        |         FROM (SELECT unnest(tk) AS token FROM toks)
+        |         GROUP BY token ORDER BY count(*) DESC, token LIMIT 100))
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tk, t -> NOT list_contains(vlist, t)))
+        |    AS BIGINT) AS n_oov,
+        |  round(CAST(len(list_filter(tk, t -> NOT list_contains(vlist, t)))
+        |          AS DOUBLE) / greatest(len(tk), 1), 6) AS oov_ratio
+        |FROM toks, vl""".stripMargin),
 
     "mm_decode" -> (MmDecodeCte + "SELECT * FROM dec"),
 

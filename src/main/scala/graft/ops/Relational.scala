@@ -163,4 +163,80 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_outer")
       .select(coalesce(col("n"), lit(0L)).as("c_count"))
       .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+
+  /** Top-k customers by revenue from RETURNED items over orders placed
+    * in [from, until) (reference shape: TPC-H Q10). Revenue is the
+    * exact scaled-integer long `cents(price) · (100 − pct(discount))`
+    * (4 implied decimals), so ordering can't be perturbed by float
+    * summation order. Scale shape: the returned lines are filtered and
+    * pre-aggregated to l_orderkey BEFORE the fact-fact joins (the
+    * shuffles carry one row per order / per customer, not raw lines),
+    * nation rides in as a broadcast, and the global top-k is a
+    * TakeOrderedAndProject — per-partition bounded heaps, ≤k rows per
+    * partition to the driver, never a global sort. Ties break to the
+    * smaller custkey. */
+  def returnedRevenueTopCustomers(lineitem: DataFrame, orders: DataFrame,
+                                  customer: DataFrame, nation: DataFrame,
+                                  from: String, until: String,
+                                  k: Int): DataFrame = {
+    val cents = (dec2(col("l_extendedprice")) * lit(100)).cast(LongType)
+    val discPct = (dec2(col("l_discount")) * lit(100)).cast(LongType)
+    val perOrder = lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), (cents * (lit(100L) - discPct)).as("rs"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("rs")).as("order_rev"))
+    val ordersIn = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    perOrder
+      .join(ordersIn, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("order_rev")).as("rev_scaled"),
+        count(lit(1)).as("n_orders"))
+      .join(customer.select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        (col("rev_scaled") / lit(10000.0)).as("revenue"), col("n_orders"),
+        col("rev_scaled"))
+      .orderBy(col("rev_scaled").desc, col("c_custkey"))
+      .limit(k)
+      .drop("rev_scaled")
+  }
+
+  /** Promotional revenue share per ship month (reference shape: TPC-H
+    * Q14): of each month's discounted revenue, the fraction from parts
+    * of the promo type. Exact decimal sums; the share is rendered as a
+    * 6-dp double from the exact decimals at the very end. Scale shape:
+    * part is projected to (key, is-promo flag) before the join — at
+    * warehouse scale part is a fact-sized table, so this stays a
+    * key-partitioned shuffle hash join (NOT a broadcast), and the
+    * month rollup aggregates partially map-side to O(months) groups. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        promoType: String): DataFrame = {
+    val discPrice = (dec2(col("l_extendedprice")) *
+      (lit(BigDecimal(1)) - dec2(col("l_discount"))).cast(DecimalType(4, 2)))
+      .cast(DecimalType(24, 4))
+    lineitem
+      .select(col("l_partkey"), date_trunc("month", col("l_shipdate")).as("ship_month"),
+        discPrice.as("dp"))
+      .join(part.select(col("p_partkey"),
+          (col("p_type") === promoType).as("is_promo")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("ship_month")
+      .agg(
+        sum(when(col("is_promo"), col("dp")).otherwise(lit(BigDecimal(0))
+          .cast(DecimalType(24, 4)))).cast(DecimalType(34, 4)).as("pr"),
+        sum(col("dp")).cast(DecimalType(34, 4)).as("tr"),
+        count(lit(1)).as("n_lines"))
+      .select(col("ship_month"),
+        col("pr").cast("double").as("promo_rev"),
+        col("tr").cast("double").as("total_rev"),
+        round(col("pr").cast("double") / col("tr").cast("double") * 100.0, 6)
+          .as("promo_share_pct"),
+        col("n_lines"))
+  }
 }

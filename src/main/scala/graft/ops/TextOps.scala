@@ -583,4 +583,62 @@ object TextOps {
         sum(col("n")).as("n_tokens"),
         min(col("n")).as("min_tokens"),
         max(col("n")).as("max_tokens"))
+
+  /** Winnowing fingerprint selection (the MOSS scheme, Schleimer/
+    * Wilkerson/Aiken SIGMOD'03 §4, 0-gram robustness variant with
+    * plain window minima): k-token shingles are hashed with the
+    * [[graft.functions.StringPolyHash]] polynomial (oracle-identical),
+    * every window of `w` consecutive shingle hashes keeps its MINIMUM,
+    * and the per-document fingerprint set is the distinct selected
+    * hashes. Guarantee: two documents sharing any run of ≥ w+k−1
+    * tokens share at least one fingerprint, while only ~2/(w+1) of
+    * shingle hashes are retained — the index stays small at corpus
+    * scale.
+    *
+    * Scale shape: everything up to the final explode is a within-row
+    * array expression — a narrow, shuffle-free map over the corpus; no
+    * join, no aggregation, no window function. Documents shorter than
+    * k tokens hash their whole token list (the `shingles` convention);
+    * shingle lists shorter than w keep their single global minimum, so
+    * every document emits ≥ 1 fingerprint. */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val tk = tokens(col("text"))
+    val hashes = transform(
+      sequence(lit(1), greatest(size(tk) - (k - 1), lit(1))),
+      i => graft.functions.StringPolyHash.fingerprint(
+        concat_ws(" ", slice(tk, i, lit(k)))))
+    docs
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          j => array_min(slice(col("hs"), j, lit(w)))))).as("fingerprint"))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus top-`vocabSize`
+    * vocabulary (count-desc, token-asc ranked — the `tx_vocab` order).
+    * The vocabulary build is the standard explode + partial-agg'd count
+    * with a bounded top-k collect (`vocabSize` rows cross the driver by
+    * construction — a top-k result, not a gated spill); the per-document
+    * probe is then a narrow membership filter against the in-plan
+    * vocabulary literal — no per-token join, no second shuffle over the
+    * corpus. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val vocab = tokenized(docs)
+      .select(explode(col("tk")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .select("token").collect().map(_.getString(0)).toSeq
+    val tk = tokens(col("text"))
+    val vlit = typedLit(vocab)
+    docs
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(filter(col("tk"), t => !array_contains(vlit, t)))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6))
+  }
 }

@@ -37,6 +37,38 @@ class OpsSpec extends SparkSpec {
     assert(fp === (('h'.toLong * 31) + 'i'.toLong) % 1000000007L)
   }
 
+  test("winnow: window minima over k-gram hashes, hand-checked") {
+    def ph(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    val d = docs((0L, "a b c d e f g h"), (1L, "x y"))
+    val out = TextOps.winnow(d, 4, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 tokens, k=4 → 5 shingle hashes; w=4 → windows [1..4],[2..5]
+    val toks = "a b c d e f g h".split(" ")
+    val hs = (0 to 4).map(i => ph(toks.slice(i, i + 4).mkString(" ")))
+    val exp0 = Set(hs.slice(0, 4).min, hs.slice(1, 5).min)
+      .map((0L, _))
+    // 2 tokens < k → single whole-list shingle, single window
+    assert(out === exp0 + ((1L, ph("x y"))))
+  }
+
+  test("winnow guarantee: docs sharing a ≥ w+k-1 token run share a print") {
+    val shared = "q w e r t y u" // 7 = w+k-1 tokens
+    val d = docs((0L, s"alpha beta $shared gamma"),
+      (1L, s"one two three $shared four"))
+    val byDoc = TextOps.winnow(d, 4, 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert((byDoc(0L) intersect byDoc(1L)).nonEmpty)
+  }
+
+  test("oovRate: top-k vocab membership, count-desc token-asc ties") {
+    val d = docs((1L, "a a b c"), (2L, "a b b d"))
+    val out = TextOps.oovRate(d, 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // counts: a=3, b=3, c=1, d=1 → vocab {a, b}; c and d are OOV
+    assert(out.toSeq === Seq((1L, 4L, 1L, 0.25), (2L, 4L, 1L, 0.25)))
+  }
+
   test("langId: marker argmax with zh override") {
     val d = docs(
       (0L, "the cat and the dog is of to"),

@@ -167,6 +167,56 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("returnedRevenueTopCustomers: R-flag filter, window, ties, k") {
+    val s = spark; import s.implicits._
+    val li = Seq(
+      // order 1: two returned lines 100*0.9 + 200*1.0 = 290
+      (1L, 100.00, 0.10, "R"), (1L, 200.00, 0.00, "R"),
+      // order 2: one returned 50*0.5 = 25, one kept line ignored
+      (2L, 50.00, 0.50, "R"), (2L, 999.00, 0.00, "N"),
+      // order 3: inside window but zero returned lines
+      (3L, 70.00, 0.00, "N"),
+      // order 4: returned but order date outside the window
+      (4L, 80.00, 0.00, "R"))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+    val o = Seq((1L, 10L, ts("1997-02-01")), (2L, 20L, ts("1997-05-01")),
+      (3L, 10L, ts("1997-06-01")), (4L, 20L, ts("1995-01-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val c = Seq((10L, "Customer#10", 100), (20L, "Customer#20", 200))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val out = Relational.returnedRevenueTopCustomers(
+        li, o, c, nation, "1996-01-01", "1998-01-01", 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    // ordering: cust 10 (290) above cust 20 (25); order 4 excluded
+    assert(out === Seq(
+      (10L, "Customer#10", "FRANCE", 290.0, 1L),
+      (20L, "Customer#20", "JAPAN", 25.0, 1L)))
+    // k truncates after the deterministic sort
+    val top1 = Relational.returnedRevenueTopCustomers(
+        li, o, c, nation, "1996-01-01", "1998-01-01", 1)
+      .collect().map(_.getLong(0))
+    assert(top1 === Seq(10L))
+  }
+
+  test("promoRevenueShare: exact decimal share per ship month") {
+    val s = spark; import s.implicits._
+    val li = Seq(
+      (1L, 100.00, 0.10, ts("1997-03-05")), // part 1 (promo): 90
+      (2L, 200.00, 0.00, ts("1997-03-20")), // part 2: 200
+      (3L, 50.00, 0.50, ts("1997-04-01"))) // part 1 (promo): 25
+      .toDF("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val part = Seq((1L, "PROMO"), (2L, "STANDARD"), (3L, "PROMO"))
+      .toDF("p_partkey", "p_type")
+    // l_partkey joins p_partkey; row 3's partkey 3 is promo
+    val out = Relational.promoRevenueShare(li, part, "PROMO")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1.getTime)
+    assert(out === Seq(
+      (ts("1997-03-01"), 90.0, 290.0, math.rint(90.0 / 290.0 * 1e8) / 1e6, 2L),
+      (ts("1997-04-01"), 25.0, 25.0, 100.0, 1L)))
+  }
+
   test("covarianceMoments: matches naive double-loop moments") {
     val s = spark; import s.implicits._
     val vecs = Seq(
