@@ -284,6 +284,12 @@ object SparkEntry {
     "gr_triangles" -> ((s, dir) =>
       graft.bfs.Triangles.runCoPurchase(s, orderPartPairs(s, dir))),
 
+    // Per-vertex local clustering coefficients on the co-purchase
+    // graph: top-20 hubs by (degree desc, id), each closed wedge
+    // crediting all three corners; same gate dispatch as gr_triangles.
+    "gr_localcc" -> ((s, dir) =>
+      graft.bfs.Triangles.localCcCoPurchase(s, orderPartPairs(s, dir), 20)),
+
     // Fixed-point PageRank, 10 synchronous iterations on the cleaned
     // graph. Integer (10^12-scaled) arithmetic makes the result exact
     // and engine-independent — the oracle matches bit-for-bit across 10
@@ -914,9 +920,9 @@ object SparkEntry {
       s"\nSELECT v AS vertex, label FROM lp$rounds"
   }
 
-  /** Degree-oriented triangle count on the part co-purchase projection
-    * (mirrors Triangles.count / countCsr). */
-  private val TriangleSql =
+  /** Shared oriented co-purchase CTE prefix: distinct part pairs per
+    * order, symmetrized, degree table, degree-ordered orientation. */
+  private val TriPrefixCte =
     """WITH pp AS (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM lineitem a JOIN lineitem b
@@ -925,14 +931,44 @@ object SparkEntry {
       |tdeg AS (SELECT src AS v, count(*) AS d FROM tclean GROUP BY src),
       |ori AS (SELECT c.src AS a, c.dst AS b, db.d AS bd
       |        FROM tclean c JOIN tdeg da ON c.src = da.v JOIN tdeg db ON c.dst = db.v
-      |        WHERE da.d < db.d OR (da.d = db.d AND c.src < c.dst)),
+      |        WHERE da.d < db.d OR (da.d = db.d AND c.src < c.dst))""".stripMargin
+
+  /** Degree-oriented triangle count on the part co-purchase projection
+    * (mirrors Triangles.count / countCsr). */
+  private val TriangleSql = TriPrefixCte +
+    """,
       |wed AS (SELECT e1.b AS b, e2.b AS c FROM ori e1 JOIN ori e2 ON e1.a = e2.a
       |        WHERE e1.bd < e2.bd OR (e1.bd = e2.bd AND e1.b < e2.b))
       |SELECT count(*) AS n_wedges, count(o.a) AS n_triangles
       |FROM wed w LEFT JOIN ori o ON w.b = o.a AND w.c = o.b""".stripMargin
 
+  /** Per-vertex local clustering coefficients, top-20 by (degree desc,
+    * id) (mirrors Triangles.localCcTop*): each closed wedge credits all
+    * three corners. */
+  private val LocalCcSql = TriPrefixCte +
+    """,
+      |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      |        FROM ori e1 JOIN ori e2 ON e1.a = e2.a
+      |        WHERE (e1.bd < e2.bd OR (e1.bd = e2.bd AND e1.b < e2.b))
+      |          AND EXISTS (SELECT 1 FROM ori o
+      |                      WHERE o.a = e1.b AND o.b = e2.b)),
+      |tv AS (SELECT v, count(*) AS n_tri FROM (
+      |         SELECT a AS v FROM tri
+      |         UNION ALL SELECT b FROM tri
+      |         UNION ALL SELECT c FROM tri)
+      |       GROUP BY v)
+      |SELECT d.v, d.d AS degree,
+      |  CAST(coalesce(tv.n_tri, 0) AS BIGINT) AS n_tri,
+      |  round(CASE WHEN d.d >= 2
+      |             THEN 2.0 * coalesce(tv.n_tri, 0) / (d.d * (d.d - 1))
+      |             ELSE 0.0 END, 6) AS local_cc
+      |FROM tdeg d LEFT JOIN tv USING (v)
+      |ORDER BY d.d DESC, d.v LIMIT 20""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "gr_triangles" -> TriangleSql,
+
+    "gr_localcc" -> LocalCcSql,
 
     "gr_pagerank" -> (GraphCte + pagerankSql(10)),
 

@@ -73,7 +73,12 @@ object Triangles {
     * rank" and the closing-edge check is a merge intersection of two
     * rank-sorted oriented rows. Each triangle with ranks x < y < z is
     * counted exactly once, at oriented edge (x, y): z ∈ out(x) ∩ out(y). */
-  def countCsr(csr: LocalCsr): (Long, Long) = {
+  /** Degree-ordered orientation of a symmetric CSR in rank space:
+    * (rankOf dense→rank, inverse rank→dense, oriStarts, ori) with every
+    * oriented row sorted — the shared front half of the counting
+    * kernels. */
+  private def orientCsr(csr: LocalCsr)
+      : (Array[Int], Array[Int], Array[Int], Array[Int]) = {
     val nV = csr.nVerts
     val rs = csr.rowStarts
     val nbrs = csr.nbrs
@@ -87,8 +92,14 @@ object Triangles {
     }
     java.util.Arrays.parallelSort(packed)
     val rankOf = new Array[Int](nV)
+    val denseOf = new Array[Int](nV)
     var r = 0
-    while (r < nV) { rankOf((packed(r) & 0xffffffffL).toInt) = r; r += 1 }
+    while (r < nV) {
+      val d = (packed(r) & 0xffffffffL).toInt
+      rankOf(d) = r
+      denseOf(r) = d
+      r += 1
+    }
 
     // oriented adjacency in rank space, per-row sorted
     val oriStarts = new Array[Int](nV + 1)
@@ -123,6 +134,12 @@ object Triangles {
       java.util.Arrays.sort(ori, oriStarts(r), oriStarts(r + 1))
       r += 1
     }
+    (rankOf, denseOf, oriStarts, ori)
+  }
+
+  def countCsr(csr: LocalCsr): (Long, Long) = {
+    val nV = csr.nVerts
+    val (_, _, oriStarts, ori) = orientCsr(csr)
 
     // intersection sweep, parallel over vertex stripes (reads only)
     val nStripes = math.min(nV, Runtime.getRuntime.availableProcessors * 4)
@@ -172,17 +189,38 @@ object Triangles {
     * the pair count; pair blow-up beyond the gate is caught by the
     * pack-range / builder-size recheck and falls back to distributed. */
   def runCoPurchase(spark: SparkSession, groupMember: DataFrame): DataFrame = {
+    val gm = groupMember.select(col("src"), col("dst"))
+    coPurchasePairFlat(spark, gm) match {
+      case Some(pairFlat) =>
+        val (w, t) = countCsr(LocalCsr.buildFromRawPairs(pairFlat))
+        import spark.implicits._
+        Seq((w, t)).toDF("n_wedges", "n_triangles")
+      case None =>
+        countDistributed(graft.etl.EdgeOps.cleanEdges(coPurchaseSelfJoin(gm)))
+    }
+  }
+
+  /** Distributed co-occurrence pair expansion: the per-group self-join.
+    * Per-group fan-out is the (bounded) group size, so the join is
+    * skew-safe. */
+  private def coPurchaseSelfJoin(gm: DataFrame): DataFrame =
+    gm.as("a").join(gm.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("src"), col("b.dst").as("dst"))
+
+  /** Kernel-side co-occurrence pair expansion: collects the raw (group,
+    * member) projection when it fits the gate AND the (32, 32)-bit pack
+    * range, and emits each distinct unordered pair once per group.
+    * None ⇒ the caller takes the distributed self-join instead. The
+    * gate probes the INPUT row count (one cheap scan-count), not the
+    * pair count; pair blow-up beyond the gate is caught by the
+    * pack-range / builder-size recheck. */
+  private[bfs] def coPurchasePairFlat(spark: SparkSession,
+                                      gm: DataFrame): Option[Array[Long]] = {
     val gate = spark.conf.get("spark.graft.localBfsMaxEdges",
       (64L << 20).toString).toLong
-    val gm = groupMember.select(col("src"), col("dst"))
-    def distributed(): DataFrame = {
-      val pairs = gm.as("a").join(gm.as("b"),
-          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
-        .select(col("a.dst").as("src"), col("b.dst").as("dst"))
-      countDistributed(graft.etl.EdgeOps.cleanEdges(pairs))
-    }
     if (gate <= 0 || gm.limit((math.min(gate, Int.MaxValue - 1L) + 1).toInt)
-          .count() > gate) distributed()
+          .count() > gate) None
     else {
       val flat = LocalCsr.collectPairs(gm)
       val nIn = flat.length / 2
@@ -194,7 +232,7 @@ object Triangles {
           flat(i + 1) < 0 || flat(i + 1) > 0xffffffffL) packable = false
         i += 2
       }
-      if (!packable) distributed()
+      if (!packable) None
       else {
         val packed = new Array[Long](nIn)
         i = 0
@@ -227,11 +265,123 @@ object Triangles {
           }
           lo = hi
         }
-        val pairFlat = b.result()
-        val (w, t) = countCsr(LocalCsr.buildFromRawPairs(pairFlat))
-        import spark.implicits._
-        Seq((w, t)).toDF("n_wedges", "n_triangles")
+        Some(b.result())
       }
+    }
+  }
+
+  /** Per-vertex local clustering coefficients, top-k vertices by
+    * (degree desc, id asc), in-kernel: the orientation sweep credits
+    * each triangle's THREE corners (a CAS-add per corner — ranks are
+    * random-ish, so contention is negligible), then cc_v =
+    * 2·t_v / (d_v·(d_v−1)) is rendered exactly like the SQL oracle
+    * (HALF_UP at 6 dp on the same IEEE double). */
+  def localCcTopCsr(spark: SparkSession, csr: LocalCsr,
+                    k: Int): DataFrame = {
+    val nV = csr.nVerts
+    val rs = csr.rowStarts
+    val (_, denseOf, oriStarts, ori) = orientCsr(csr)
+    val triOf = new java.util.concurrent.atomic.AtomicLongArray(nV)
+    val nStripes = math.min(nV, Runtime.getRuntime.availableProcessors * 4)
+    java.util.stream.IntStream.range(0, nStripes).parallel().forEach { st =>
+      val from = (nV.toLong * st / nStripes).toInt
+      val to = (nV.toLong * (st + 1) / nStripes).toInt
+      var u = from
+      while (u < to) {
+        var k2 = oriStarts(u)
+        var uCredit = 0L
+        while (k2 < oriStarts(u + 1)) {
+          val w = ori(k2)
+          var i2 = oriStarts(u)
+          var j2 = oriStarts(w)
+          var wCredit = 0L
+          while (i2 < oriStarts(u + 1) && j2 < oriStarts(w + 1)) {
+            val x = ori(i2); val y = ori(j2)
+            if (x == y) {
+              uCredit += 1; wCredit += 1; triOf.addAndGet(x, 1L)
+              i2 += 1; j2 += 1
+            }
+            else if (x < y) i2 += 1
+            else j2 += 1
+          }
+          if (wCredit != 0) triOf.addAndGet(w, wCredit)
+          k2 += 1
+        }
+        if (uCredit != 0) triOf.addAndGet(u, uCredit)
+        u += 1
+      }
+    }
+    // top-k by (degree desc, id asc): degree packed descending-friendly
+    val rows = (0 until nV).map { r =>
+      val dense = denseOf(r)
+      val d = (rs(dense + 1) - rs(dense)).toLong
+      (csr.ids(dense), d, triOf.get(r))
+    }.sortBy { case (id, d, _) => (-d, id) }.take(k).map {
+      case (id, d, t) =>
+        val cc =
+          if (d < 2) 0.0
+          else BigDecimal(2.0 * t / (d * (d - 1)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, d, t, cc)
+    }
+    import spark.implicits._
+    rows.toDF("v", "degree", "n_tri", "local_cc")
+  }
+
+  /** Per-vertex local clustering coefficients, distributed: the same
+    * oriented wedge + closing-edge plan as [[countDistributed]], but
+    * the closing check is a LEFT SEMI join that keeps the full (a, b,
+    * c) triangle row, each corner is credited via a 3-way explode, and
+    * the k result rows come back through TakeOrdered — per-partition
+    * bounded heaps, never a global sort. */
+  def localCcTopDistributed(clean: DataFrame, k: Int): DataFrame = {
+    val spark = clean.sparkSession
+    val deg = clean.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val ori = clean
+      .join(deg.select(col("v").as("src"), col("d").as("sd")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("dd")), "dst")
+      .where(col("sd") < col("dd") ||
+        (col("sd") === col("dd") && col("src") < col("dst")))
+      .select(col("src").as("a"), col("dst").as("b"), col("dd").as("bd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tri = ori.as("e1")
+        .join(ori.select(col("a"), col("b").as("c"), col("bd").as("cd"))
+          .as("e2"), "a")
+        .where(col("bd") < col("cd") ||
+          (col("bd") === col("cd") && col("b") < col("c")))
+        .select(col("a"), col("b"), col("c"))
+        .join(ori.select(col("a").as("b"), col("b").as("c")),
+          Seq("b", "c"), "left_semi")
+      val tv = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n_tri"))
+      val out = deg.join(tv, Seq("v"), "left")
+        .select(col("v"), col("d").as("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("local_cc", round(
+          when(col("degree") >= 2,
+            lit(2.0) * col("n_tri") / (col("degree") * (col("degree") - 1)))
+            .otherwise(0.0), 6))
+        .orderBy(col("degree").desc, col("v")).limit(k)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      import spark.implicits._
+      out.toDF("v", "degree", "n_tri", "local_cc")
+    } finally { ori.unpersist(blocking = false); () }
+  }
+
+  /** Gate-dispatched per-vertex local-cc over the co-purchase
+    * projection (same dispatch as [[runCoPurchase]]). */
+  def localCcCoPurchase(spark: SparkSession, groupMember: DataFrame,
+                        k: Int): DataFrame = {
+    val gm = groupMember.select(col("src"), col("dst"))
+    coPurchasePairFlat(spark, gm) match {
+      case Some(pairFlat) =>
+        localCcTopCsr(spark, LocalCsr.buildFromRawPairs(pairFlat), k)
+      case None =>
+        localCcTopDistributed(
+          graft.etl.EdgeOps.cleanEdges(coPurchaseSelfJoin(gm)), k)
     }
   }
 

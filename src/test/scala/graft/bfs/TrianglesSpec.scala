@@ -113,6 +113,82 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force per-vertex triangle counts. */
+  private def brutePerVertex(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    pairs.foreach { case (a, b) =>
+      if (a != b) {
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+        adj(b) = adj.getOrElse(b, Set.empty) + a
+      }
+    }
+    adj.map { case (v, ns) =>
+      val t = ns.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      v -> (ns.size.toLong, t.toLong)
+    }.toMap
+  }
+
+  test("localCcTop: kernel == distributed == brute, hand-checked cc") {
+    // K3 plus a pendant at vertex 0: deg(0)=3, tri(0)=1, cc=1/3
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 9L))
+    val exp = brutePerVertex(pairs)
+    val kernel = Triangles.localCcTopCsr(spark,
+        LocalCsr.buildFromRawPairs(pairs.flatMap(p => Seq(p._1, p._2)).toArray), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val dist = Triangles.localCcTopDistributed(
+        graft.etl.EdgeOps.cleanEdges(asDf(pairs)), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(kernel.toSeq === dist.toSeq)
+    // top order: deg desc, id asc → 0 first
+    assert(kernel.head === ((0L, 3L, 1L, 0.333333)))
+    kernel.foreach { case (v, d, t, _) => assert(exp(v) === ((d, t)), s"v=$v") }
+  }
+
+  test("localCcTop: random graphs kernel == distributed, k truncates") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val n = 15 + trial * 8
+      val pairs = Seq.fill(n * 3)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val exp = brutePerVertex(pairs)
+      val k = 7
+      val kernel = Triangles.localCcTopCsr(spark,
+          LocalCsr.buildFromRawPairs(pairs.flatMap(p => Seq(p._1, p._2)).toArray), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val dist = Triangles.localCcTopDistributed(
+          graft.etl.EdgeOps.cleanEdges(asDf(pairs)), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(kernel.toSeq === dist.toSeq, s"trial $trial")
+      assert(kernel.length === math.min(k, exp.size), s"trial $trial")
+      kernel.foreach { case (v, d, t, _) =>
+        assert(exp(v) === ((d, t)), s"trial $trial v=$v") }
+      // deterministic ordering
+      assert(kernel.map(r => (-r._2, r._1)).toSeq ===
+        kernel.map(r => (-r._2, r._1)).sorted.toSeq, s"trial $trial")
+    }
+  }
+
+  test("localCcCoPurchase: gate dispatch agrees on sf0.001") {
+    val s = spark; import s.implicits._
+    val gm = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("src"), col("l_partkey").cast("long").as("dst"))
+    val fused = Triangles.localCcCoPurchase(spark, gm, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fused.length === 20)
+    val prev = spark.conf.getOption("spark.graft.localBfsMaxEdges")
+    try {
+      spark.conf.set("spark.graft.localBfsMaxEdges", "0")
+      val dist = Triangles.localCcCoPurchase(spark, gm, 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(dist.toSeq === fused.toSeq)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.localBfsMaxEdges", v)
+      case None => spark.conf.unset("spark.graft.localBfsMaxEdges")
+    }
+  }
+
   test("runCoPurchase handles duplicate group members and unpackable keys") {
     val s = spark; import s.implicits._
     // duplicate (group, member) rows and a within-group dup member:
