@@ -506,6 +506,10 @@ object SparkEntry {
     "sim_ivf_kmeans" -> ((s, dir) =>
       ops.Similarity.ivfTopK(emb(s, dir), 5, 10, 16, 4, nIter = 3)),
 
+    // Product-quantization ADC top-5: 8 subspaces × 16 stand-in
+    // codewords, per-query LUT scoring — fully oracle-checked.
+    "sim_pq" -> ((s, dir) => ops.Similarity.pqTopK(emb(s, dir), 8, 16, 5, 10)),
+
     // Per-label embedding centroids (mean-pool prototypes), long form.
     "sim_labelmeans" -> ((s, dir) =>
       ops.Similarity.labelCentroids(
@@ -2015,6 +2019,44 @@ object SparkEntry {
         |  JOIN probes p ON a.centroid_id = p.centroid_id
         |  JOIN q ON q.query_id = p.query_id
         |  WHERE p.query_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin),
+
+    "sim_pq" -> (EmbCte +
+      """, mk AS (SELECT m, j FROM (SELECT unnest(generate_series(0, 7)) AS m),
+        |               (SELECT unnest(generate_series(1, 16)) AS j)),
+        |cb AS (SELECT mk.m, mk.j, nv.v[mk.m*8+1 : mk.m*8+8] AS cw
+        |       FROM mk JOIN nv ON nv.vec_id = mk.j - 1),
+        |cb2 AS (SELECT m, j, cw, list_dot_product(cw, cw) AS cwn2 FROM cb),
+        |sc AS (SELECT nv.vec_id, c.m, c.j,
+        |         round(list_dot_product(nv.v[c.m*8+1 : c.m*8+8], c.cw)
+        |               - 0.5*c.cwn2, 6) AS s
+        |       FROM nv CROSS JOIN cb2 c),
+        |codes AS (SELECT vec_id, m, j AS code, cwn2 FROM (
+        |            SELECT s.vec_id, s.m, s.j, c2.cwn2,
+        |              row_number() OVER (PARTITION BY s.vec_id, s.m
+        |                                 ORDER BY s.s DESC, s.j) AS rn
+        |            FROM sc s JOIN cb2 c2 ON s.m = c2.m AND s.j = c2.j)
+        |          WHERE rn = 1),
+        |na AS (SELECT vec_id,
+        |         sqrt(list_reduce(list(cwn2 ORDER BY m), (a, b) -> a + b)) AS na
+        |       FROM codes GROUP BY vec_id),
+        |lut AS (SELECT q.vec_id AS query_id, c.m, c.j,
+        |          list_dot_product(q.v[c.m*8+1 : c.m*8+8], c.cw) AS pd
+        |        FROM nv q CROSS JOIN cb2 c WHERE q.vec_id < 10),
+        |ad AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+        |         list_reduce(list(l.pd ORDER BY l.m), (a, b) -> a + b) AS adot
+        |       FROM codes cd JOIN lut l ON l.m = cd.m AND l.j = cd.code
+        |       GROUP BY l.query_id, cd.vec_id),
+        |scored AS (SELECT ad.query_id, ad.neighbor_id,
+        |             round(ad.adot / (qn.nrm * na.na), 6) AS cosine
+        |           FROM ad JOIN nv qn ON qn.vec_id = ad.query_id
+        |                JOIN na ON na.vec_id = ad.neighbor_id
+        |           WHERE ad.query_id <> ad.neighbor_id)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
         |  SELECT query_id, neighbor_id, cosine,
         |         row_number() OVER (PARTITION BY query_id

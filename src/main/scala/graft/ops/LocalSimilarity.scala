@@ -171,4 +171,79 @@ object LocalSimilarity {
     }
     out.toSeq.flatten
   }
+
+  /** Product-quantization ADC top-k (the memory-bound ANN scale path:
+    * vectors compressed to `nSub` byte codes, queries scored against a
+    * per-query lookup table — Jégou/Douze/Schmid PAMI'11). Codebooks
+    * are the stand-in sub-vectors of the first `kCodes` corpus vectors
+    * by id (the ivfTopK convention — deterministic AND SQL-expressible,
+    * so the full pipeline carries a DuckDB oracle). Per subspace m a
+    * vector takes the code maximizing round6(dot(sub, cw) − cwn2/2)
+    * (the ‖b‖²−2ab L2 argmin in dot form), first max on ties; the
+    * approximate cosine is Σ_m lut[m][code] folded in m order over the
+    * query's table, divided by qn·√(Σ_m cwn2[code]) and rounded —
+    * every fold sequential, so kernel ≡ distributed ≡ oracle
+    * bit-for-bit. Ranking: (cosine desc, neighbor_id asc), self
+    * excluded. */
+  def pqTopK(c: Corpus, nSub: Int, kCodes: Int, k: Int, nQueries: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    if (c.size == 0) return Seq.empty
+    val d = c.vecs(0).length
+    val sub = d / nSub
+    val cbIdx = c.ids.indices.filter(i => c.ids(i) < kCodes)
+      .sortBy(c.ids(_)).toArray
+    if (cbIdx.isEmpty) return Seq.empty
+    val kk = cbIdx.length
+    def subvec(v: Array[Double], m: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, m * sub, m * sub + sub)
+    // cw/cwn2 flat-indexed m*kk + (j-1), j 1-based (the oracle's layout)
+    val cw = Array.tabulate(nSub * kk)(i => subvec(c.vecs(cbIdx(i % kk)), i / kk))
+    val cwn2 = cw.map(w => dot(w, w))
+    // per-vector codes (1-based) + approximate norms
+    val codes = Array.ofDim[Int](c.size, nSub)
+    val nA = new Array[Double](c.size)
+    java.util.stream.IntStream.range(0, c.size).parallel().forEach { v =>
+      var norm2 = 0.0
+      var m = 0
+      while (m < nSub) {
+        val sv = subvec(c.vecs(v), m)
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var j = 0
+        while (j < kk) {
+          val s = round6(dot(sv, cw(m * kk + j)) - 0.5 * cwn2(m * kk + j))
+          if (s > bestScore) { bestScore = s; best = j }
+          j += 1
+        }
+        codes(v)(m) = best + 1
+        norm2 += cwn2(m * kk + best)
+        m += 1
+      }
+      nA(v) = math.sqrt(norm2)
+    }
+    val queries = c.ids.indices.filter(i => c.ids(i) < nQueries).toArray
+    val out = new Array[Seq[(Long, Long, Long, Double)]](queries.length)
+    java.util.stream.IntStream.range(0, queries.length).parallel().forEach { qi =>
+      val q = queries(qi)
+      // per-query LUT in the same flat layout
+      val lut = Array.tabulate(nSub * kk)(i =>
+        dot(subvec(c.vecs(q), i / kk), cw(i)))
+      val scored = c.ids.indices.iterator.filter(_ != q).map { v =>
+        var adot = 0.0
+        var m = 0
+        while (m < nSub) { adot += lut(m * kk + codes(v)(m) - 1); m += 1 }
+        (c.ids(v), round6(adot / (c.nrm(q) * nA(v))))
+      }.toArray
+      java.util.Arrays.sort(scored, new java.util.Comparator[(Long, Double)] {
+        def compare(x: (Long, Double), y: (Long, Double)): Int = {
+          val byCos = java.lang.Double.compare(y._2, x._2)
+          if (byCos != 0) byCos else java.lang.Long.compare(x._1, y._1)
+        }
+      })
+      out(qi) = scored.take(k).zipWithIndex.map { case ((nid, cos), r) =>
+        (c.ids(q), nid, (r + 1).toLong, cos)
+      }.toSeq
+    }
+    out.toSeq.flatten
+  }
 }

@@ -324,6 +324,87 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cosine"))
   }
 
+  /** Product-quantization ADC top-k — the memory-bound ANN scale path
+    * (Jégou/Douze/Schmid PAMI'11): each vector is compressed to `nSub`
+    * small codes against per-subspace codebooks, a query builds one
+    * `nSub × kCodes` dot-product lookup table, and scoring a neighbor
+    * is `nSub` table reads instead of a d-dim dot product — at serving
+    * scale the corpus working set shrinks ~d·4/nSub ×.
+    *
+    * Codebooks are the stand-in sub-vectors of the first `kCodes`
+    * corpus vectors by id (the [[ivfTopK]] convention): deterministic
+    * AND SQL-expressible, so the WHOLE pipeline — encode, LUT, ADC
+    * score, rank — carries a full DuckDB oracle (a trained-codebook
+    * variant would slot in exactly like `sim_ivf_kmeans`).
+    *
+    * Determinism contract: per subspace the code maximizes
+    * round6(dot(sub, cw) − cwn2/2) (the ‖b‖²−2ab L2 argmin in dot
+    * form) with first-max-wins ties (= `array_position` of the max);
+    * the ADC dot and the approximate norm are SEQUENTIAL m-order folds
+    * (`aggregate`), never a shuffle-order `sum` over doubles — so
+    * kernel ≡ distributed ≡ oracle bit-for-bit.
+    *
+    * Scale shape: the codebook is a bounded collect (kCodes vectors by
+    * construction) shipped as an in-plan literal; encode + norm are a
+    * narrow map over the corpus (no shuffle); queries ride in as a
+    * broadcast with their LUT arrays; the only exchange is [[topK]]'s
+    * bounded per-partition heaps. */
+  def pqTopK(embeddings: DataFrame, nSub: Int = 8, kCodes: Int = 16,
+             k: Int = 5, nQueries: Int = 10): DataFrame =
+    localCorpus(embeddings) match {
+      case Some(c) => shipTopK(embeddings.sparkSession,
+        LocalSimilarity.pqTopK(c, nSub, kCodes, k, nQueries))
+      case None =>
+        val n = withNorm(embeddings)
+        // bounded by construction: kCodes stand-in vectors
+        val cbRows = n.filter(col("vec_id") < kCodes)
+          .orderBy("vec_id").select("v").collect()
+          .map(_.getSeq[Double](0).toArray)
+        require(cbRows.nonEmpty, "pqTopK: empty codebook")
+        val d = cbRows(0).length
+        val sub = d / nSub
+        require(sub > 0, s"pqTopK: $d dims cannot split into $nSub subspaces")
+        val kk = cbRows.length
+        // flat (m, j) layout, m-major — element_at index = m·kk + j (1-based j)
+        val cwSeq: Seq[Seq[Double]] =
+          for (m <- 0 until nSub; j <- 0 until kk)
+            yield cbRows(j).slice(m * sub, m * sub + sub).toSeq
+        val cbLit = typedLit(cwSeq)
+        val cwn2Lit = typedLit(
+          cwSeq.map(w => LocalSimilarity.dot(w.toArray, w.toArray)))
+        val scores = transform(sequence(lit(0), lit(nSub - 1)), m =>
+          transform(sequence(lit(1), lit(kk)), j =>
+            round(dot(slice(col("v"), m * sub + 1, lit(sub)),
+                element_at(cbLit, m * kk + j)) -
+              lit(0.5) * element_at(cwn2Lit, m * kk + j), 6)))
+        val corpusCodes = n
+          .select(col("vec_id").as("neighbor_id"), col("v"))
+          .withColumn("ss", scores)
+          .select(col("neighbor_id"),
+            transform(col("ss"), a => array_position(a, array_max(a)))
+              .as("codes"))
+          .withColumn("na", sqrt(aggregate(
+            sequence(lit(0), lit(nSub - 1)), lit(0.0), (acc, m) =>
+              acc + element_at(cwn2Lit,
+                (m * kk + element_at(col("codes"), m + 1)).cast("int")))))
+        val lut = flatten(transform(sequence(lit(0), lit(nSub - 1)), m =>
+          transform(sequence(lit(1), lit(kk)), j =>
+            dot(slice(col("v"), m * sub + 1, lit(sub)),
+              element_at(cbLit, m * kk + j)))))
+        val q = n.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), lut.as("lut"),
+            col("nrm").as("qn"))
+        val scored = corpusCodes.crossJoin(broadcast(q))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(aggregate(
+              sequence(lit(0), lit(nSub - 1)), lit(0.0), (acc, m) =>
+                acc + element_at(col("lut"),
+                  (m * kk + element_at(col("codes"), m + 1)).cast("int"))) /
+              (col("qn") * col("na")), 6).as("cosine"))
+        topK(scored, k)
+    }
+
   /** Per-label embedding centroids in LONG form — (label, dim, n_vecs,
     * centroid) — the mean-pool aggregation behind class prototypes /
     * centroid-classifier evaluation over an embedding column.

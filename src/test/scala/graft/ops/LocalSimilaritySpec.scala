@@ -50,6 +50,34 @@ class LocalSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTopK: kernel ≡ distributed (codes, LUT folds, ties)") {
+    for (seed <- 1L to 3L) {
+      val (l, d) = bothWays(Similarity.pqTopK(corpus(60, 8, seed), 4, 8, 5, 10))
+      assert(l === d, s"seed=$seed")
+      assert(l.size === 50)
+    }
+  }
+
+  test("pqTopK: exact-duplicate vectors take identical codes; recall sane") {
+    val s = spark; import s.implicits._
+    val c = corpus(80, 16, 11L)
+    val pq = Similarity.pqTopK(c, 4, 8, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(c, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // duplicate pairs (i%4==3 duplicates i-1): identical vectors get the
+    // same codes, so each ranks as its twin's top ADC hit
+    val dupPairs = (0 until 80).filter(_ % 4 == 3)
+      .map(i => (i.toLong, i.toLong - 1))
+    val top1 = Similarity.pqTopK(c, 4, 8, 5, 10).collect()
+      .filter(_.getLong(2) == 1L).map(r => (r.getLong(0), r.getLong(1))).toMap
+    dupPairs.filter(_._1 < 10).foreach { case (a, b) =>
+      assert(top1(a) === b, s"dup $a should retrieve twin $b first") }
+    // ADC is approximate: still demand meaningful overlap with exact
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall $recall implausibly low")
+  }
+
   test("embeddingDedup: kernel ≡ distributed block path (ties included)") {
     for (seed <- 1L to 3L) {
       val (l, d) = bothWays(Dedup.embeddingDedup(corpus(60, 8, seed), 0.3))
