@@ -419,6 +419,11 @@ object SparkEntry {
         docs(s, dir).filter(col("doc_id") % 50 =!= 0),
         docs(s, dir).filter(col("doc_id") % 50 === 0))),
 
+    // Streaming ANN: query vectors replayed against the static corpus
+    // (stateless broadcast scoring) ≡ brute-force top-k on the queries.
+    "st_ann" -> ((s, dir) =>
+      streaming.StreamVerify.annScores(s, emb(s, dir), 10, 5)),
+
     // Hourly volume anomalies per type: |z| > 2 decided by an exact
     // integer predicate (no FP in the comparison).
     "ev_anomaly" -> ((s, dir) =>
@@ -1983,18 +1988,10 @@ object SparkEntry {
         |SELECT e.vec_id, coalesce(c.component, e.vec_id) AS canonical_id
         |FROM embeddings e LEFT JOIN comp c ON c.vertex = e.vec_id""".stripMargin),
 
-    "sim_brute" -> (EmbCte +
-      """, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q.query_id, c.vec_id AS neighbor_id,
-        |         round(list_dot_product(q.qv, c.v)/(q.qn*c.nrm), 6) AS cosine
-        |  FROM q JOIN nv c ON q.query_id <> c.vec_id)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
-        |  SELECT query_id, neighbor_id, cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY cosine DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5""".stripMargin),
+    "sim_brute" -> SimBruteSql,
+
+    // the streaming twin's emissions are defined ≡ sim_brute's rows
+    "st_ann" -> SimBruteSql,
 
     "sim_ivf" -> (EmbCte +
       """, cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM nv WHERE vec_id < 16),
@@ -2331,6 +2328,21 @@ object SparkEntry {
       |  FROM embeddings
       |)
       |""".stripMargin
+
+  /** Exact cosine top-5 for the 10 stand-in queries — the contract both
+    * `sim_brute` and its streaming twin `st_ann` fulfill. */
+  private val SimBruteSql = EmbCte +
+    """, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |         round(list_dot_product(q.qv, c.v)/(q.qn*c.nrm), 6) AS cosine
+      |  FROM q JOIN nv c ON q.query_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
 
   /** Media decode from document text bytes (mirrors
     * Multimodal.mediaFromDocuments + encodeImages + decodeMeta; text is

@@ -33,6 +33,7 @@ object StreamVerify {
   case class EvRow(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class DocRow(doc_id: Long, text: String, ts: Timestamp)
+  case class EmbRow(vec_id: Long, embedding: Array[Float])
 
   private val qid = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -233,5 +234,23 @@ object StreamVerify {
     val mem = MemoryStream[DocRow]
     run(spark, mem, base.grouped(per).toSeq, "append")(
       df => graft.ops.TextOps.decontaminateStream(df, bench))
+  }
+
+  /** [[graft.ops.Similarity.topKForQueryStream]] over the query vectors
+    * replayed in micro-batches against the static corpus — stateless
+    * map-side broadcast scoring, so the sink is directly ≡
+    * [[graft.ops.Similarity.bruteForceTopK]] restricted to the same
+    * query rows (the `sim_brute` contract and oracle). */
+  def annScores(spark: SparkSession, embeddings: DataFrame,
+                nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val qrows = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").as[EmbRow].collect().toSeq
+    val per = math.max(1, (qrows.length + 2) / 3)
+    val mem = MemoryStream[EmbRow]
+    run(spark, mem, qrows.grouped(per).toSeq, "append")(
+      df => graft.ops.Similarity.topKForQueryStream(df, embeddings, k))
   }
 }
