@@ -374,6 +374,10 @@ object SparkEntry {
     // (no distinct-over-window, no 7-way self-join).
     "ev_active" -> ((s, dir) => streaming.Events.activeUsers(events(s, dir))),
 
+    // Per-user RFM profile: last-event µs, event/purchase counts, exact
+    // micro-quantized purchase-value sum — one partial-agg'd groupBy.
+    "ev_rfm" -> ((s, dir) => streaming.Events.rfm(events(s, dir))),
+
     // ---- STREAMING twins, driver-verified: each st_* replays the
     // scale-factor table through a MemoryStream in micro-batches (state
     // genuinely crosses batch boundaries) and canonicalizes the sink
@@ -715,6 +719,15 @@ object SparkEntry {
       ops.Relational.promoRevenueShare(
         s.read.parquet(s"$dir/lineitem.parquet"),
         s.read.parquet(s"$dir/part.parquet"), "PROMO")),
+
+    // Top supplier(s) by 1997-H1 shipped revenue (TPC-H Q15 shape):
+    // exact scaled-integer max with all ties kept, one-row broadcast
+    // max filter, supplier join on the winners only.
+    "rel_topsupplier" -> ((s, dir) =>
+      ops.Relational.topSupplierByRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        "1997-01-01", "1997-07-01")),
 
     // Power-of-two degree-distribution histogram (integer bit-length
     // buckets over the q3 degree table).
@@ -1854,6 +1867,20 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM j GROUP BY ship_month""".stripMargin,
 
+    "rel_topsupplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |        (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+        |                    AS BIGINT))) AS rs
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rs / 10000.0 AS total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rs = (SELECT max(rs) FROM r)""".stripMargin,
+
     "gr_degdist" -> (GraphCte +
       """, deg AS (SELECT src, count(*) AS degree FROM clean GROUP BY src)
         |SELECT CAST(length(to_base(degree, 2)) - 1 AS BIGINT) AS bucket,
@@ -1883,6 +1910,17 @@ object SparkEntry {
         |    FROM ud u CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS o) o) b
         |  GROUP BY b.day)
         |SELECT d.day, d.dau, w.wau7 FROM dau d JOIN wau w ON d.day = w.day""".stripMargin,
+
+    "ev_rfm" ->
+      """SELECT user_id,
+        |  max(epoch_us(ts)) AS last_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |           THEN CAST(round(value * 1000000.0, 0) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) / 1000000.0 AS monetary
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "tx_tfidf" -> (TokCte.stripSuffix("\n") +
       """,

@@ -207,6 +207,33 @@ object Relational {
       .drop("rev_scaled")
   }
 
+  /** Top supplier(s) by revenue over lineitems shipped in [from, until)
+    * (reference shape: TPC-H Q15) — ALL suppliers tied at the maximum,
+    * like the spec's view formulation. Revenue is the exact
+    * scaled-integer long, so the max and the tie comparison are exact.
+    * Scale shape: one partially-aggregated groupBy(suppkey) with the
+    * ship-date range pushed to the scan; the global max is a one-row
+    * aggregate broadcast back as a join filter (never a global sort);
+    * the supplier name join touches only the winners. */
+  def topSupplierByRevenue(lineitem: DataFrame, supplier: DataFrame,
+                           from: String, until: String): DataFrame = {
+    val cents = (dec2(col("l_extendedprice")) * lit(100)).cast(LongType)
+    val discPct = (dec2(col("l_discount")) * lit(100)).cast(LongType)
+    val perSupp = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_suppkey"), (cents * (lit(100L) - discPct)).as("rs"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("rs")).as("rev_scaled"))
+    perSupp
+      .join(broadcast(perSupp.agg(max(col("rev_scaled")).as("mx"))),
+        col("rev_scaled") === col("mx"))
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_scaled") / lit(10000.0)).as("total_revenue"))
+  }
+
   /** Promotional revenue share per ship month (reference shape: TPC-H
     * Q14): of each month's discounted revenue, the fraction from parts
     * of the promo type. Exact decimal sums; the share is rendered as a

@@ -614,6 +614,29 @@ object Events {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"),
         round(sum(col("value")), 6).as("sum_value"))
 
+  /** Per-user RFM profile — the recency/frequency/monetary rollup a
+    * lifecycle or LTV model consumes: last event time (exact integral
+    * µs), total event count, purchase count, and purchase value summed
+    * EXACTLY (each value micro-quantized once with the shared
+    * round-half-away rule, then an order-free integer sum — a plain
+    * double `sum` would vary with reducer order at scale, this cannot).
+    * ONE partially-aggregated groupBy(user_id); the exchange carries a
+    * single partial row per (user, map partition). */
+  def rfm(events: DataFrame): DataFrame =
+    LocalEvents.rfm(events).getOrElse(rfmDistributed(events))
+
+  private[streaming] def rfmDistributed(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("event_type") === "purchase").as("isp"),
+        round(col("value") * lit(1000000.0), 0).cast("long").as("vmu"))
+      .groupBy("user_id")
+      .agg(max(col("us")).as("last_us"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("isp"), 1L).otherwise(0L)).as("n_purchases"),
+        (sum(when(col("isp"), col("vmu")).otherwise(0L)) / lit(1000000.0))
+          .as("monetary"))
+
   /** The stateful half of top-k: running per-(event_type, user) value
     * sums. Streaming-safe — under readStream this is an update-mode
     * aggregation whose state Spark checkpoints. */

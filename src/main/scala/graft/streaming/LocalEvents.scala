@@ -510,6 +510,41 @@ object LocalEvents {
       shipDf(events.sparkSession, "day" -> days, "dau" -> dau, "wau7" -> wau)
     }
 
+  /** ≡ Events.rfmDistributed: per-user last-event µs, event count,
+    * purchase count, exact micro-quantized purchase-value sum (same
+    * HALF_UP round as the column `round(value·1e6, 0)`). */
+  private[streaming] def rfm(events: DataFrame): Option[DataFrame] =
+    localRows(events).map { case (_, us, uid, et, v, _) =>
+      final class Acc {
+        var lastUs = Long.MinValue
+        var nEvents = 0L
+        var nPurch = 0L
+        var microSum = 0L
+      }
+      val byUser = new java.util.TreeMap[Long, Acc]()
+      var i = 0
+      while (i < us.length) {
+        var a = byUser.get(uid(i))
+        if (a == null) { a = new Acc; byUser.put(uid(i), a) }
+        if (us(i) > a.lastUs) a.lastUs = us(i)
+        a.nEvents += 1
+        if (et(i) == "purchase") {
+          a.nPurch += 1
+          a.microSum += java.math.BigDecimal.valueOf(v(i) * 1000000.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        }
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val users = byUser.keySet().asScala.toArray
+      shipDf(events.sparkSession,
+        "user_id" -> users,
+        "last_us" -> users.map(byUser.get(_).lastUs),
+        "n_events" -> users.map(byUser.get(_).nEvents),
+        "n_purchases" -> users.map(byUser.get(_).nPurch),
+        "monetary" -> users.map(u => byUser.get(u).microSum / 1000000.0))
+    }
+
   /** Hourly peak session concurrency: the same ±1 sweep as the
     * distributed two-phase prefix sum, on driver arrays — sessionize
     * per user (order (us, event_id), 30-min gap), emit closed

@@ -199,6 +199,25 @@ class RelationalSpec extends SparkSpec {
     assert(top1 === Seq(10L))
   }
 
+  test("topSupplierByRevenue: scaled-int max, all ties kept, date window") {
+    val s = spark; import s.implicits._
+    val li = Seq(
+      // suppliers 1 and 2 tie at 90.0 inside the window
+      (1L, 100.00, 0.10, ts("1997-02-01")),
+      (2L, 90.00, 0.00, ts("1997-03-01")),
+      // supplier 3 leads only if the out-of-window line counted
+      (3L, 50.00, 0.00, ts("1997-04-01")),
+      (3L, 500.00, 0.00, ts("1998-01-01")))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val sup = Seq((1L, "Supplier#1"), (2L, "Supplier#2"), (3L, "Supplier#3"))
+      .toDF("s_suppkey", "s_name")
+    val out = Relational.topSupplierByRevenue(li, sup,
+        "1997-01-01", "1997-07-01")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out === Seq((1L, "Supplier#1", 90.0), (2L, "Supplier#2", 90.0)))
+  }
+
   test("promoRevenueShare: exact decimal share per ship month") {
     val s = spark; import s.implicits._
     val li = Seq(

@@ -206,7 +206,29 @@ class LocalEventsSpec extends SparkSpec {
       assert(lac === dac, "activeUsers")
       val (lpk, dpk) = bothWays(Events.peakConcurrency(ev))
       assert(lpk === dpk, "peakConcurrency")
+      val (lrf, drf) = bothWays(Events.rfm(ev))
+      assert(lrf === drf, "rfm")
+      assert(lrf.nonEmpty)
     } finally ev.unpersist()
+  }
+
+  test("rfm: kernel ≡ distributed; exact micro-quantized monetary") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (1L, 1000L, 10L, "purchase", 0.1),
+      (2L, 5000L, 10L, "purchase", 0.2),
+      (3L, 3000L, 10L, "click", 99.9), // non-purchase value ignored
+      (4L, 2000L, 11L, "view", 1.0) // zero purchases
+    ).toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val (l, d) = bothWays(Events.rfm(ev))
+    assert(l === d)
+    val rows = l.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+      r(2).asInstanceOf[Long], r(3).asInstanceOf[Long],
+      r(4).asInstanceOf[Double])).sortBy(_._1)
+    // 0.1 and 0.2 quantize to exactly 100000 + 200000 µunits = 0.3
+    // (the naive double sum would be 0.30000000000000004)
+    assert(rows === Seq((10L, 5000L, 3L, 2L, 0.3), (11L, 2000L, 1L, 0L, 0.0)))
   }
 
   test("propsProfile kernel refuses exotic JSON (falls back distributed)") {
