@@ -601,7 +601,16 @@ object TextOps {
     * k tokens hash their whole token list (the `shingles` convention);
     * shingle lists shorter than w keep their single global minimum, so
     * every document emits ≥ 1 fingerprint. */
-  def winnow(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.WinnowFingerprints.of(col("text"), k, w))
+        .as("fingerprint"))
+
+  /** The composed-column winnow formulation the native expression
+    * replaced — kept as the equality reference for its property spec
+    * (it IS the oracle's computation, lambda for lambda). */
+  private[graft] def winnowComposed(docs: DataFrame, k: Int,
+                                    w: Int): DataFrame = {
     val tk = tokens(col("text"))
     val hashes = transform(
       sequence(lit(1), greatest(size(tk) - (k - 1), lit(1))),

@@ -61,6 +61,23 @@ class OpsSpec extends SparkSpec {
     assert((byDoc(0L) intersect byDoc(1L)).nonEmpty)
   }
 
+  test("winnow: native expression ≡ composed formulation on fuzz input") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab \t\n  é世c.x "
+    val rows = (0L until 120L).map { i =>
+      val len = rnd.nextInt(60)
+      (i, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val d = docs(rows: _*)
+    for ((k, w) <- Seq((4, 4), (2, 3), (1, 1), (5, 2))) {
+      val native = TextOps.winnow(d, k, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val composed = TextOps.winnowComposed(d, k, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(native === composed, s"k=$k w=$w")
+    }
+  }
+
   test("oovRate: top-k vocab membership, count-desc token-asc ties") {
     val d = docs((1L, "a a b c"), (2L, "a b b d"))
     val out = TextOps.oovRate(d, 2).orderBy("doc_id").collect()
