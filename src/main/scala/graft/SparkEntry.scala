@@ -743,16 +743,13 @@ object SparkEntry {
 
     // Multimodal: decode metadata via batched mapPartitions — image-kind
     // payloads are real BMP files parsed by the actual javax.imageio
-    // codec; audio/video use the stub header parse.
-    "mm_decode" -> ((s, dir) =>
-      ops.Multimodal.decodeMeta(s, ops.Multimodal.encodeImages(
-        s, ops.Multimodal.mediaFromDocuments(docs(s, dir))))),
+    // codec; audio/video use the stub header parse. The decoded metadata
+    // table (tiny: one row per media item) is memoized per dir — resize
+    // is a consumer of the decode stage, not a second decode run.
+    "mm_decode" -> ((s, dir) => decodedMedia(s, dir)),
 
-    // Multimodal: resize metadata contract.
-    "mm_resize" -> ((s, dir) =>
-      ops.Multimodal.resize(
-        ops.Multimodal.decodeMeta(s, ops.Multimodal.encodeImages(
-          s, ops.Multimodal.mediaFromDocuments(docs(s, dir)))))),
+    // Multimodal: resize metadata contract over the shared decode table.
+    "mm_resize" -> ((s, dir) => ops.Multimodal.resize(decodedMedia(s, dir))),
 
     // Multimodal: video frame sampling (every 4th 256-byte frame).
     "mm_frames" -> ((s, dir) =>
@@ -775,6 +772,14 @@ object SparkEntry {
                          (load: => DataFrame): DataFrame =
     tableCache.get(s, key)(
       load.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Decoded media metadata (one small row per media item), shared by
+    * mm_decode and mm_resize — the resize stage consumes the decode
+    * stage's output instead of re-running the codec. */
+  private def decodedMedia(s: SparkSession, dir: String): DataFrame =
+    cachedTable(s, s"$dir/mm_decoded")(
+      ops.Multimodal.decodeMeta(s, ops.Multimodal.encodeImages(
+        s, ops.Multimodal.mediaFromDocuments(docs(s, dir)))))
 
   /** MinHash+LSH verified pair set at the driver threshold, shared by
     * dd_minhash (its output) and dd_clusters (its input). Memoized but
