@@ -310,6 +310,15 @@ object SparkEntry {
       withCsr(s, dir)(csr => graft.bfs.LabelPropagation.lpaCsrDf(s, csr, 4))(
         graft.bfs.LabelPropagation.lpa(s, clean(s, dir), 4))),
 
+    // Modularity decomposition of the LPA partition: per-community
+    // (members, degree mass, internal edges) exact integers + 6-dp
+    // q_c contribution, top-20 communities by size.
+    "gr_modularity" -> ((s, dir) =>
+      withCsr(s, dir)(csr => graft.bfs.LabelPropagation.modularityTopCsr(
+          s, csr, graft.bfs.LabelPropagation.lpaCsr(csr, 4), 20))(
+        graft.bfs.LabelPropagation.modularityTop(clean(s, dir),
+          graft.bfs.LabelPropagation.lpa(s, clean(s, dir), 4), 20))),
+
     // S4 — deterministic initial-edge backbones (MRG scramble → rows check).
     "s4_tree_edges" -> ((s, _) => graft.gen.Kronecker.binaryTreeEdges(s, 10)),
     "s4_ham_edges" -> ((s, _) => graft.gen.Kronecker.hamiltonianCycleEdges(s, 10)),
@@ -427,6 +436,12 @@ object SparkEntry {
     // (stateless broadcast scoring) ≡ brute-force top-k on the queries.
     "st_ann" -> ((s, dir) =>
       streaming.StreamVerify.annScores(s, emb(s, dir), 10, 5)),
+
+    // Streaming int8 quantization: stateless narrow map ≡ sim_quantize.
+    "st_quantize" -> ((s, dir) =>
+      streaming.StreamVerify.quantizeRows(s,
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding"))),
 
     // Hourly volume anomalies per type: |z| > 2 decided by an exact
     // integer predicate (no FP in the comparison).
@@ -930,7 +945,7 @@ object SparkEntry {
   /** Unrolled synchronous label propagation (mirrors
     * LabelPropagation.lpa / lpaCsr): each round every vertex adopts the
     * most frequent neighbor label, min label on ties. */
-  private def lpaSql(rounds: Int): String = {
+  private def lpaStepsSql(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s""",
          |lp$i AS (
@@ -943,9 +958,30 @@ object SparkEntry {
          |  WHERE rk = 1)""".stripMargin
     }.mkString
     """, lp0 AS (SELECT src AS v, src AS label FROM clean GROUP BY src)"""
-      .stripMargin + steps +
-      s"\nSELECT v AS vertex, label FROM lp$rounds"
+      .stripMargin + steps
   }
+
+  private def lpaSql(rounds: Int): String =
+    lpaStepsSql(rounds) + s"\nSELECT v AS vertex, label FROM lp$rounds"
+
+  /** Modularity decomposition of the LPA partition (mirrors
+    * LabelPropagation.modularityTop*). */
+  private def modularitySql(rounds: Int, k: Int): String =
+    lpaStepsSql(rounds) + s""",
+      |lab AS (SELECT v, label FROM lp$rounds),
+      |el AS (SELECT a.label AS ls, b.label AS ld
+      |       FROM clean e JOIN lab a ON e.src = a.v JOIN lab b ON e.dst = b.v),
+      |per AS (SELECT ls AS community, count(*) AS k_c,
+      |          CAST(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT) AS in_c
+      |        FROM el GROUP BY ls),
+      |mem AS (SELECT label AS community, count(*) AS n_members
+      |        FROM lab GROUP BY label),
+      |tot AS (SELECT count(*) AS m2 FROM clean)
+      |SELECT community, n_members, k_c, in_c,
+      |  round(CAST(in_c AS DOUBLE)/m2 -
+      |        (CAST(k_c AS DOUBLE)/m2) * (CAST(k_c AS DOUBLE)/m2), 6) AS q_c
+      |FROM mem JOIN per USING (community), tot
+      |ORDER BY n_members DESC, community LIMIT $k""".stripMargin
 
   /** Shared oriented co-purchase CTE prefix: distinct part pairs per
     * order, symmetrized, degree table, degree-ordered orientation. */
@@ -1002,6 +1038,8 @@ object SparkEntry {
     "gr_kcore" -> (GraphCte + kcoreSql(3, 5)),
 
     "gr_lpa" -> (GraphCte + lpaSql(4)),
+
+    "gr_modularity" -> (GraphCte + modularitySql(4, 20)),
 
     "q2_clean_edges" -> (GraphCte + "SELECT src, dst FROM clean"),
 
@@ -1969,18 +2007,10 @@ object SparkEntry {
         |         AS chunk_text
         |FROM ch""".stripMargin),
 
-    "sim_quantize" ->
-      """WITH ex AS (SELECT vec_id, embedding,
-        |              unnest(generate_series(1, len(embedding))) AS ii,
-        |              list_max(list_transform(CAST(embedding AS DOUBLE[]),
-        |                                      x -> abs(x))) AS mx
-        |            FROM embeddings)
-        |SELECT vec_id, CAST(ii - 1 AS BIGINT) AS dim,
-        |       CAST(CASE WHEN mx = 0 THEN 0
-        |            ELSE round(CAST(embedding[ii] AS DOUBLE) / (mx / 127.0), 0)
-        |            END AS BIGINT) AS q,
-        |       round(mx / 127.0, 6) AS scale
-        |FROM ex""".stripMargin,
+    "sim_quantize" -> SimQuantizeSql,
+
+    // the streaming twin is a stateless narrow map — emissions ≡ batch
+    "st_quantize" -> SimQuantizeSql,
 
     // Mirrors covarianceMoments exactly: one micro-unit quantization
     // (double round, ties away from zero on both engines), then exact
@@ -2371,6 +2401,21 @@ object SparkEntry {
       |  FROM embeddings
       |)
       |""".stripMargin
+
+  /** Symmetric int8 quantization in long form — the contract both
+    * `sim_quantize` and its streaming twin `st_quantize` fulfill. */
+  private val SimQuantizeSql =
+    """WITH ex AS (SELECT vec_id, embedding,
+      |              unnest(generate_series(1, len(embedding))) AS ii,
+      |              list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                      x -> abs(x))) AS mx
+      |            FROM embeddings)
+      |SELECT vec_id, CAST(ii - 1 AS BIGINT) AS dim,
+      |       CAST(CASE WHEN mx = 0 THEN 0
+      |            ELSE round(CAST(embedding[ii] AS DOUBLE) / (mx / 127.0), 0)
+      |            END AS BIGINT) AS q,
+      |       round(mx / 127.0, 6) AS scale
+      |FROM ex""".stripMargin
 
   /** Exact cosine top-5 for the 10 stand-in queries — the contract both
     * `sim_brute` and its streaming twin `st_ann` fulfill. */

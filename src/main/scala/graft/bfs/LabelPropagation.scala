@@ -92,4 +92,80 @@ object LabelPropagation {
   def lpaCsrDf(spark: SparkSession, csr: LocalCsr, rounds: Int = 4): DataFrame =
     graft.functions.Ship.df(spark,
       "vertex" -> csr.ids, "label" -> lpaCsr(csr, rounds))
+
+  /** Community quality profile over an LPA partition — the modularity
+    * decomposition a community-detection run is judged by. Per
+    * community: member count, total degree `k_c` (directed edge
+    * endpoints inside c — exact integer), internal directed edge count
+    * `in_c` (each undirected internal edge counted twice), and the
+    * 6-dp modularity contribution q_c = in_c/2m − (k_c/2m)²; Q = Σ q_c.
+    * Top-k communities by (members desc, label asc).
+    *
+    * Scale shape: two label joins against the (|V|-sized) label table,
+    * ONE partially-aggregated groupBy(community), a one-row total
+    * crossed in as a broadcast, and TakeOrdered for the k result rows —
+    * no window over the edge set anywhere. */
+  def modularityTop(clean: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    val lab = labels.select(col("vertex"), col("label"))
+    val e = clean.select("src", "dst")
+      .join(lab.select(col("vertex").as("src"), col("label").as("ls")), "src")
+      .join(lab.select(col("vertex").as("dst"), col("label").as("ld")), "dst")
+    val per = e.groupBy(col("ls").as("community"))
+      .agg(count(lit(1)).as("k_c"),
+        sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("in_c"))
+    val members = lab.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+    val tot = clean.agg(count(lit(1)).as("m2"))
+    val kd = col("k_c").cast("double") / col("m2").cast("double")
+    members.join(per, Seq("community"))
+      .crossJoin(broadcast(tot))
+      .select(col("community"), col("n_members"), col("k_c"), col("in_c"),
+        round(col("in_c").cast("double") / col("m2").cast("double") -
+          kd * kd, 6).as("q_c"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(k)
+  }
+
+  /** Kernel twin of [[modularityTop]] on CSR arrays + an LPA label
+    * array (dense-indexed): one sweep over the adjacency accumulating
+    * per-community (members, k_c, in_c), same rounded double contract. */
+  def modularityTopCsr(spark: SparkSession, csr: LocalCsr,
+                       labels: Array[Long], k: Int): DataFrame = {
+    val n = csr.nVerts
+    val rs = csr.rowStarts
+    val nbrs = csr.nbrs
+    final class Acc {
+      var members = 0L
+      var kC = 0L
+      var inC = 0L
+    }
+    val byC = new java.util.TreeMap[Long, Acc]()
+    var v = 0
+    while (v < n) {
+      val l = labels(v)
+      var a = byC.get(l)
+      if (a == null) { a = new Acc; byC.put(l, a) }
+      a.members += 1
+      a.kC += rs(v + 1) - rs(v)
+      var p = rs(v)
+      while (p < rs(v + 1)) {
+        if (labels(nbrs(p)) == l) a.inC += 1
+        p += 1
+      }
+      v += 1
+    }
+    val m2 = rs(n).toDouble
+    import scala.jdk.CollectionConverters._
+    val rows = byC.entrySet().asScala.toSeq
+      .map(e => (e.getKey, e.getValue.members, e.getValue.kC, e.getValue.inC))
+      .sortBy { case (c, m, _, _) => (-m, c) }
+      .take(k)
+      .map { case (c, m, kC, inC) =>
+        val kd = kC.toDouble / m2
+        (c, m, kC, inC,
+          graft.ops.LocalDedup.round6(inC.toDouble / m2 - kd * kd))
+      }
+    import spark.implicits._
+    rows.toDF("community", "n_members", "k_c", "in_c", "q_c")
+  }
 }

@@ -236,6 +236,20 @@ object StreamVerify {
       df => graft.ops.TextOps.decontaminateStream(df, bench))
   }
 
+  /** [[graft.ops.Similarity.quantizeInt8]] over the embeddings replayed
+    * in micro-batches — a stateless narrow map, so the append-mode sink
+    * is directly ≡ the batch `sim_quantize` rows (shared oracle). */
+  def quantizeRows(spark: SparkSession, embeddings: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = embeddings.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").as[EmbRow].collect().toSeq
+    val per = math.max(1, (rows.length + 2) / 3)
+    val mem = MemoryStream[EmbRow]
+    run(spark, mem, rows.grouped(per).toSeq, "append")(
+      df => graft.ops.Similarity.quantizeInt8(df))
+  }
+
   /** [[graft.ops.Similarity.topKForQueryStream]] over the query vectors
     * replayed in micro-batches against the static corpus — stateless
     * map-side broadcast scoring, so the sink is directly ≡

@@ -67,4 +67,55 @@ class LabelPropagationSpec extends SparkSpec {
     assert(m(5L) == 1L)
     assert(m(1L) == 5L && m(2L) == 5L) // leaves adopt the center's label
   }
+
+  test("modularityTop: kernel ≡ distributed ≡ hand model") {
+    val s = spark; import s.implicits._
+    // two 4-cliques + a bridge: LPA(4) recovers the cliques
+    val c1 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val c2 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val pairs = c1 ++ c2 ++ Seq((3L, 10L))
+    val csr = LocalCsr.buildFromRawPairs(
+      pairs.flatMap(p => Seq(p._1, p._2)).toArray)
+    val labels = LabelPropagation.lpaCsr(csr, 4)
+    val kernel = LabelPropagation.modularityTopCsr(spark, csr, labels, 20)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val clean = graft.etl.EdgeOps.cleanEdges(pairs.toDF("src", "dst"))
+    val dist = LabelPropagation.modularityTop(clean,
+        LabelPropagation.lpa(spark, clean, 4), 20)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(kernel === dist)
+    // hand model from the known partition {0-3}, {10-13}:
+    // 2m = 26 directed edges; community A: k=13 (12 internal + bridge),
+    // in=12; community B symmetric
+    val byC = kernel.map(r => r._1 -> r).toMap
+    assert(kernel.map(_._2).sum === 8L)
+    byC.values.foreach { case (_, members, kc, inc, q) =>
+      assert(members === 4L)
+      assert(kc === 13L && inc === 12L)
+      assert(q === graft.ops.LocalDedup.round6(12.0 / 26 - (13.0 / 26) * (13.0 / 26)))
+    }
+  }
+
+  test("modularityTop: random graphs kernel ≡ distributed, k truncates") {
+    val s = spark; import s.implicits._
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val nV = 18 + rnd.nextInt(20)
+      val pairs = Seq.fill(3 * nV)(
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter(p => p._1 != p._2)
+      val csr = LocalCsr.buildFromRawPairs(
+        pairs.flatMap(p => Seq(p._1, p._2)).toArray)
+      val labels = LabelPropagation.lpaCsr(csr, 4)
+      val k = 5
+      val kernel = LabelPropagation.modularityTopCsr(spark, csr, labels, k)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      val clean = graft.etl.EdgeOps.cleanEdges(pairs.toDF("src", "dst"))
+      val dist = LabelPropagation.modularityTop(clean,
+          LabelPropagation.lpa(spark, clean, 4), k)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      assert(kernel === dist, s"seed=$seed")
+      assert(kernel.length <= k, s"seed=$seed")
+    }
+  }
 }
