@@ -13,7 +13,8 @@ object Gates {
     "localDedupMaxDocs",
     "localAnnMaxVecs",
     "localEventsMaxRows",
-    "localMixMaxRows")
+    "localMixMaxRows",
+    "localBpeMaxTypes")
 
   /** Zero every hybrid gate on `spark` — the force-distributed switch. */
   def forceDistributed(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -573,6 +573,11 @@ object SparkEntry {
     // top-k vocab build + narrow membership probe.
     "tx_oov" -> ((s, dir) => ops.TextOps.oovRate(docs(s, dir))),
 
+    // BPE merge-rule training (10 merges) — iterative argmax is not
+    // SQL-expressible → rows-only check; content digest + kernel ≡
+    // distributed equality pinned in specs.
+    "tx_bpe" -> ((s, dir) => ops.Bpe.learnMerges(docs(s, dir), 10)),
+
     // PII scrub: email/phone/IPv4 counts + redacted text.
     "tx_pii" -> ((s, dir) => ops.TextOps.piiScrub(docs(s, dir))),
 

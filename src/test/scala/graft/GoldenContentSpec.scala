@@ -56,6 +56,14 @@ class GoldenContentSpec extends SparkSpec {
     assert(digest(query("sim_ivf_kmeans")) === (50L, 24916634366L))
   }
 
+  test("tx_bpe content digest (sf0.001)") {
+    // rows-only for the driver (the iterative merge argmax is not
+    // SQL-expressible); kernel ≡ distributed is pinned in BpeSpec, and
+    // this digest pins the learned merge table itself — selection-order
+    // or tie-break drift fails here.
+    assert(digest(query("tx_bpe")) === (10L, 4569893822L))
+  }
+
   test("q6_roots exact roots (sf0.001)") {
     val got = query("q6_roots").orderBy("idx").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
