@@ -578,6 +578,11 @@ object SparkEntry {
     // distributed equality pinned in specs.
     "tx_bpe" -> ((s, dir) => ops.Bpe.learnMerges(docs(s, dir), 10)),
 
+    // Winnowing overlap pairs (MOSS as a dedup stage): shared selected
+    // fingerprints ≥ 2 with a hot-fingerprint guard — inverted
+    // fingerprint index, never all-pairs.
+    "dd_winnow" -> ((s, dir) => ops.Dedup.winnowDedup(docs(s, dir))),
+
     // PII scrub: email/phone/IPv4 counts + redacted text.
     "tx_pii" -> ((s, dir) => ops.TextOps.piiScrub(docs(s, dir))),
 
@@ -2192,21 +2197,20 @@ object SparkEntry {
         |    (h, cp) -> (h * 31 + cp) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
 
-    "tx_winnow" -> (TokCte.stripSuffix("\n") +
+    "tx_winnow" -> (WinnowCte + "SELECT doc_id, fingerprint FROM wfp"),
+
+    "dd_winnow" -> (WinnowCte.stripSuffix("\n") +
       """,
-        |hw AS (SELECT doc_id,
-        |         list_transform(generate_series(1, greatest(len(tk) - 3, 1)),
-        |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |                  list_transform(
-        |                    string_split(array_to_string(tk[i:i+3], ' '), ''),
-        |                    c -> CAST(ord(c) AS BIGINT))),
-        |                (h, cp) -> (h * 31 + cp) % 1000000007)) AS hs
-        |       FROM toks)
-        |SELECT DISTINCT doc_id, fingerprint FROM (
-        |  SELECT doc_id,
-        |    unnest(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
-        |      j -> list_aggregate(hs[j:j+3], 'min'))) AS fingerprint
-        |  FROM hw)""".stripMargin),
+        |hot AS (SELECT fingerprint FROM wfp
+        |        GROUP BY fingerprint HAVING count(*) > 100),
+        |idx AS (SELECT doc_id, fingerprint FROM wfp
+        |        WHERE fingerprint NOT IN (SELECT fingerprint FROM hot))
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |       count(*) AS n_shared
+        |FROM idx a JOIN idx b
+        |  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 2""".stripMargin),
 
     "tx_oov" -> (TokCte.stripSuffix("\n") +
       """,
@@ -2269,6 +2273,26 @@ object SparkEntry {
       |                     t -> t <> '') AS tk
       |  FROM documents
       |)
+      |""".stripMargin
+
+  /** Winnowing fingerprint selection per doc (mirrors TextOps.winnow /
+    * functions.WinnowFingerprints, k=4, w=4) — `wfp(doc_id,
+    * fingerprint)`, shared by tx_winnow and dd_winnow. */
+  private val WinnowCte = TokCte.stripSuffix("\n") +
+    """,
+      |hw AS (SELECT doc_id,
+      |         list_transform(generate_series(1, greatest(len(tk) - 3, 1)),
+      |           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                  list_transform(
+      |                    string_split(array_to_string(tk[i:i+3], ' '), ''),
+      |                    c -> CAST(ord(c) AS BIGINT))),
+      |                (h, cp) -> (h * 31 + cp) % 1000000007)) AS hs
+      |       FROM toks),
+      |wfp AS (SELECT DISTINCT doc_id, fingerprint FROM (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+      |      j -> list_aggregate(hs[j:j+3], 'min'))) AS fingerprint
+      |  FROM hw))
       |""".stripMargin
 
   /** Tokens → distinct 3-shingles → exact pairwise Jaccard via the

@@ -353,6 +353,40 @@ object Dedup {
     }(dist)
   }
 
+  /** Winnowing overlap pairs — the MOSS detector run as a dedup stage:
+    * documents sharing ≥ `minShared` selected fingerprints (see
+    * [[graft.functions.WinnowFingerprints]]; any shared token run of
+    * ≥ w+k−1 tokens guarantees a shared fingerprint, and only ~2/(w+1)
+    * of shingles enter the index). Ultra-hot fingerprints (df > maxDf —
+    * boilerplate) leave the index before the pair join, the n-gram
+    * family's skew guard. Scale shape: narrow fingerprint map → one
+    * df groupBy → inverted-index equi-join on the fingerprint key →
+    * partially-aggregated pair counts; never all-pairs.
+    * (doc_id_a, doc_id_b, n_shared), a < b. */
+  def winnowDedup(docs: DataFrame, k: Int = 4, w: Int = 4,
+                  minShared: Long = 2, maxDf: Long = 100): DataFrame =
+    viaLocal(docs) { (ids, texts) =>
+      val r = LocalDedup.winnowPairs(ids, texts, k, w, minShared, maxDf)
+      graft.functions.Ship.df(docs.sparkSession,
+        "doc_id_a" -> r.map(_._1).toArray,
+        "doc_id_b" -> r.map(_._2).toArray,
+        "n_shared" -> r.map(_._3).toArray)
+    } {
+      val fps = TextOps.winnow(docs, k, w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val hot = fps.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("fingerprint")
+        val idx = fps.join(broadcast(hot), Seq("fingerprint"), "left_anti")
+        val l = idx.select(col("doc_id").as("doc_id_a"), col("fingerprint"))
+        val r = idx.select(col("doc_id").as("doc_id_b"), col("fingerprint"))
+        l.join(r, "fingerprint").filter(col("doc_id_a") < col("doc_id_b"))
+          .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .localCheckpoint(eager = true)
+      } finally fps.unpersist(blocking = false)
+    }
+
   /** 60-bit SimHash per document over distinct whitespace tokens: bit j is
     * set iff sum over tokens of ±1 (by bit j of md5-hash64(token)) > 0.
     *

@@ -511,6 +511,61 @@ object LocalDedup {
     perDoc.toSeq.flatten
   }
 
+  /** Winnowing overlap pairs ≡ the distributed `Dedup.winnowDedup`:
+    * per-document [[graft.functions.WinnowFingerprints]] selection
+    * (parallel), hot fingerprints (df > maxDf) leave the index, shared
+    * counts over postings keyed by the (min, max) doc-id pair, kept at
+    * n_shared ≥ minShared. */
+  def winnowPairs(ids: Array[Long], texts: Array[String], k: Int, w: Int,
+                  minShared: Long, maxDf: Long): Seq[(Long, Long, Long)] = {
+    val n = ids.length
+    val fps = new Array[Array[Long]](n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { d =>
+      fps(d) = graft.functions.WinnowFingerprints.compute(texts(d), k, w)
+    }
+    val df = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    var d = 0
+    while (d < n) {
+      fps(d).foreach(f =>
+        df.computeIfAbsent(f, _ => new Array[Int](1))(0) += 1)
+      d += 1
+    }
+    val postings =
+      new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+    d = 0
+    while (d < n) {
+      fps(d).foreach { f =>
+        if (df.get(f)(0) <= maxDf)
+          postings.computeIfAbsent(f,
+            _ => new java.util.ArrayList[Integer]()).add(d)
+      }
+      d += 1
+    }
+    var pairBudget = 0L
+    val cnt = new java.util.HashMap[(Long, Long), Array[Long]]()
+    postings.values.forEach { lst =>
+      pairBudget += lst.size().toLong * (lst.size() - 1) / 2
+      checkEnumerable(pairBudget)
+      var i = 0
+      while (i < lst.size()) {
+        var j = i + 1
+        while (j < lst.size()) {
+          val a = ids(lst.get(i).intValue())
+          val b = ids(lst.get(j).intValue())
+          if (a != b) {
+            val key = if (a < b) (a, b) else (b, a)
+            cnt.computeIfAbsent(key, _ => new Array[Long](1))(0) += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    cnt.forEach { (p, c) => if (c(0) >= minShared) out += ((p._1, p._2, c(0))) }
+    out.sortBy(p => (p._1, p._2)).toSeq
+  }
+
   /** Thrown when a kernel's candidate-pair enumeration would exceed the
     * in-memory budget; callers fall back to the distributed pipeline. */
   final class Overflow extends RuntimeException(

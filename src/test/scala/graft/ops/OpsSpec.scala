@@ -78,6 +78,38 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowDedup: kernel ≡ distributed; shared-run pairs found") {
+    val s = spark; import s.implicits._
+    val shared = "one two three four five six seven" // ≥ w+k-1 tokens
+    val d = docs(
+      (1L, s"alpha $shared beta"),
+      (2L, s"gamma delta $shared"),
+      (3L, "completely different text with no overlap at all here"))
+    def run() = Dedup.winnowDedup(d, 4, 4, 1, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    spark.conf.unset("spark.graft.localDedupMaxDocs")
+    val local = run()
+    spark.conf.set("spark.graft.localDedupMaxDocs", "0")
+    val dist = try run()
+    finally spark.conf.unset("spark.graft.localDedupMaxDocs")
+    assert(local === dist)
+    // the shared 7-token run guarantees ≥ 1 shared fingerprint for (1,2)
+    assert(local.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L))
+    assert(!local.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("winnowDedup: hot fingerprints leave the index") {
+    val s = spark; import s.implicits._
+    // every doc shares the same text → every fingerprint has df = 4 >
+    // maxDf = 3 → no pairs survive
+    val d = docs((1L to 4L).map(i => (i, "common boilerplate run of words here")): _*)
+    val out = Dedup.winnowDedup(d, 4, 4, 1, 3).collect()
+    assert(out.isEmpty)
+    // raising the cap restores all 6 pairs
+    val out2 = Dedup.winnowDedup(d, 4, 4, 1, 100).collect()
+    assert(out2.length === 6)
+  }
+
   test("oovRate: top-k vocab membership, count-desc token-asc ties") {
     val d = docs((1L, "a a b c"), (2L, "a b b d"))
     val out = TextOps.oovRate(d, 2).orderBy("doc_id").collect()
