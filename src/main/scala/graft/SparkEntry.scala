@@ -443,6 +443,11 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet")
           .select("vec_id", "embedding"))),
 
+    // Streaming RFM: update-mode per-user aggregation; final state ≡
+    // the batch profile (shared oracle).
+    "st_rfm" -> ((s, dir) =>
+      streaming.StreamVerify.rfmFinal(s, events(s, dir))),
+
     // Hourly volume anomalies per type: |z| > 2 decided by an exact
     // integer predicate (no FP in the comparison).
     "ev_anomaly" -> ((s, dir) =>
@@ -1964,16 +1969,10 @@ object SparkEntry {
         |  GROUP BY b.day)
         |SELECT d.day, d.dau, w.wau7 FROM dau d JOIN wau w ON d.day = w.day""".stripMargin,
 
-    "ev_rfm" ->
-      """SELECT user_id,
-        |  max(epoch_us(ts)) AS last_us,
-        |  count(*) AS n_events,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_purchases,
-        |  CAST(sum(CASE WHEN event_type = 'purchase'
-        |           THEN CAST(round(value * 1000000.0, 0) AS BIGINT)
-        |           ELSE 0 END) AS BIGINT) / 1000000.0 AS monetary
-        |FROM events GROUP BY user_id""".stripMargin,
+    "ev_rfm" -> EvRfmSql,
+
+    // final update-mode state ≡ the batch profile
+    "st_rfm" -> EvRfmSql,
 
     "tx_tfidf" -> (TokCte.stripSuffix("\n") +
       """,
@@ -2430,6 +2429,19 @@ object SparkEntry {
       |  FROM embeddings
       |)
       |""".stripMargin
+
+  /** Per-user RFM profile — the contract both `ev_rfm` and its
+    * streaming twin `st_rfm` fulfill. */
+  private val EvRfmSql =
+    """SELECT user_id,
+      |  max(epoch_us(ts)) AS last_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases,
+      |  CAST(sum(CASE WHEN event_type = 'purchase'
+      |           THEN CAST(round(value * 1000000.0, 0) AS BIGINT)
+      |           ELSE 0 END) AS BIGINT) / 1000000.0 AS monetary
+      |FROM events GROUP BY user_id""".stripMargin
 
   /** Symmetric int8 quantization in long form — the contract both
     * `sim_quantize` and its streaming twin `st_quantize` fulfill. */

@@ -236,6 +236,25 @@ object StreamVerify {
       df => graft.ops.TextOps.decontaminateStream(df, bench))
   }
 
+  /** Final per-user state from [[Events.rfmDistributed]] run as an
+    * update-mode streaming aggregation: n_events is strictly monotone
+    * per user across emissions, so max(struct) per user is the
+    * completed profile ≡ batch [[Events.rfm]] (shared oracle). */
+  def rfmFinal(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvRow]
+    run(spark, mem, eventBatches(events, 4), "update")(
+        df => Events.rfmDistributed(df))
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("last_us"),
+        col("n_purchases"), col("monetary"))).as("s"))
+      .select(col("user_id"), col("s.last_us").as("last_us"),
+        col("s.n_events").as("n_events"),
+        col("s.n_purchases").as("n_purchases"),
+        col("s.monetary").as("monetary"))
+  }
+
   /** [[graft.ops.Similarity.quantizeInt8]] over the embeddings replayed
     * in micro-batches — a stateless narrow map, so the append-mode sink
     * is directly ≡ the batch `sim_quantize` rows (shared oracle). */
