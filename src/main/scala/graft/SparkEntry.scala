@@ -771,6 +771,51 @@ object SparkEntry {
     "gr_assort" -> ((s, dir) =>
       etl.EdgeOps.assortativityMoments(clean(s, dir))),
 
+    // Double-sweep diameter lower bound: eccentricity from the
+    // canonical root (read off the EXISTING q7 tree — no new
+    // traversal), then a second BFS from the farthest vertex (min id
+    // on ties). Kernel path re-uses the cached CSR; distributed path
+    // runs the level loop once more from the new root.
+    "gr_diameter" -> ((s, dir) => {
+      import s.implicits._
+      val h = handle(s, dir)
+      val (ecc1, far) = (h.csr, h.dense) match {
+        case (Some(csr), Some((_, depth))) if csr.nVerts > 0 =>
+          var mx = 0
+          var i = 0
+          while (i < csr.nVerts) {
+            if (depth(i) > mx) mx = depth(i)
+            i += 1
+          }
+          var fv = Long.MaxValue
+          i = 0
+          while (i < csr.nVerts) {
+            if (depth(i) == mx && csr.ids(i) < fv) fv = csr.ids(i)
+            i += 1
+          }
+          (mx.toLong, fv)
+        case _ =>
+          val t = tree(s, dir)
+          val e1 = t.agg(max(col("depth"))).head().getLong(0)
+          val fv = t.filter(col("depth") === e1)
+            .agg(min(col("vertex"))).head().getLong(0)
+          (e1, fv)
+      }
+      val ecc2 = h.csr match {
+        case Some(csr) if csr.nVerts > 0 =>
+          val (_, d2, _) = csr.bfs(far)
+          var mx = 0
+          var i = 0
+          while (i < d2.length) { if (d2(i) > mx) mx = d2(i); i += 1 }
+          mx.toLong
+        case _ =>
+          graft.bfs.Bfs.bfsMinParent(s, clean(s, dir), far)
+            .tree.agg(max(col("depth"))).head().getLong(0)
+      }
+      Seq((h.root, ecc1, far, ecc2))
+        .toDF("root1", "ecc1", "far_vertex", "ecc2")
+    }),
+
     // Multimodal: decode metadata via batched mapPartitions — image-kind
     // payloads are real BMP files parsed by the actual javax.imageio
     // codec; audio/video use the stub header parse. The decoded metadata
@@ -1055,6 +1100,23 @@ object SparkEntry {
     "gr_lpa" -> (GraphCte + lpaSql(4)),
 
     "gr_modularity" -> (GraphCte + modularitySql(4, 20)),
+
+    "gr_diameter" -> (GraphCte +
+      """,
+        |e1 AS (SELECT max(depth) AS ecc1 FROM d),
+        |far AS (SELECT min(vertex) AS fv FROM d
+        |        WHERE depth = (SELECT ecc1 FROM e1)),
+        |walk2(vertex, depth) AS (
+        |  SELECT fv, 0 FROM far
+        |  UNION
+        |  SELECT e.dst, w.depth + 1 FROM walk2 w JOIN clean e ON e.src = w.vertex
+        |  WHERE w.depth < 20),
+        |d2 AS (SELECT vertex, min(depth) AS depth FROM walk2 GROUP BY vertex)
+        |SELECT (SELECT r FROM root) AS root1,
+        |       CAST((SELECT ecc1 FROM e1) AS BIGINT) AS ecc1,
+        |       (SELECT fv FROM far) AS far_vertex,
+        |       CAST(max(depth) AS BIGINT) AS ecc2
+        |FROM d2""".stripMargin),
 
     "q2_clean_edges" -> (GraphCte + "SELECT src, dst FROM clean"),
 
