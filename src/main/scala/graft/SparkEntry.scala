@@ -539,6 +539,12 @@ object SparkEntry {
     // codewords, per-query LUT scoring — fully oracle-checked.
     "sim_pq" -> ((s, dir) => ops.Similarity.pqTopK(emb(s, dir), 8, 16, 5, 10)),
 
+    // PQ with trained per-subspace codebooks (deterministic sampled L2
+    // k-means, 3 iterations) — rows-only like sim_ivf_kmeans; digest +
+    // recall floor pinned in specs.
+    "sim_pq_kmeans" -> ((s, dir) =>
+      ops.Similarity.pqTopKTrained(emb(s, dir), 8, 16, 5, 10, nIter = 3)),
+
     // Per-label embedding centroids (mean-pool prototypes), long form.
     "sim_labelmeans" -> ((s, dir) =>
       ops.Similarity.labelCentroids(

@@ -194,10 +194,23 @@ object LocalSimilarity {
       .sortBy(c.ids(_)).toArray
     if (cbIdx.isEmpty) return Seq.empty
     val kk = cbIdx.length
+    // cw flat-indexed m*kk + (j-1), j 1-based (the oracle's layout)
+    val cw = Array.tabulate(nSub * kk)(i =>
+      java.util.Arrays.copyOfRange(c.vecs(cbIdx(i % kk)),
+        (i / kk) * sub, (i / kk) * sub + sub))
+    pqTopKWithCodebooks(c, nSub, cw, k, nQueries)
+  }
+
+  /** ADC scoring against EXPLICIT flat (m-major) codebooks — the shared
+    * back half of stand-in and trained PQ. */
+  def pqTopKWithCodebooks(c: Corpus, nSub: Int, cw: Array[Array[Double]],
+                          k: Int, nQueries: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    if (c.size == 0 || cw.isEmpty) return Seq.empty
+    val kk = cw.length / nSub
+    val sub = cw(0).length
     def subvec(v: Array[Double], m: Int): Array[Double] =
       java.util.Arrays.copyOfRange(v, m * sub, m * sub + sub)
-    // cw/cwn2 flat-indexed m*kk + (j-1), j 1-based (the oracle's layout)
-    val cw = Array.tabulate(nSub * kk)(i => subvec(c.vecs(cbIdx(i % kk)), i / kk))
     val cwn2 = cw.map(w => dot(w, w))
     // per-vector codes (1-based) + approximate norms
     val codes = Array.ofDim[Int](c.size, nSub)

@@ -369,7 +369,98 @@ object Similarity {
         val cwSeq: Seq[Seq[Double]] =
           for (m <- 0 until nSub; j <- 0 until kk)
             yield cbRows(j).slice(m * sub, m * sub + sub).toSeq
-        val cbLit = typedLit(cwSeq)
+        pqTopKDistributed(n, nSub, cwSeq, k, nQueries)
+    }
+
+  /** PQ with TRAINED per-subspace codebooks: deterministic sampled L2
+    * k-means per subspace (init = first kCodes sample sub-vectors,
+    * assignment by (squared distance asc, codeword asc), update = mean,
+    * empty cells keep their centroid — no RNG anywhere, the
+    * [[trainCentroids]] determinism contract). Output contract is
+    * identical to [[pqTopK]]; the training argmin is not
+    * SQL-expressible → rows-only driver check, content digest + recall
+    * floor pinned in specs (the `sim_ivf_kmeans` precedent). */
+  def pqTopKTrained(embeddings: DataFrame, nSub: Int = 8, kCodes: Int = 16,
+                    k: Int = 5, nQueries: Int = 10, nIter: Int = 3,
+                    sampleSize: Int = 4096): DataFrame = {
+    val cw = trainPqCodebooks(embeddings, nSub, kCodes, nIter, sampleSize)
+    localCorpus(embeddings) match {
+      case Some(c) => shipTopK(embeddings.sparkSession,
+        LocalSimilarity.pqTopKWithCodebooks(c, nSub, cw, k, nQueries))
+      case None =>
+        pqTopKDistributed(withNorm(embeddings), nSub,
+          cw.map(_.toSeq).toSeq, k, nQueries)
+    }
+  }
+
+  /** Deterministic sampled per-subspace L2 k-means — flat m-major
+    * codebooks (size nSub·kCodes). The sample is the first
+    * `sampleSize` vectors by id (a distributed top-S, the corpus is
+    * never collected). */
+  def trainPqCodebooks(embeddings: DataFrame, nSub: Int, kCodes: Int,
+                       nIter: Int, sampleSize: Int = 4096)
+      : Array[Array[Double]] = {
+    val sample = withNorm(embeddings)
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) return Array.empty
+    val d = sample(0).length
+    val sub = d / nSub
+    require(sub > 0, s"trainPqCodebooks: $d dims / $nSub subspaces")
+    val out = new Array[Array[Double]](nSub * kCodes)
+    var m = 0
+    while (m < nSub) {
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, m * sub, m * sub + sub))
+      var cents = pts.take(kCodes).map(_.clone())
+      var it = 0
+      while (it < nIter) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        pts.foreach { p =>
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var ci = 0
+          while (ci < cents.length) {
+            var dist = 0.0
+            var t = 0
+            while (t < sub) {
+              val diff = p(t) - cents(ci)(t)
+              dist += diff * diff
+              t += 1
+            }
+            if (dist < bestD) { bestD = dist; best = ci }
+            ci += 1
+          }
+          val s = sums(best)
+          var t = 0
+          while (t < sub) { s(t) += p(t); t += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { ci =>
+          if (counts(ci) == 0) cents(ci)
+          else sums(ci).map(_ / counts(ci))
+        }.toArray
+        it += 1
+      }
+      var j = 0
+      while (j < cents.length) { out(m * kCodes + j) = cents(j); j += 1 }
+      m += 1
+    }
+    out
+  }
+
+  /** The ADC pipeline against explicit flat (m-major) codebooks shipped
+    * as in-plan literals — encode + norm as a narrow map, broadcast
+    * query LUTs, bounded-heap top-k. */
+  private def pqTopKDistributed(n: DataFrame, nSub: Int,
+                                cwSeq: Seq[Seq[Double]], k: Int,
+                                nQueries: Int): DataFrame = {
+    require(cwSeq.nonEmpty, "pqTopKDistributed: empty codebook")
+    val kk = cwSeq.length / nSub
+    val sub = cwSeq.head.length
+    val cbLit = typedLit(cwSeq)
         val cwn2Lit = typedLit(
           cwSeq.map(w => LocalSimilarity.dot(w.toArray, w.toArray)))
         val scores = transform(sequence(lit(0), lit(nSub - 1)), m =>

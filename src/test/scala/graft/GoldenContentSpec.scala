@@ -56,6 +56,13 @@ class GoldenContentSpec extends SparkSpec {
     assert(digest(query("sim_ivf_kmeans")) === (50L, 24916634366L))
   }
 
+  test("sim_pq_kmeans content digest (sf0.001)") {
+    // rows-only for the driver (per-subspace k-means training is not
+    // SQL-expressible); codebook drift (sample, init, iterations) or
+    // ADC scoring drift fails here.
+    assert(digest(query("sim_pq_kmeans")) === (50L, 25361379442L))
+  }
+
   test("tx_bpe content digest (sf0.001)") {
     // rows-only for the driver (the iterative merge argmax is not
     // SQL-expressible); kernel ≡ distributed is pinned in BpeSpec, and

@@ -78,6 +78,19 @@ class LocalSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall $recall implausibly low")
   }
 
+  test("pqTopKTrained: kernel ≡ distributed; trained recall ≥ floor") {
+    val c = corpus(80, 16, 21L)
+    val (l, d) = bothWays(Similarity.pqTopKTrained(c, 4, 8, 5, 10, 3))
+    assert(l === d)
+    assert(l.size === 50)
+    val exact = Similarity.bruteForceTopK(c, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = Similarity.pqTopKTrained(c, 4, 8, 5, 10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (trained intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"trained PQ recall $recall implausibly low")
+  }
+
   test("embeddingDedup: kernel ≡ distributed block path (ties included)") {
     for (seed <- 1L to 3L) {
       val (l, d) = bothWays(Dedup.embeddingDedup(corpus(60, 8, seed), 0.3))
