@@ -387,6 +387,19 @@ object SparkEntry {
     // micro-quantized purchase-value sum — one partial-agg'd groupBy.
     "ev_rfm" -> ((s, dir) => streaming.Events.rfm(events(s, dir))),
 
+    // Approximate distinct users per event type via the mergeable
+    // HllDistinct sketch (p=12 → 4 KiB register buffer per group on the
+    // exchange regardless of cardinality; pinned hash ⇒ bit-stable).
+    // HLL is not SQL-expressible → rows-only; accuracy vs exact
+    // distinct + partition-invariance pinned in specs, content digest
+    // in GoldenContentSpec.
+    "ev_hll" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(graft.functions.HllDistinct.of(col("user_id"), 12)
+            .as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .select("event_type", "approx_users", "n_events")),
+
     // ---- STREAMING twins, driver-verified: each st_* replays the
     // scale-factor table through a MemoryStream in micro-batches (state
     // genuinely crosses batch boundaries) and canonicalizes the sink

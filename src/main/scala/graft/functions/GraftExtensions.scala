@@ -47,5 +47,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "poly_fingerprint takes 1 argument")
         StringPolyHash(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HllDistinct].getName, "hll_distinct"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "hll_distinct takes 2 arguments")
+        HllDistinct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "winnow_fingerprints takes 3 arguments (text, k, w)")
+        def intLit(e: Expression, what: String): Int = {
+          require(e.foldable, s"winnow_fingerprints: $what must be a literal")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        WinnowFingerprints(children.head,
+          intLit(children(1), "k"), intLit(children(2), "w"))
+      }))
   }
 }

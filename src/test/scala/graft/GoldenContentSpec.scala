@@ -63,6 +63,23 @@ class GoldenContentSpec extends SparkSpec {
     assert(digest(query("sim_pq_kmeans")) === (50L, 25361379442L))
   }
 
+  test("ev_hll content digest + accuracy vs exact (sf0.001)") {
+    // rows-only for the driver (HLL is not SQL-expressible); the digest
+    // pins register/hash/estimator drift, and each estimate must sit
+    // within 5% of the exact per-type distinct (p=12 ⇒ σ ≈ 1.6%)
+    assert(digest(query("ev_hll")) === (5L, 2541620046L))
+    val est = query("ev_hll").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ex = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ex.foreach { case (t, n) =>
+      assert(math.abs(est(t) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"type $t est ${est(t)} exact $n")
+    }
+  }
+
   test("tx_bpe content digest (sf0.001)") {
     // rows-only for the driver (the iterative merge argmax is not
     // SQL-expressible); kernel ≡ distributed is pinned in BpeSpec, and

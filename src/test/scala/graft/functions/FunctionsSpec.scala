@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.SparkSpec
 import graft.gen.Kronecker
+import org.apache.spark.sql.functions.col
 
 class FunctionsSpec extends SparkSpec {
 
@@ -65,5 +66,41 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project") && plan.contains("poly_fingerprint"),
       plan)
     assert(!plan.toLowerCase.contains("lambdafunction"), plan)
+  }
+
+  test("hll_distinct: accuracy, partition-invariance, small-range exactness") {
+    val s = spark; import s.implicits._
+    // 10k distinct keys at p=12 (standard error 1.04/√4096 ≈ 1.6%):
+    // demand 4% — duplicated rows must not move the estimate at all
+    val keys = (1L to 10000L).flatMap(k => Seq(k, k))
+    val est = keys.toDF("k")
+      .agg(HllDistinct.of(col("k"), 12)).head().getLong(0)
+    assert(math.abs(est - 10000L) <= 400, s"estimate $est")
+    // partition-invariant and repeatable (pinned hash, element-max merge)
+    val est13 = keys.toDF("k").repartition(13)
+      .agg(HllDistinct.of(col("k"), 12)).head().getLong(0)
+    assert(est13 === est)
+    // linear-counting range: tiny sets land exactly (no collisions at
+    // 5/4096 registers, m·ln(m/(m−5)) rounds to 5)
+    val tiny = Seq(7L, 8L, 9L, 10L, 11L).toDF("k")
+      .agg(HllDistinct.of(col("k"), 12)).head().getLong(0)
+    assert(tiny === 5L)
+    // SQL registration
+    val viaSql = spark.sql(
+      "SELECT hll_distinct(id, 12) FROM range(1000)").head().getLong(0)
+    assert(math.abs(viaSql - 1000L) <= 60, s"sql estimate $viaSql")
+  }
+
+  test("winnow_fingerprints callable from SQL ≡ Column API") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, "a b c d e f"), (2L, "x y")).toDF("doc_id", "text")
+    d.createOrReplaceTempView("wf_docs")
+    val api = graft.ops.TextOps.winnow(d, 4, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val sql = spark.sql(
+      """SELECT doc_id, explode(winnow_fingerprints(text, 4, 4)) AS fp
+        |FROM wf_docs""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(sql === api)
   }
 }
