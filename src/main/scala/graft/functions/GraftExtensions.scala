@@ -10,6 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  *   - `array_dot(a, b)`  — codegen'd sequential dot product
  *   - `kron_edge(scale, i)` — deterministic Graph500 edge generation
  *   - `poly_fingerprint(text)` — codegen'd rolling-hash fingerprint
+ *   - `topk_pair_min(score, id, k)` — bounded-heap per-group top-k
+ *   - `hll_distinct(key, p)` — pinned-hash HyperLogLog distinct estimate
+ *   - `winnow_fingerprints(text, k, w)` — MOSS winnowing selection
  *
  * Activate with `.config("spark.sql.extensions",
  * "graft.functions.GraftExtensions")` (comma-composable with other
