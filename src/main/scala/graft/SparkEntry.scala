@@ -461,6 +461,12 @@ object SparkEntry {
     "st_rfm" -> ((s, dir) =>
       streaming.StreamVerify.rfmFinal(s, events(s, dir))),
 
+    // Streaming HLL: the custom sketch aggregate under the state store;
+    // batching-invariant merge ⇒ final state ≡ batch ev_hll (rows-only
+    // like its batch sibling; equality pinned in GoldenContentSpec).
+    "st_hll" -> ((s, dir) =>
+      streaming.StreamVerify.hllFinal(s, events(s, dir))),
+
     // Hourly volume anomalies per type: |z| > 2 decided by an exact
     // integer predicate (no FP in the comparison).
     "ev_anomaly" -> ((s, dir) =>

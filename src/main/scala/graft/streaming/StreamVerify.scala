@@ -255,6 +255,28 @@ object StreamVerify {
         col("s.monetary").as("monetary"))
   }
 
+  /** The [[graft.functions.HllDistinct]] sketch as an update-mode
+    * STREAMING aggregation (a custom TypedImperativeAggregate running
+    * under the state store): per event type the approximate distinct
+    * users + event count. n_events is strictly monotone per type, so
+    * max(struct) canonicalizes the sink; the sketch itself is
+    * batching-invariant (element-max merge), so the final state equals
+    * batch `ev_hll` row for row. */
+  def hllFinal(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvRow]
+    run(spark, mem, eventBatches(events, 4), "update")(df =>
+        df.groupBy("event_type")
+          .agg(graft.functions.HllDistinct.of(col("user_id"), 12)
+              .as("approx_users"),
+            count(lit(1)).as("n_events")))
+      .groupBy("event_type")
+      .agg(max(struct(col("n_events"), col("approx_users"))).as("s"))
+      .select(col("event_type"), col("s.approx_users").as("approx_users"),
+        col("s.n_events").as("n_events"))
+  }
+
   /** [[graft.ops.Similarity.quantizeInt8]] over the embeddings replayed
     * in micro-batches — a stateless narrow map, so the append-mode sink
     * is directly ≡ the batch `sim_quantize` rows (shared oracle). */

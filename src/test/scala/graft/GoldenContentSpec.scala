@@ -80,6 +80,16 @@ class GoldenContentSpec extends SparkSpec {
     }
   }
 
+  test("st_hll streaming final state ≡ batch ev_hll (sf0.001)") {
+    // the sketch's element-max merge is batching-invariant, so the
+    // update-mode replay must land the EXACT batch rows
+    val batch = query("ev_hll").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val stream = query("st_hll").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(stream === batch)
+  }
+
   test("tx_bpe content digest (sf0.001)") {
     // rows-only for the driver (the iterative merge argmax is not
     // SQL-expressible); kernel ≡ distributed is pinned in BpeSpec, and
