@@ -269,12 +269,13 @@ object SparkEntry {
     // Connected components on the same subgraph (hybrid: local
     // union-find under the gate, label propagation + pointer jumping
     // above; construction in-kernel from the raw subgraph).
-    "cc_components" -> ((s, dir) => {
-      val sub = lineitemSub(s, dir)
-        .select((col("l_orderkey") * 2).as("src"),
-          (col("l_partkey") * 2 + 1).as("dst"))
-      graft.bfs.ConnectedComponents.componentsRaw(s, sub)
-    }),
+    "cc_components" -> ((s, dir) => ccLabels(s, dir)),
+
+    // Component-size distribution (giant-component / fragmentation
+    // chart): two partial-agg'd groupBys over the CC labelling (shares
+    // the memoized labelling with cc_components).
+    "gr_ccsizes" -> ((s, dir) =>
+      graft.bfs.ConnectedComponents.componentSizes(ccLabels(s, dir))),
 
     // Triangle counting on the part co-purchase projection graph (the
     // lineitem graph is bipartite — zero triangles — so the classic
@@ -387,6 +388,18 @@ object SparkEntry {
     // micro-quantized purchase-value sum — one partial-agg'd groupBy.
     "ev_rfm" -> ((s, dir) => streaming.Events.rfm(events(s, dir))),
 
+    // Latest-record compaction (CDC upsert collapse): one row per user,
+    // last write by (ts, event_id) wins — a single partial-agg'd
+    // struct-max groupBy, no window rank.
+    "ev_latest" -> ((s, dir) =>
+      streaming.Events.latestRecord(events(s, dir))),
+
+    // Per-type dwell time: gap from each event to the user's next event
+    // of ANY type, attributed to the earlier event's type — exact
+    // integer µs stats with a floor-div mean.
+    "ev_dwell" -> ((s, dir) =>
+      streaming.Events.dwellByType(events(s, dir))),
+
     // Approximate distinct users per event type via the mergeable
     // HllDistinct sketch (p=12 → 4 KiB register buffer per group on the
     // exchange regardless of cardinality; pinned hash ⇒ bit-stable).
@@ -467,6 +480,16 @@ object SparkEntry {
     "st_hll" -> ((s, dir) =>
       streaming.StreamVerify.hllFinal(s, events(s, dir))),
 
+    // Streaming top-k users: update-mode running sums, final state
+    // ranked through the batch rank half ≡ ev_topusers.
+    "st_topusers" -> ((s, dir) =>
+      streaming.StreamVerify.topUsersFinal(s, events(s, dir), 3)),
+
+    // Streaming latest-record compaction: the CDC changelog collapse as
+    // an update-mode struct-max aggregation ≡ ev_latest.
+    "st_latest" -> ((s, dir) =>
+      streaming.StreamVerify.latestFinal(s, events(s, dir))),
+
     // Hourly volume anomalies per type: |z| > 2 decided by an exact
     // integer predicate (no FP in the comparison).
     "ev_anomaly" -> ((s, dir) =>
@@ -480,6 +503,13 @@ object SparkEntry {
     // Normalized ("fuzzy-exact") dedup: digest of the case/punctuation/
     // whitespace-normalized text.
     "dd_norm" -> ((s, dir) => ops.Dedup.normalizedExact(docs(s, dir))),
+
+    // Duplicate-overlap matrix between sources (within-source dup
+    // clusters on the diagonal): cluster-keyed join of per-(cluster,
+    // source) rows over the cached near-dup cluster map (its 5th
+    // consumer) — fan-out bounded by the source count, never all-pairs.
+    "dd_overlap" -> ((s, dir) => ops.Dedup.sourceOverlap(
+      minhashClusters(s, dir), docsMeta(s, dir))),
 
     // MinHash+LSH near-dup pairs, exact-Jaccard verified.
     "dd_minhash" -> ((s, dir) => minhashPairs(s, dir)),
@@ -543,6 +573,11 @@ object SparkEntry {
 
     // Brute-force cosine top-5 for queries vec_id<10 (exact baseline).
     "sim_brute" -> ((s, dir) => ops.Similarity.bruteForceTopK(emb(s, dir), 5, 10)),
+
+    // k-NN graph: exact top-3 neighbors of EVERY vector (broadcast-block
+    // exact under the EmbeddingBlockLimit strategy knob, hyperplane-LSH
+    // candidates above it).
+    "sim_knn" -> ((s, dir) => ops.Similarity.knnGraph(emb(s, dir), 3)),
 
     // IVF-bucketed approximate top-5 (the scale path).
     "sim_ivf" -> ((s, dir) => ops.Similarity.ivfTopK(emb(s, dir), 5, 10, 16, 4)),
@@ -784,6 +819,34 @@ object SparkEntry {
         s.read.parquet(s"$dir/supplier.parquet"),
         "1997-01-01", "1997-07-01")),
 
+    // Pure scan-aggregate (TPC-H Q6 shape): every predicate pushed to
+    // the parquet scan, one-row map-side-collapsed aggregation.
+    "rel_discount" -> ((s, dir) =>
+      ops.Relational.forecastRevenueChange(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "1997-01-01", "1998-01-01", 0.05, 0.07, 24.0)),
+
+    // Large-quantity orders (TPC-H Q18 shape): HAVING on the
+    // pre-aggregated fact, joins see only qualifying orders, global
+    // top-k via TakeOrderedAndProject.
+    "rel_bigorders" -> ((s, dir) =>
+      ops.Relational.largeQuantityOrders(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"), 150.0, 100)),
+
+    // Volume shipping between two nations per year (TPC-H Q7 shape):
+    // both fact joins key-partitioned with pre-filtered build inputs,
+    // nation names broadcast twice under independent aliases.
+    "rel_volume" -> ((s, dir) =>
+      ops.Relational.volumeShipping(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        "NATION_1", "NATION_2", "1995-01-01", "1997-01-01")),
+
     // Power-of-two degree-distribution histogram (integer bit-length
     // buckets over the q3 degree table).
     "gr_degdist" -> ((s, dir) =>
@@ -899,6 +962,18 @@ object SparkEntry {
     clustersCache.get(s, s"$dir/minhash_clusters")(
       ops.Dedup.clustersFromPairs(docs(s, dir), minhashPairs(s, dir))
         .localCheckpoint(eager = true))
+
+  /** Memoized CC labelling of the lineitem subgraph — shared by
+    * cc_components and gr_ccsizes (the result is |V|-sized and already
+    * materialized by the CC run's own checkpoint). */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame =
+    clustersCache.get(s, s"$dir/cc_labels") {
+      val sub = lineitemSub(s, dir)
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      graft.bfs.ConnectedComponents.componentsRaw(s, sub)
+        .localCheckpoint(eager = true)
+    }
 
   /** Deterministic 2000-line lineitem subset feeding cc_components and
     * sssp_dist: the global top-2000 sort runs once per sfDir, not once
@@ -1250,20 +1325,15 @@ object SparkEntry {
         |)
         |SELECT vertex, min(dist) AS dist FROM walk GROUP BY vertex""".stripMargin,
 
-    "cc_components" ->
-      """WITH RECURSIVE
-        |sub AS (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000),
-        |sraw AS (SELECT 2*l_orderkey AS src, 2*l_partkey+1 AS dst FROM sub),
-        |sclean AS (SELECT DISTINCT src, dst FROM (
-        |  SELECT src, dst FROM sraw WHERE src <> dst
-        |  UNION ALL SELECT dst, src FROM sraw WHERE src <> dst)),
-        |sverts AS (SELECT DISTINCT src AS vertex FROM sclean),
-        |walk(vertex, lab) AS (
-        |  SELECT vertex, vertex FROM sverts
-        |  UNION
-        |  SELECT e.dst, w.lab FROM walk w JOIN sclean e ON e.src = w.vertex
-        |)
-        |SELECT vertex, min(lab) AS component FROM walk GROUP BY vertex""".stripMargin,
+    "cc_components" -> (CcWalkCte +
+      """SELECT vertex, min(lab) AS component FROM walk GROUP BY vertex""".stripMargin),
+
+    "gr_ccsizes" -> (CcWalkCte +
+      """, comp AS (SELECT vertex, min(lab) AS component FROM walk GROUP BY vertex),
+        |csz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+        |SELECT csize, count(*) AS n_components,
+        |       CAST(sum(csize) AS BIGINT) AS n_vertices
+        |FROM csz GROUP BY csize""".stripMargin),
 
     "ev_window" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
@@ -1416,16 +1486,26 @@ object SparkEntry {
         |       round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
 
-    "ev_topusers" ->
-      """WITH sums AS (
-        |  SELECT event_type, user_id, round(sum(value), 6) AS total_value
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, user_id, CAST(rank AS BIGINT) AS rank, total_value
-        |FROM (SELECT event_type, user_id, total_value,
-        |        row_number() OVER (PARTITION BY event_type
-        |                           ORDER BY total_value DESC, user_id) AS rank
-        |      FROM sums)
-        |WHERE rank <= 3""".stripMargin,
+    "ev_topusers" -> EvTopUsersSql,
+    // streaming twin: final running sums ranked by the batch rank half.
+    "st_topusers" -> EvTopUsersSql,
+
+    "ev_latest" -> EvLatestSql,
+    // streaming twin: compacted CDC changelog final state.
+    "st_latest" -> EvLatestSql,
+
+    "ev_dwell" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                             ORDER BY epoch_us(ts), event_id)
+        |      - epoch_us(ts) AS d
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_dwell,
+        |       min(d) AS min_dwell_us, max(d) AS max_dwell_us,
+        |       CAST(sum(d) AS BIGINT) AS sum_dwell_us,
+        |       CAST(sum(d) AS BIGINT) // count(*) AS avg_dwell_us
+        |FROM g WHERE d IS NOT NULL GROUP BY event_type""".stripMargin,
 
     // Same union+running-last window formulation as the Spark plan, so
     // the at-or-before tie-break (rights sort before lefts at equal us)
@@ -2026,6 +2106,83 @@ object SparkEntry {
         |FROM r JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rs = (SELECT max(rs) FROM r)""".stripMargin,
 
+    "rel_discount" ->
+      """SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(24,4)))
+        |       AS DECIMAL(34,4)) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) >= 0.05
+        |  AND CAST(l_discount AS DECIMAL(18,2)) <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "rel_bigorders" ->
+      """WITH q AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS qty_scaled
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |             AS BIGINT)) > 15000)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |  qty_scaled / 100.0 AS sum_qty
+        |FROM q JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN customer ON o_custkey = c_custkey
+        |ORDER BY qty_scaled DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "rel_volume" ->
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2')),
+        |cn AS (
+        |  SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1', 'NATION_2'))
+        |SELECT supp_nation, cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+        |       AS DECIMAL(24,4))) AS DECIMAL(34,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN sn ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN cn ON o_custkey = c_custkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND supp_nation <> cust_nation
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "dd_overlap" -> (DdClustersCore +
+      """,
+        |cl AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id
+        |       FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id),
+        |m AS (SELECT cl.canonical_id, d.source, count(*) AS n
+        |      FROM cl JOIN documents d USING (doc_id) GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       count(*) AS n_shared
+        |FROM m a JOIN m b USING (canonical_id)
+        |WHERE a.source < b.source
+        |   OR (a.source = b.source AND a.n >= 2)
+        |GROUP BY 1, 2""".stripMargin),
+
+    "sim_knn" -> (EmbCte +
+      """, scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS cosine
+        |  FROM nv a JOIN nv b ON a.vec_id <> b.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+        |FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin),
+
     "gr_degdist" -> (GraphCte +
       """, deg AS (SELECT src, count(*) AS degree FROM clean GROUP BY src)
         |SELECT CAST(length(to_base(degree, 2)) - 1 AS BIGINT) AS bucket,
@@ -2516,6 +2673,50 @@ object SparkEntry {
       |  FROM embeddings
       |)
       |""".stripMargin
+
+  /** The connected-components random-walk CTE (min-label closure over
+    * the 2000-line lineitem subgraph) shared by `cc_components` and
+    * `gr_ccsizes`. */
+  private val CcWalkCte =
+    """WITH RECURSIVE
+      |sub AS (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000),
+      |sraw AS (SELECT 2*l_orderkey AS src, 2*l_partkey+1 AS dst FROM sub),
+      |sclean AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, dst FROM sraw WHERE src <> dst
+      |  UNION ALL SELECT dst, src FROM sraw WHERE src <> dst)),
+      |sverts AS (SELECT DISTINCT src AS vertex FROM sclean),
+      |walk(vertex, lab) AS (
+      |  SELECT vertex, vertex FROM sverts
+      |  UNION
+      |  SELECT e.dst, w.lab FROM walk w JOIN sclean e ON e.src = w.vertex
+      |)
+      |""".stripMargin
+
+  /** Top-3 users per type — the contract both `ev_topusers` and its
+    * streaming twin `st_topusers` fulfill. */
+  private val EvTopUsersSql =
+    """WITH sums AS (
+      |  SELECT event_type, user_id, round(sum(value), 6) AS total_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, user_id, CAST(rank AS BIGINT) AS rank, total_value
+      |FROM (SELECT event_type, user_id, total_value,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY total_value DESC, user_id) AS rank
+      |      FROM sums)
+      |WHERE rank <= 3""".stripMargin
+
+  /** Latest-record compaction — the contract both `ev_latest` and its
+    * streaming twin `st_latest` fulfill. */
+  private val EvLatestSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS last_us, event_type,
+      |         value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts) DESC,
+      |                                     event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id, last_us, event_type, value
+      |FROM e WHERE rn = 1""".stripMargin
 
   /** Per-user RFM profile — the contract both `ev_rfm` and its
     * streaming twin `st_rfm` fulfill. */

@@ -43,6 +43,20 @@ object ConnectedComponents {
     } finally cached.unpersist(blocking = false)
   }
 
+  /** Component-size distribution over a (vertex, component) labelling:
+    * how many components have exactly `csize` members, plus the vertex
+    * mass per size — the giant-component / fragmentation chart read off
+    * every CC run. Scale shape: two partially-aggregated groupBys —
+    * per-component counts (exchange carries one row per component),
+    * then O(distinct sizes) groups; no window, no sort. */
+  def componentSizes(components: DataFrame): DataFrame =
+    components
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("csize")).as("n_vertices"))
+
   /** [[components]] from a RAW edge list (loops/duplicates allowed):
     * under the gate, symmetrize narrowly and let the kernel build's
     * sort-and-merge dedup (no DataFrame distinct shuffle — see

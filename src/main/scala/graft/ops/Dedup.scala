@@ -115,6 +115,37 @@ object Dedup {
         min(col("doc_id")).over(Window.partitionBy(col("norm_hash"))))
       .select(col("doc_id"), col("canonical_id"), col("norm_hash"))
 
+  /** Duplicate-overlap matrix between corpus sources — the audit a
+    * multi-dump ingest (e.g. successive web crawls) runs before
+    * picking what to keep: for each source pair `(source_a ≤
+    * source_b)`, how many NEAR-DUP clusters (a `(doc_id,
+    * canonical_id)` labelling, e.g. [[dedupClusters]]'s output) have a
+    * member in both. The diagonal (`source_a = source_b`) counts
+    * clusters with ≥ 2 members inside one source.
+    *
+    * Scale shape: the labelling first collapses to one row per
+    * (cluster, source) with its multiplicity — one partially-
+    * aggregated groupBy after a doc-keyed metadata join; the overlap
+    * join is then cluster-keyed, and its fan-out per cluster is
+    * bounded by the number of sources touching it (sources are O(100)
+    * however big the corpus). The final rollup is O(sources²) groups.
+    * Never an all-pairs document join. */
+  def sourceOverlap(clusters: DataFrame, meta: DataFrame): DataFrame = {
+    val m = clusters
+      .join(meta.select("doc_id", "source"), "doc_id")
+      .groupBy("canonical_id", "source")
+      .agg(count(lit(1)).as("n"))
+    val a = m.select(col("canonical_id"), col("source").as("source_a"),
+      col("n").as("na"))
+    val b = m.select(col("canonical_id"), col("source").as("source_b"),
+      col("n").as("nb"))
+    a.join(b, Seq("canonical_id"))
+      .filter(col("source_a") < col("source_b") ||
+        (col("source_a") === col("source_b") && col("na") >= 2))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** STREAMING exact dedup: emit only the first document seen per
     * content digest (`dropDuplicatesWithinWatermark` — state bounded by
     * the event-time watermark, so it runs forever on an unbounded

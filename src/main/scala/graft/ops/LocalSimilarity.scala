@@ -86,6 +86,16 @@ object LocalSimilarity {
     out.toSeq.flatten
   }
 
+  /** ≡ Similarity.knnGraph (exact path): top-k neighbors of EVERY
+    * corpus vector — bruteForceTopK with the whole corpus as queries. */
+  def knnGraph(c: Corpus, k: Int): Seq[(Long, Long, Long, Double)] = {
+    val out = new Array[Seq[(Long, Long, Long, Double)]](c.size)
+    java.util.stream.IntStream.range(0, c.size).parallel().forEach { qi =>
+      out(qi) = topK(c, qi, c.ids.indices.iterator, k)
+    }
+    out.toSeq.flatten
+  }
+
   /** ≡ Dedup.embeddingDedup: all pairs (vec_id_a < vec_id_b) with
     * rounded cosine ≥ threshold. */
   def embeddingPairs(c: Corpus, threshold: Double): Seq[(Long, Long, Double)] = {

@@ -234,6 +234,116 @@ object Relational {
         (col("rev_scaled") / lit(10000.0)).as("total_revenue"))
   }
 
+  /** Forecast revenue change (reference shape: TPC-H Q6): the revenue
+    * that would have been earned had discounts in [discLo, discHi] on
+    * small orders (quantity < maxQty) shipped in [from, until) been
+    * eliminated — `sum(extendedprice · discount)` over the qualifying
+    * lines, exact decimal.
+    *
+    * Scale shape: this is the pure scan-aggregate — every predicate is
+    * sargable and reaches the parquet scan as a pushed filter (shipdate
+    * range, discount band, quantity cap), the scan reads only the three
+    * columns the expression needs, and the aggregation collapses
+    * map-side to ONE row per partition before a single-row exchange.
+    * At 100 TB this query is I/O-bound by design; there is nothing for
+    * the engine to shuffle. */
+  def forecastRevenueChange(lineitem: DataFrame, from: String, until: String,
+                            discLo: Double, discHi: Double,
+                            maxQty: Double): DataFrame = {
+    val rev = (dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+      .cast(DecimalType(24, 4))
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        dec2(col("l_discount")) >= lit(BigDecimal(discLo)) &&
+        dec2(col("l_discount")) <= lit(BigDecimal(discHi)) &&
+        col("l_quantity") < maxQty)
+      .agg(sum(rev).cast(DecimalType(34, 4)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Large-quantity orders (reference shape: TPC-H Q18): the top-k
+    * orders whose total line quantity exceeds `minQty`, with their
+    * customer. Quantities are 2-decimal values summed exactly in
+    * decimal; the ranking key is the scaled-integer total quantity with
+    * orderkey as the deterministic tie-break.
+    *
+    * Scale shape: lineitem pre-aggregates to l_orderkey FIRST and the
+    * `HAVING sum(qty) > minQty` filter runs on the aggregate, so the
+    * orders/customer joins see only the (rare) qualifying orders — at
+    * TPC-H selectivity that is ~1e-6 of the fact table. The global
+    * top-k is a TakeOrderedAndProject: per-partition bounded heaps,
+    * ≤k rows per partition to the driver, never a global sort. */
+  def largeQuantityOrders(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, minQty: Double,
+                          k: Int): DataFrame = {
+    val qtyCenti = (dec2(col("l_quantity")) * lit(100)).cast(LongType)
+    val perOrder = lineitem
+      .select(col("l_orderkey"), qtyCenti.as("qc"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("qc")).as("qty_scaled"))
+      .filter(col("qty_scaled") > (BigDecimal(minQty) * 100).toLong)
+    perOrder
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
+        "o_totalprice"), col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), dec2(col("o_totalprice")).cast("double")
+          .as("total_price"),
+        (col("qty_scaled") / lit(100.0)).as("sum_qty"), col("qty_scaled"))
+      .orderBy(col("qty_scaled").desc, col("o_orderkey"))
+      .limit(k)
+      .drop("qty_scaled")
+  }
+
+  /** Volume shipping between two nations per ship year (reference
+    * shape: TPC-H Q7): revenue of lines a supplier in one of the two
+    * nations shipped to a customer in the other, grouped by
+    * (supplier nation, customer nation, year). Revenue is exact
+    * decimal.
+    *
+    * Scale shape: supplier is TPC-H fact-sized (10k·SF), so
+    * lineitem⋈supplier stays a key-partitioned shuffle hash join — the
+    * supplier side filtered to the two nations FIRST (the shuffle
+    * carries only qualifying suppliers' keys); orders⋈customer
+    * likewise joins pre-projected key columns with the customer side
+    * pre-filtered to the two nations. The nation name tables ride in
+    * as two independently-aliased broadcasts. The final rollup is
+    * O(2 × years) groups with map-side partial aggregation. */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, nationA: String, nationB: String,
+                     from: String, until: String): DataFrame = {
+    val discPrice = (dec2(col("l_extendedprice")) *
+      (lit(BigDecimal(1)) - dec2(col("l_discount"))).cast(DecimalType(4, 2)))
+      .cast(DecimalType(24, 4))
+    val nations = nation.select("n_nationkey", "n_name")
+      .filter(col("n_name").isin(nationA, nationB))
+    val suppN = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nations.withColumnRenamed("n_name", "supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val custN = customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(nations.withColumnRenamed("n_name", "cust_nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast(LongType).as("ship_year"),
+        discPrice.as("dp"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "ship_year")
+      .agg(sum(col("dp")).cast(DecimalType(34, 4)).cast("double")
+        .as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
   /** Promotional revenue share per ship month (reference shape: TPC-H
     * Q14): of each month's discounted revenue, the fraction from parts
     * of the promo type. Exact decimal sums; the share is rendered as a

@@ -108,6 +108,61 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** k-NN graph: the top-k cosine neighbors of EVERY corpus vector —
+    * the adjacency list SemDeDup, label propagation over embeddings,
+    * and kNN-classifier features all start from.
+    *
+    * Strategy (the [[graft.ops.Dedup.EmbeddingBlockLimit]] convention —
+    * two DISTRIBUTED strategies, not a driver-kernel gate): corpora at
+    * or under `spark.graft.embeddingBlockMaxVecs` take the exact
+    * broadcast-block path — the corpus ships once as a broadcast of
+    * primitive vectors and every partition scores its rows against it
+    * in a narrow map with a per-row bounded heap (zero shuffles; the
+    * same arithmetic as the kernel, so exact). Larger corpora take the
+    * hyperplane-LSH path: banded sign-bit candidates (an equi-join on
+    * the band key, never all-pairs), exact scoring of candidates only,
+    * then the bounded-heap [[topK]] — approximate for genuinely
+    * far-apart "neighbors" (exact all-pairs kNN is O(n²) by
+    * definition; at retrieval scale you accept LSH/IVF recall, the
+    * documented tradeoff of every ANN engine). Under the hybrid gate
+    * the driver kernel computes the identical exact graph. */
+  def knnGraph(embeddings: DataFrame, k: Int = 3): DataFrame =
+    localCorpus(embeddings) match {
+      case Some(c) => shipTopK(embeddings.sparkSession,
+        LocalSimilarity.knnGraph(c, k))
+      case None =>
+        val spark = embeddings.sparkSession
+        val blockLimit = spark.conf
+          .getOption("spark.graft.embeddingBlockMaxVecs")
+          .map(_.toLong).getOrElse(Dedup.EmbeddingBlockLimit)
+        if (blockLimit > 0 &&
+          embeddings.select("vec_id").count() <= blockLimit)
+          topKForQueryStream(embeddings, embeddings, k)
+        else knnGraphLsh(embeddings, k)
+    }
+
+  /** The above-block-limit kNN path: hyperplane-LSH band keys →
+    * band-key equi-join candidates (both directions — every vector
+    * collects its own neighbor list) → exact cosine on candidates only
+    * → bounded-heap top-k. */
+  private def knnGraphLsh(embeddings: DataFrame, k: Int): DataFrame = {
+    val bandKeys = udf((v: Seq[Double]) =>
+      Dedup.hyperplaneBandKeys(v).toSeq)
+    val keyed = withNorm(embeddings)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(bandKeys(col("v"))).as("bk"))
+    val a = keyed.select(col("bk"), col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val b = keyed.select(col("bk"), col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val scored = a.join(b, Seq("bk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .distinct()
+    topK(scored, k)
+  }
+
   /** IVF(-flat) approximate top-k. Probing is by query-to-centroid
     * cosine; candidates are scored exactly within probed cells.
     *

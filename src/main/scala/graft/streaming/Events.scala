@@ -637,6 +637,62 @@ object Events {
         (sum(when(col("isp"), col("vmu")).otherwise(0L)) / lit(1000000.0))
           .as("monetary"))
 
+  /** Latest-record compaction — the CDC/upsert collapse every change
+    * stream needs before serving: one row per user, the most recent
+    * event by (ts, event_id) — "last write wins", with the unique
+    * event_id as the deterministic tie-break.
+    *
+    * Scale shape: ONE partially-aggregating groupBy of
+    * `max(struct(us, event_id, payload…))` — the argmax rides the
+    * normal map-side combine, so the exchange carries one candidate
+    * row per (user, map partition), never the event history, and no
+    * window rank appears anywhere. Streaming-safe: under readStream
+    * the same aggregate is an update-mode running state (struct max is
+    * associative and commutative), which is exactly the compacted
+    * changelog a CDC sink maintains. */
+  def latestRecord(events: DataFrame): DataFrame =
+    LocalEvents.latestRecord(events).getOrElse(latestRecordDistributed(events))
+
+  private[streaming] def latestRecordDistributed(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type"), col("value")).as("rec"))
+      .groupBy("user_id")
+      .agg(max(col("rec")).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.us").as("last_us"), col("m.event_type").as("event_type"),
+        col("m.value").as("value"))
+
+  /** Per-type dwell-time statistics: the gap from each event to the
+    * user's NEXT event (of any type), attributed to the type of the
+    * event the user was on — "how long do users stay on X before doing
+    * anything else". The complement of [[gapStats]] (same-type
+    * inter-arrival). Everything is exact integer microseconds: n, min,
+    * max, sum, and the exact floor-div mean — no FP anywhere.
+    *
+    * Scale shape: one per-USER lead window (user cardinality is the
+    * scale axis, so the window partitions are millions of small sorts,
+    * never the low-cardinality single-task trap), then a
+    * partially-aggregated groupBy of O(#types) groups. */
+  def dwellByType(events: DataFrame): DataFrame =
+    LocalEvents.dwellByType(events).getOrElse(dwellByTypeDistributed(events))
+
+  private[streaming] def dwellByTypeDistributed(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("dwell_us", lead(col("us"), 1).over(w) - col("us"))
+      .where(col("dwell_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_dwell"),
+        min(col("dwell_us")).as("min_dwell_us"),
+        max(col("dwell_us")).as("max_dwell_us"),
+        sum(col("dwell_us")).as("sum_dwell_us"))
+      .withColumn("avg_dwell_us", expr("sum_dwell_us div n_dwell"))
+  }
+
   /** The stateful half of top-k: running per-(event_type, user) value
     * sums. Streaming-safe — under readStream this is an update-mode
     * aggregation whose state Spark checkpoints. */

@@ -545,6 +545,70 @@ object LocalEvents {
         "monetary" -> users.map(u => byUser.get(u).microSum / 1000000.0))
     }
 
+  /** ≡ Events.latestRecordDistributed: per-user latest event by
+    * (us, event_id) — last write wins, event_id breaks ties. */
+  private[streaming] def latestRecord(events: DataFrame): Option[DataFrame] =
+    localRows(events).map { case (eid, us, uid, et, v, _) =>
+      val byUser = new java.util.TreeMap[Long, Int]()
+      var i = 0
+      while (i < us.length) {
+        if (!byUser.containsKey(uid(i))) byUser.put(uid(i), i)
+        else {
+          val k = byUser.get(uid(i))
+          if (us(i) > us(k) || (us(i) == us(k) && eid(i) > eid(k)))
+            byUser.put(uid(i), i)
+        }
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val users = byUser.keySet().asScala.toArray
+      val picks = users.map(byUser.get(_).intValue())
+      shipDf(events.sparkSession,
+        "user_id" -> users,
+        "event_id" -> picks.map(eid),
+        "last_us" -> picks.map(us),
+        "event_type" -> picks.map(et),
+        "value" -> picks.map(v))
+    }
+
+  /** ≡ Events.dwellByTypeDistributed: per-type stats of the gap from
+    * each event to the user's next event of ANY type, attributed to
+    * the earlier event's type; exact integer µs, floor-div mean. */
+  private[streaming] def dwellByType(events: DataFrame): Option[DataFrame] =
+    localRows(events).map { case (eid, us, uid, et, _, _) =>
+      val n = us.length
+      val order = Array.range(0, n).sortBy(i => (uid(i), us(i), eid(i)))
+      final class Acc {
+        var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        var sum = 0L
+      }
+      val byType = new java.util.TreeMap[String, Acc]()
+      var j = 0
+      while (j < n - 1) {
+        val i = order(j); val nx = order(j + 1)
+        if (uid(i) == uid(nx)) {
+          val d = us(nx) - us(i)
+          var a = byType.get(et(i))
+          if (a == null) { a = new Acc; byType.put(et(i), a) }
+          a.n += 1
+          if (d < a.mn) a.mn = d
+          if (d > a.mx) a.mx = d
+          a.sum += d
+        }
+        j += 1
+      }
+      import scala.jdk.CollectionConverters._
+      val types = byType.keySet().asScala.toArray
+      shipDf(events.sparkSession,
+        "event_type" -> types,
+        "n_dwell" -> types.map(byType.get(_).n),
+        "min_dwell_us" -> types.map(byType.get(_).mn),
+        "max_dwell_us" -> types.map(byType.get(_).mx),
+        "sum_dwell_us" -> types.map(byType.get(_).sum),
+        "avg_dwell_us" -> types.map(t =>
+          math.floorDiv(byType.get(t).sum, byType.get(t).n)))
+    }
+
   /** Hourly peak session concurrency: the same ±1 sweep as the
     * distributed two-phase prefix sum, on driver arrays — sessionize
     * per user (order (us, event_id), 30-min gap), emit closed

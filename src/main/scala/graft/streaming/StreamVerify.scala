@@ -255,6 +255,47 @@ object StreamVerify {
         col("s.monetary").as("monetary"))
   }
 
+  /** [[Events.userValueSums]] run as an update-mode streaming
+    * aggregation (with an update counter so canonicalization never
+    * leans on value signs), final running sums ranked through the real
+    * batch rank half [[Events.rankTopUsers]] — ≡ batch `ev_topusers`
+    * (shared oracle). n_upd is strictly monotone per (type, user), so
+    * max(struct) per key is the completed sum. */
+  def topUsersFinal(spark: SparkSession, events: DataFrame,
+                    k: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvRow]
+    val sums = run(spark, mem, eventBatches(events, 4), "update")(df =>
+        df.groupBy("event_type", "user_id")
+          .agg(round(sum(col("value")), 6).as("total_value"),
+            count(lit(1)).as("n_upd")))
+      .groupBy("event_type", "user_id")
+      .agg(max(struct(col("n_upd"), col("total_value"))).as("s"))
+      .select(col("event_type"), col("user_id"),
+        col("s.total_value").as("total_value"))
+    Events.rankTopUsers(sums, k)
+  }
+
+  /** [[Events.latestRecordDistributed]] as an update-mode streaming
+    * aggregation — the compacted CDC changelog under the state store.
+    * Emissions per user are monotone in (last_us, event_id) (the
+    * running struct-max only moves up), so max(struct) per user is the
+    * final compacted row ≡ batch `ev_latest` (shared oracle). */
+  def latestFinal(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EvRow]
+    run(spark, mem, eventBatches(events, 4), "update")(
+        df => Events.latestRecordDistributed(df))
+      .groupBy("user_id")
+      .agg(max(struct(col("last_us"), col("event_id"), col("event_type"),
+        col("value"))).as("s"))
+      .select(col("user_id"), col("s.event_id").as("event_id"),
+        col("s.last_us").as("last_us"),
+        col("s.event_type").as("event_type"), col("s.value").as("value"))
+  }
+
   /** The [[graft.functions.HllDistinct]] sketch as an update-mode
     * STREAMING aggregation (a custom TypedImperativeAggregate running
     * under the state store): per event type the approximate distinct

@@ -64,6 +64,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("componentSizes: histogram over the labelling") {
+    val s = spark; import s.implicits._
+    // components: {1,2,3}, {10,11}, {20,21}, {30}
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L),
+      (30L, 30L)
+    ).toDF("vertex", "component")
+    val out = ConnectedComponents.componentSizes(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out === Array((1L, 1L, 1L), (2L, 2L, 4L), (3L, 1L, 3L)))
+  }
+
   test("components match union-find on random graphs (5 seeds)") {
     val s = spark; import s.implicits._
     for (seed <- 0L until 5L) {

@@ -91,6 +91,47 @@ class LocalSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"trained PQ recall $recall implausibly low")
   }
 
+  test("knnGraph: kernel ≡ distributed block path (ties included)") {
+    for (seed <- 1L to 3L) {
+      val (l, d) = bothWays(Similarity.knnGraph(corpus(60, 8, seed), 3))
+      assert(l === d, s"seed=$seed")
+      assert(l.size === 180) // every vector gets exactly k neighbors
+    }
+  }
+
+  test("knnGraph LSH path: subset of exact ranks, duplicate recall 1") {
+    val c = corpus(80, 8, 7L)
+    // exact graph via the kernel path
+    spark.conf.unset("spark.graft.localAnnMaxVecs")
+    val exact = Similarity.knnGraph(c, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // force the banded-LSH strategy AND the distributed plan
+    spark.conf.set("spark.graft.localAnnMaxVecs", "0")
+    spark.conf.set("spark.graft.embeddingBlockMaxVecs", "0")
+    val lsh = try Similarity.knnGraph(c, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    finally {
+      spark.conf.unset("spark.graft.localAnnMaxVecs")
+      spark.conf.unset("spark.graft.embeddingBlockMaxVecs")
+    }
+    // every exact duplicate (cosine 1 — identical band keys by
+    // construction) is recovered as the top neighbor of its twin;
+    // random far-apart vectors may legitimately land in no shared
+    // bucket (the documented LSH recall tradeoff), so only the
+    // guaranteed edges are pinned
+    for (i <- 0 until 80 if i % 4 == 3) {
+      assert(lsh.exists(h => h._1 == i.toLong && h._2 == (i - 1).toLong
+        && h._3 == 1L), s"dup pair ($i, ${i - 1}) missed")
+    }
+    // sanity of the emitted graph: no self edges, ranks within k,
+    // and a non-trivial share of the exact graph present
+    // (deterministic: fixed seed + RNG-free banding)
+    assert(lsh.forall(h => h._1 != h._2))
+    assert(lsh.forall(h => h._3 >= 1L && h._3 <= 3L))
+    val lshSet = lsh.map(h => (h._1, h._2)).toSet
+    assert((exact.count(lshSet): Double) / exact.size >= 0.10)
+  }
+
   test("embeddingDedup: kernel ≡ distributed block path (ties included)") {
     for (seed <- 1L to 3L) {
       val (l, d) = bothWays(Dedup.embeddingDedup(corpus(60, 8, seed), 0.3))

@@ -269,6 +269,27 @@ class OpsSpec extends SparkSpec {
     assert(r == Map(0L -> 3L, 2L -> 1L))
   }
 
+  test("sourceOverlap: cross-source cluster matrix, diagonal needs ≥2") {
+    val s = spark; import s.implicits._
+    // cluster 1: docs in srcA (×2) + srcB → diagonal (A,A) and (A,B)
+    // cluster 10: docs in srcB + srcC → (B,C)
+    // cluster 20: singleton in srcC → nothing
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L)
+    ).toDF("doc_id", "canonical_id")
+    val meta = Seq(
+      (1L, "srcA"), (2L, "srcA"), (3L, "srcB"),
+      (10L, "srcB"), (11L, "srcC"),
+      (20L, "srcC")
+    ).toDF("doc_id", "source")
+    val out = Dedup.sourceOverlap(clusters, meta).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    assert(out === Array(
+      ("srcA", "srcA", 1L), ("srcA", "srcB", 1L), ("srcB", "srcC", 1L)))
+  }
+
   test("keepBestFromClusters: argmax quality, min doc_id on ties") {
     val s = spark; import s.implicits._
     val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L))

@@ -258,6 +258,67 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("forecastRevenueChange: sargable band filter, exact sum") {
+    val out = Relational.forecastRevenueChange(lineitem,
+        "1997-01-01", "1998-01-01", 0.05, 0.60, 5.0)
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // qualifying: row 1 (disc .10, qty 2) rev 100·0.10 = 10;
+    // row 3 (disc .50, qty 4) rev 50·0.50 = 25. Row 2's 0.00 discount
+    // is under the band; row 4 is outside the ship window.
+    assert(out === Array((35.0, 2L)))
+  }
+
+  test("largeQuantityOrders: HAVING on pre-agg, top-k by scaled qty") {
+    val s = spark; import s.implicits._
+    val li = Seq(
+      (1L, 10.0), (1L, 20.0),          // order 1: 30 total
+      (2L, 25.5), (2L, 25.5),          // order 2: 51 total
+      (3L, 31.0),                      // order 3: 31 total
+      (4L, 30.0)                       // order 4: 30 total — NOT > 30
+    ).toDF("l_orderkey", "l_quantity")
+    val ord = Seq(
+      (1L, 10L, ts("1997-02-01"), 111.11),
+      (2L, 20L, ts("1997-05-01"), 222.22),
+      (3L, 10L, ts("1998-12-01"), 333.33),
+      (4L, 20L, ts("1998-01-01"), 444.44)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((10L, "C10"), (20L, "C20")).toDF("c_custkey", "c_name")
+    val out = Relational.largeQuantityOrders(li, ord, cust, 30.0, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    // qty-desc order: order 2 (51), order 3 (31); order 1/4 filtered/cut
+    assert(out === Array(
+      (20L, "C20", 2L, 222.22, 51.0),
+      (10L, "C10", 3L, 333.33, 31.0)))
+  }
+
+  test("volumeShipping: both nation roles, direction split per year") {
+    val s = spark; import s.implicits._
+    val li = Seq(
+      // (orderkey, suppkey, price, disc, ship)
+      (1L, 100L, 100.0, 0.0, ts("1995-06-01")), // F supp → J cust: 100
+      (1L, 200L, 50.0, 0.0, ts("1995-07-01")),  // J supp → J cust: same-nation, dropped
+      (2L, 200L, 80.0, 0.5, ts("1996-01-15")),  // J supp → F cust: 40
+      (2L, 100L, 10.0, 0.0, ts("1999-01-01")),  // outside ship window
+      (3L, 300L, 999.0, 0.0, ts("1995-08-01"))  // supplier outside pair
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+      "l_shipdate")
+    val ord = Seq((1L, 20L), (2L, 10L), (3L, 20L))
+      .toDF("o_orderkey", "o_custkey")
+    val cust = Seq((10L, 100), (20L, 200)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((100L, 100), (200L, 200), (300L, 300))
+      .toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((100, 1, "FRANCE"), (200, 2, "JAPAN"), (300, 3, "PERU"))
+      .toDF("n_nationkey", "n_regionkey", "n_name")
+    val out = Relational.volumeShipping(li, ord, cust, supp, nat,
+        "FRANCE", "JAPAN", "1995-01-01", "1997-01-01")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    assert(out === Array(
+      ("FRANCE", "JAPAN", 1995L, 100.0, 1L),
+      ("JAPAN", "FRANCE", 1996L, 40.0, 1L)))
+  }
+
   test("covarianceMoments: ragged rows and overflow-spill stay exact") {
     val s = spark; import s.implicits._
     // 4e3-magnitude elements quantize to ~4e9 > √Long.Max, forcing the

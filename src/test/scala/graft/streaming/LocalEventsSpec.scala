@@ -231,6 +231,51 @@ class LocalEventsSpec extends SparkSpec {
     assert(rows === Seq((10L, 5000L, 3L, 2L, 0.3), (11L, 2000L, 1L, 0L, 0.0)))
   }
 
+  test("latestRecord: kernel ≡ distributed; last write by (ts, event_id)") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      // user 10: later ts wins regardless of event_id order
+      (5L, 1000L, 10L, "click", 1.0),
+      (2L, 3000L, 10L, "view", 2.0),
+      // user 11: equal ts — larger event_id wins (last write)
+      (7L, 500L, 11L, "buy", 3.0),
+      (8L, 500L, 11L, "click", 4.0),
+      // user 12: single event
+      (9L, 42L, 12L, "view", 5.5)
+    ).toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val (l, d) = bothWays(Events.latestRecord(ev))
+    assert(l === d)
+    val m = l.map(r => r.head -> (r(1), r(2), r(3), r(4))).toMap
+    assert(m(10L) === ((2L, 3000L, "view", 2.0)))
+    assert(m(11L) === ((8L, 500L, "click", 4.0)))
+    assert(m(12L) === ((9L, 42L, "view", 5.5)))
+    assert(m.size === 3)
+  }
+
+  test("dwellByType: kernel ≡ distributed; gap attributed to prior type") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      // user 1: view →(10µs)→ click →(5µs)→ view; last event no dwell
+      (1L, 100L, 1L, "view", 0.0),
+      (2L, 110L, 1L, "click", 0.0),
+      (3L, 115L, 1L, "view", 0.0),
+      // user 2: click →(7µs)→ click; equal-ts tie broken by event_id
+      (4L, 200L, 2L, "click", 0.0),
+      (5L, 207L, 2L, "click", 0.0),
+      // user 3: single event — contributes nothing
+      (6L, 999L, 3L, "buy", 0.0)
+    ).toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val (l, d) = bothWays(Events.dwellByType(ev))
+    assert(l === d)
+    val m = l.map(r => r.head -> (r(1), r(2), r(3), r(4), r(5))).toMap
+    // view: one 10µs dwell; click: 5µs (u1) and 7µs (u2) → avg 6
+    assert(m("view") === ((1L, 10L, 10L, 10L, 10L)))
+    assert(m("click") === ((2L, 5L, 7L, 12L, 6L)))
+    assert(!m.contains("buy"))
+  }
+
   test("propsProfile kernel refuses exotic JSON (falls back distributed)") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
