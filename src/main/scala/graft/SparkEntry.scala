@@ -480,6 +480,12 @@ object SparkEntry {
     "st_hll" -> ((s, dir) =>
       streaming.StreamVerify.hllFinal(s, events(s, dir))),
 
+    // Streaming CMS: the Count-Min grid under the state store; the
+    // element-wise-sum merge is batching-invariant ⇒ final grid ≡ the
+    // batch grid, probed for the same vocab ≡ tx_cms (shared oracle).
+    "st_cms" -> ((s, dir) =>
+      streaming.StreamVerify.cmsFinal(s, docs(s, dir), 20, 4, 512)),
+
     // Streaming top-k users: update-mode running sums, final state
     // ranked through the batch rank half ≡ ev_topusers.
     "st_topusers" -> ((s, dir) =>
@@ -662,6 +668,15 @@ object SparkEntry {
     // Top-100 vocabulary (tokenizer / min-df prep); distributed top-k
     // via TakeOrdered — no global sort.
     "tx_vocab" -> ((s, dir) => ops.TextOps.vocabulary(docs(s, dir), 100)),
+
+    // Count-Min sketch accuracy audit: one corpus pass through the
+    // fixed-size cms_sketch grid (element-wise-sum merge — the exchange
+    // carries one 16 KiB grid per partition), estimates read for the
+    // top-20 vocab tokens vs their exact counts. The pinned polyhash
+    // bucketing makes every cell relationally re-derivable → FULL
+    // oracle, unlike inherently non-relational sketches.
+    "tx_cms" -> ((s, dir) =>
+      ops.TextOps.cmsTokenCounts(docs(s, dir), 20, 4, 512)),
 
     // Exact heavy hitters (count ≥ N/500): Misra-Gries candidate pass
     // + exact broadcast-filtered count — the long tail never shuffles.
@@ -1809,6 +1824,13 @@ object SparkEntry {
         |    / 4000000.0 AS q75
         |FROM st s JOIN sel USING (stratum)""".stripMargin),
 
+    // Every CMS cell is the exact sum of counts of the tokens hashing
+    // into it — rebuilt relationally from the same polyhash the Spark
+    // aggregate pins, so the sketch estimates carry a full oracle.
+    "tx_cms" -> TxCmsSql,
+    // streaming twin: batching-invariant grid merge ⇒ same estimates.
+    "st_cms" -> TxCmsSql,
+
     "tx_vocab" -> (TokCte.stripSuffix("\n") +
       """,
         |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
@@ -2673,6 +2695,36 @@ object SparkEntry {
       |  FROM embeddings
       |)
       |""".stripMargin
+
+  /** CMS accuracy audit — the contract both `tx_cms` and its streaming
+    * twin `st_cms` fulfill: each cell re-derived relationally as the
+    * exact count sum of the tokens polyhash-bucketing into it. */
+  private val TxCmsSql = TokCte.stripSuffix("\n") +
+    """,
+      |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+      |cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+      |vocab AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token)
+      |                 AS BIGINT) AS rank, token, n AS exact_n
+      |          FROM cnt ORDER BY n DESC, token LIMIT 20),
+      |rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+      |cells AS (
+      |  SELECT r,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(CAST(r AS VARCHAR) || ':' || token, ''),
+      |                     c -> CAST(ord(c) AS BIGINT))),
+      |      (h, cp) -> (h * 31 + cp) % 1000000007) % 512 AS bucket,
+      |    CAST(sum(n) AS BIGINT) AS cell
+      |  FROM cnt CROSS JOIN rws GROUP BY 1, 2),
+      |vb AS (
+      |  SELECT v.rank, v.token, v.exact_n, r.r,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(CAST(r.r AS VARCHAR) || ':' || v.token, ''),
+      |                     c -> CAST(ord(c) AS BIGINT))),
+      |      (h, cp) -> (h * 31 + cp) % 1000000007) % 512 AS bucket
+      |  FROM vocab v CROSS JOIN rws r)
+      |SELECT vb.rank, vb.token, vb.exact_n, min(cells.cell) AS cms_n
+      |FROM vb JOIN cells USING (r, bucket)
+      |GROUP BY 1, 2, 3""".stripMargin
 
   /** The connected-components random-walk CTE (min-label closure over
     * the 2000-line lineitem subgraph) shared by `cc_components` and

@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  *   - `poly_fingerprint(text)` — codegen'd rolling-hash fingerprint
  *   - `topk_pair_min(score, id, k)` — bounded-heap per-group top-k
  *   - `hll_distinct(key, p)` — pinned-hash HyperLogLog distinct estimate
+ *   - `cms_sketch(key, d, w)` — oracle-expressible Count-Min grid
  *   - `winnow_fingerprints(text, k, w)` — MOSS winnowing selection
  *
  * Activate with `.config("spark.sql.extensions",
@@ -56,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "hll_distinct takes 2 arguments")
         HllDistinct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CountMinSketch].getName, "cms_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "cms_sketch takes 3 arguments (key, d, w)")
+        CountMinSketch(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_fingerprints"),

@@ -258,6 +258,49 @@ object TextOps {
     * billion-type vocabulary at 100 TB still ranks in one pass. The
     * only caveat is `countDistinct(doc_id)` (document frequency), which
     * costs the standard expand-shuffle; it rides the same groupBy key. */
+  /** Count-Min estimated vs exact occurrence counts for the top-k
+    * vocabulary tokens — the sketch-accuracy audit a frequency-sketch
+    * deployment runs before trusting estimates at corpora too large
+    * for exact per-token counts.
+    *
+    * Scale shape: the corpus makes ONE pass through the
+    * [[graft.functions.CountMinSketch]] aggregate — a fixed
+    * `8·depth·width`-byte grid per map partition on the exchange
+    * (element-wise-sum merge), never a per-token shuffle; the exact
+    * side is the [[vocabulary]] top-k (TakeOrdered). The k survivors
+    * cross a ONE-ROW broadcast of the grid and read their `depth`
+    * cells with the codegen'd polyhash — `cms_n ≥ exact_n` always (the
+    * CMS upper-bound guarantee, pinned in specs). At audit time exact
+    * counts exist only for the k probed tokens; the sketch serves
+    * everything else. */
+  def cmsTokenCounts(docs: DataFrame, k: Int = 20, depth: Int = 4,
+                     width: Int = 512): DataFrame = {
+    val occ = tokenized(docs).select(explode(col("tk")).as("token"))
+    val sketch = occ.agg(
+      graft.functions.CountMinSketch.of(col("token"), depth, width)
+        .as("grid"))
+    cmsEstimates(vocabulary(docs, k)
+        .select(col("rank"), col("token"),
+          col("n_occurrences").as("exact_n")),
+      sketch, depth, width)
+  }
+
+  /** The point-estimate half of [[cmsTokenCounts]]: probe a one-row
+    * `grid` table (any provenance — one batch pass, a streaming state
+    * snapshot, or day-shards merged by element-wise sum) for each
+    * vocab row's depth cells. */
+  def cmsEstimates(vocab: DataFrame, sketch: DataFrame, depth: Int,
+                   width: Int): DataFrame = {
+    val est = (0 until depth).map { r =>
+      element_at(col("grid"),
+        (lit(r * width) + pmod(graft.functions.StringPolyHash.fingerprint(
+          concat(lit(s"$r:"), col("token"))), lit(width.toLong)) + 1L)
+          .cast("int"))
+    }.reduce(least(_, _))
+    vocab.crossJoin(broadcast(sketch))
+      .select(col("rank"), col("token"), col("exact_n"), est.as("cms_n"))
+  }
+
   def vocabulary(docs: DataFrame, k: Int = 100): DataFrame = {
     val agg = tokenized(docs)
       .select(col("doc_id"), explode(col("tk")).as("token"))

@@ -318,6 +318,35 @@ object StreamVerify {
         col("s.n_events").as("n_events"))
   }
 
+  /** The [[graft.functions.CountMinSketch]] grid as an update-mode
+    * STREAMING global aggregation over the corpus token stream, final
+    * state probed for the static top-k vocabulary ≡ batch `tx_cms`
+    * (shared oracle). The grid's element-wise-sum merge is
+    * batching-invariant, so the final streamed grid equals the batch
+    * grid cell for cell; n_toks is strictly monotone across emissions,
+    * so the max-n_toks sink row is the completed sketch. */
+  def cmsFinal(spark: SparkSession, docs: DataFrame, k: Int = 20,
+               depth: Int = 4, width: Int = 512): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = withDocTs(docs).orderBy("doc_id").as[DocRow].collect().toSeq
+    val per = math.max(1, (base.length + 2) / 3)
+    val mem = MemoryStream[DocRow]
+    val sink = run(spark, mem, base.grouped(per).toSeq, "update")(df =>
+      graft.ops.TextOps.tokenized(df)
+        .select(explode(col("tk")).as("token"))
+        .agg(graft.functions.CountMinSketch.of(col("token"), depth, width)
+            .as("grid"),
+          count(lit(1)).as("n_toks")))
+    val finalGrid = sink.orderBy(col("n_toks").desc).limit(1)
+      .select("grid")
+    graft.ops.TextOps.cmsEstimates(
+      graft.ops.TextOps.vocabulary(docs, k)
+        .select(col("rank"), col("token"),
+          col("n_occurrences").as("exact_n")),
+      finalGrid, depth, width)
+  }
+
   /** [[graft.ops.Similarity.quantizeInt8]] over the embeddings replayed
     * in micro-batches — a stateless narrow map, so the append-mode sink
     * is directly ≡ the batch `sim_quantize` rows (shared oracle). */

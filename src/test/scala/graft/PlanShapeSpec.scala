@@ -75,6 +75,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("percentile"), plan)
   }
 
+  test("ev_latest is one partial-aggregating groupBy (no window rank)") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "b", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    spark.conf.set("spark.graft.localEventsMaxRows", "0")
+    val q = try streaming.Events.latestRecord(d)
+    finally spark.conf.unset("spark.graft.localEventsMaxRows")
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // exactly one exchange: the groupBy(user_id) hash partitioning
+    assert(plan.split("Exchange").length - 1 === 1, plan)
+    // partial aggregation runs map-side before it
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      plan)
+  }
+
+  test("knnGraph LSH path plans no cartesian / nested-loop join") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val e = (0 until 40).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.localAnnMaxVecs", "0")
+    spark.conf.set("spark.graft.embeddingBlockMaxVecs", "0")
+    try {
+      val q = ops.Similarity.knnGraph(e, 3)
+      q.count()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally {
+      spark.conf.unset("spark.graft.localAnnMaxVecs")
+      spark.conf.unset("spark.graft.embeddingBlockMaxVecs")
+    }
+  }
+
   test("distributed pack plans exactly one range exchange") {
     val s = spark; import s.implicits._
     spark.conf.set("spark.graft.localMixMaxRows", "0")

@@ -91,6 +91,34 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(viaSql - 1000L) <= 60, s"sql estimate $viaSql")
   }
 
+  test("cms_sketch: exact grid sums, upper bound, partition-invariance") {
+    val s = spark; import s.implicits._
+    val (d, w) = (4, 64)
+    val toks = (1 to 200).flatMap(i => Seq.fill(i % 7 + 1)(s"tok$i"))
+    val grid = toks.toDF("t")
+      .agg(CountMinSketch.of(col("t"), d, w)).head().getSeq[Long](0)
+    assert(grid.length === d * w)
+    // every row of the grid holds the full token mass
+    for (r <- 0 until d)
+      assert(grid.slice(r * w, (r + 1) * w).sum === toks.size.toLong, s"row $r")
+    // the point estimate upper-bounds every true count
+    val exact = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    exact.foreach { case (t, n) =>
+      val est = (0 until d)
+        .map(r => grid(r * w + CountMinSketch.bucket(r, t, w))).min
+      assert(est >= n, s"token $t: est $est < exact $n")
+    }
+    // partition-invariant (element-wise-sum merge is order-free)
+    val grid17 = toks.toDF("t").repartition(17)
+      .agg(CountMinSketch.of(col("t"), d, w)).head().getSeq[Long](0)
+    assert(grid17 === grid)
+    // SQL registration ≡ Column API
+    val viaSql = toks.toDF("t").createOrReplaceTempView("cms_toks")
+    val sqlGrid = spark.sql(s"SELECT cms_sketch(t, $d, $w) FROM cms_toks")
+      .head().getSeq[Long](0)
+    assert(sqlGrid === grid)
+  }
+
   test("winnow_fingerprints callable from SQL ≡ Column API") {
     val s = spark; import s.implicits._
     val d = Seq((1L, "a b c d e f"), (2L, "x y")).toDF("doc_id", "text")
