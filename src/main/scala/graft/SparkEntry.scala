@@ -956,8 +956,9 @@ object SparkEntry {
     * stage's output instead of re-running the codec. */
   private def decodedMedia(s: SparkSession, dir: String): DataFrame =
     cachedTable(s, s"$dir/mm_decoded")(
-      ops.Multimodal.decodeMeta(s, ops.Multimodal.encodeImages(
-        s, ops.Multimodal.mediaFromDocuments(docs(s, dir)))))
+      ops.Multimodal.decodeMeta(s, ops.Multimodal.encodeAudio(
+        s, ops.Multimodal.encodeImages(
+          s, ops.Multimodal.mediaFromDocuments(docs(s, dir))))))
 
   /** MinHash+LSH verified pair set at the driver threshold, shared by
     * dd_minhash (its output) and dd_clusters (its input). Memoized but
@@ -2814,17 +2815,22 @@ object SparkEntry {
       |WHERE rank <= 5""".stripMargin
 
   /** Media decode from document text bytes (mirrors
-    * Multimodal.mediaFromDocuments + encodeImages + decodeMeta; text is
-    * ASCII). Image-kind payloads are real 24bpp BMP files whose encoded
-    * size is the deterministic `54 + h*rowSize` layout and whose decoded
-    * dims/bands come from the actual javax.imageio parse; audio/video
-    * stay the stub header parse over the raw text bytes. */
+    * Multimodal.mediaFromDocuments + encodeImages + encodeAudio +
+    * decodeMeta; text is ASCII). Image-kind payloads are real 24bpp BMP
+    * files whose encoded size is the deterministic `54 + h*rowSize`
+    * layout and whose decoded dims/bands come from the actual
+    * javax.imageio parse; audio-kind payloads are real 16-bit PCM WAV
+    * files (channels = first-byte parity + 1, one frame per byte,
+    * 8 kHz) whose decoded (frames, rate, channels) come from the actual
+    * javax.sound header parse; video stays the stub header parse over
+    * the raw text bytes. */
   private val MmDecodeCte =
     """WITH dims AS (
       |  SELECT doc_id, length(text) AS n,
       |    16 + ord(substr(text, 1, 1)) % 64 AS w,
       |    16 + CASE WHEN length(text) > 1
-      |         THEN ord(substr(text, 2, 1)) % 64 ELSE 0 END AS h
+      |         THEN ord(substr(text, 2, 1)) % 64 ELSE 0 END AS h,
+      |    1 + ord(substr(text, 1, 1)) % 2 AS ac
       |  FROM documents
       |), dec AS (
       |  SELECT doc_id AS media_id,
@@ -2832,10 +2838,15 @@ object SparkEntry {
       |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
       |    CAST(CASE WHEN doc_id % 3 = 0 AND n > 0
       |         THEN 54 + h * ((3 * w + 3) // 4 * 4)
+      |         WHEN doc_id % 3 = 1 AND n > 0
+      |         THEN 44 + n * ac * 2
       |         ELSE n END AS BIGINT) AS n_bytes,
-      |    CAST(w AS INT) AS width,
-      |    CAST(h AS INT) AS height,
+      |    CAST(CASE WHEN doc_id % 3 = 1 AND n > 0 THEN n
+      |         ELSE w END AS INT) AS width,
+      |    CAST(CASE WHEN doc_id % 3 = 1 AND n > 0 THEN 8000
+      |         ELSE h END AS INT) AS height,
       |    CAST(CASE WHEN doc_id % 3 = 0 AND n > 0 THEN 3
+      |         WHEN doc_id % 3 = 1 AND n > 0 THEN ac
       |         ELSE 1 + n % 3 END AS INT) AS channels
       |  FROM dims
       |)

@@ -20,13 +20,15 @@ case class MediaFeature(media_id: Long, n_bytes: Long, feature: Array[Long])
  * The Spark-side plumbing is real and tested — typed `Dataset[MediaRow]`
  * schema, per-partition batched processing via `mapPartitions` (the Scala
  * analogue of an Arrow-batched `mapInPandas` decode stage), and
- * explode-based frame sampling. Image decode is REAL: image-kind
- * payloads are encoded as actual BMP files ([[encodeImages]]) and parsed
- * back through the `javax.imageio` codec (PNG payloads decode too).
- * Audio/video decode remains a clearly-marked deterministic STUB (this
- * container has no audio/video codecs): metadata and features are pure
- * functions of the payload bytes, so every stage stays oracle-checkable
- * byte-for-byte.
+ * explode-based frame sampling. Image AND audio decode are REAL:
+ * image-kind payloads are encoded as actual BMP files ([[encodeImages]])
+ * and parsed back through the `javax.imageio` codec (PNG payloads
+ * decode too); audio-kind payloads are encoded as actual 16-bit PCM
+ * RIFF/WAVE files ([[encodeAudio]]) and parsed back through
+ * `javax.sound.sampled` (a pure header parse — headless-safe). Video
+ * decode remains a clearly-marked deterministic STUB (this container
+ * has no video codecs): metadata and features are pure functions of the
+ * payload bytes, so every stage stays oracle-checkable byte-for-byte.
  *
  * Scale notes: decode/featurize are narrow per-partition maps (no
  * shuffle); frame sampling is a generator expression (`sequence` +
@@ -105,6 +107,67 @@ object Multimodal {
     out
   }
 
+  /** Audio sample rate used by the WAV encoder (and so reported back by
+    * the real decode). */
+  val WavSampleRate = 8000
+
+  /** Re-encode audio-kind payloads as REAL 16-bit PCM RIFF/WAVE files
+    * (narrow per-partition map, no shuffle): channel count from the
+    * first payload byte's parity, one sample frame per source byte.
+    * Hand-rolled canonical 44-byte-header writer so the byte layout
+    * (and so `n_bytes = 44 + frames·channels·2`) is exact and
+    * engine-independent; the matching decode side goes through the
+    * actual `javax.sound.sampled` WAV parser. */
+  def encodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(64).flatMap(_.map { m =>
+        if (m.kind == "audio" && m.payload.nonEmpty)
+          m.copy(payload = encodeWav(m.payload))
+        else m
+      })
+    }.toDF()
+  }
+
+  /** Canonical-layout (44-byte header) 16-bit PCM WAV: channels =
+    * 1 + (first byte & 1), one frame per source byte, sample value =
+    * byte << 8 on every channel. */
+  private def encodeWav(src: Array[Byte]): Array[Byte] = {
+    val c = 1 + (src(0) & 1)
+    val frames = src.length
+    val dataSize = frames * c * 2
+    val out = new Array[Byte](44 + dataSize)
+    def putInt(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    def putShort(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.indices.foreach(i => out(off + i) = s.charAt(i).toByte)
+    putTag(0, "RIFF"); putInt(4, 36 + dataSize); putTag(8, "WAVE")
+    putTag(12, "fmt "); putInt(16, 16)
+    putShort(20, 1)                                  // PCM
+    putShort(22, c)
+    putInt(24, WavSampleRate)
+    putInt(28, WavSampleRate * c * 2)                // byte rate
+    putShort(32, c * 2)                              // block align
+    putShort(34, 16)                                 // bits per sample
+    putTag(36, "data"); putInt(40, dataSize)
+    var i = 0
+    while (i < frames) {
+      val v = (src(i) & 0xff) << 8
+      var ch = 0
+      while (ch < c) {
+        putShort(44 + (i * c + ch) * 2, v)
+        ch += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Decode (batched, per-partition): REAL codec for encoded images —
     * BMP/PNG payloads are detected by magic bytes and parsed with
     * `javax.imageio.ImageIO` (dependency-free; works headless) — and a
@@ -125,10 +188,17 @@ object Multimodal {
   private def isPng(b: Array[Byte]): Boolean =
     b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
       b(3) == 'G'
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E'
 
-  /** Real `ImageIO` decode for BMP/PNG payloads; deterministic stub
-    * header parse otherwise (including on a corrupt magic-prefixed
-    * payload, so the map is total either way). */
+  /** Real codec decode for BMP/PNG (`javax.imageio`) and RIFF/WAVE
+    * (`javax.sound.sampled` — a header parse, no audio device needed)
+    * payloads; deterministic stub header parse otherwise (including on
+    * a corrupt magic-prefixed payload, so the map is total either
+    * way). Audio metadata maps onto the shared schema as
+    * width = sample frames, height = sample rate, channels = channels. */
   private def decodeOne(m: MediaRow): DecodedMedia = {
     val b = m.payload
     val n = b.length.toLong
@@ -139,6 +209,15 @@ object Multimodal {
         if (img != null)
           return DecodedMedia(m.media_id, m.kind, n, img.getWidth,
             img.getHeight, img.getRaster.getNumBands)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    if (isWav(b)) {
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(b))
+        val fmt = aff.getFormat
+        return DecodedMedia(m.media_id, m.kind, n, aff.getFrameLength,
+          fmt.getSampleRate.toInt, fmt.getChannels)
       } catch { case scala.util.control.NonFatal(_) => () }
     }
     val (w, h) = stubDims(b)

@@ -644,6 +644,43 @@ class OpsSpec extends SparkSpec {
     assert(aRow.getAs[Array[Byte]]("payload").length === text.length)
   }
 
+  test("audio decode is the real javax.sound WAV parser (round-trip)") {
+    val s = spark; import s.implicits._
+    val text = "hello world"                       // 'h' = 0x68 → even → 1 ch
+    val d = Seq((1L, text)).toDF("doc_id", "text") // kind=audio
+    val enc = Multimodal.encodeAudio(
+      spark, Multimodal.mediaFromDocuments(d))
+    val payload = enc.select("payload").head().getAs[Array[Byte]](0)
+    assert(payload.length === 44 + text.length * 1 * 2)
+    // javax.sound itself must parse the hand-rolled WAV
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(payload))
+    assert(aff.getFrameLength === text.length)
+    assert(aff.getFormat.getChannels === 1)
+    assert(aff.getFormat.getSampleRate === 8000f)
+    assert(aff.getFormat.getSampleSizeInBits === 16)
+    // decodeMeta goes through the same parser
+    val dec = Multimodal.decodeMeta(spark, enc).head()
+    assert(dec.getAs[Int]("width") === text.length)     // frames
+    assert(dec.getAs[Int]("height") === 8000)           // sample rate
+    assert(dec.getAs[Int]("channels") === 1)
+    assert(dec.getAs[Long]("n_bytes") === 44L + text.length * 2)
+    // odd first byte → stereo, frames unchanged, bytes doubled
+    val st = "iodine"                               // 'i' = 0x69 → odd → 2 ch
+    val e2 = Multimodal.encodeAudio(
+      spark, Multimodal.mediaFromDocuments(
+        Seq((4L, st)).toDF("doc_id", "text")))      // 4 % 3 = 1 → audio
+    val dec2 = Multimodal.decodeMeta(spark, e2).head()
+    assert(dec2.getAs[Int]("channels") === 2)
+    assert(dec2.getAs[Int]("width") === st.length)
+    assert(dec2.getAs[Long]("n_bytes") === 44L + st.length * 4)
+    // image/video kinds pass through encodeAudio untouched
+    val v = Multimodal.encodeAudio(
+      spark, Multimodal.mediaFromDocuments(
+        Seq((2L, text)).toDF("doc_id", "text"))).head()
+    assert(v.getAs[Array[Byte]]("payload").length === text.length)
+  }
+
   test("decodeMeta parses PNG payloads through the real codec too") {
     val s = spark; import s.implicits._
     val img = new java.awt.image.BufferedImage(
