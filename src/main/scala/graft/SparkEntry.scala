@@ -388,6 +388,11 @@ object SparkEntry {
     // micro-quantized purchase-value sum — one partial-agg'd groupBy.
     "ev_rfm" -> ((s, dir) => streaming.Events.rfm(events(s, dir))),
 
+    // Session-length distribution: sessionize → per-size histogram with
+    // exact integer duration stats (two partial-agg'd groupBys).
+    "ev_sessionstats" -> ((s, dir) =>
+      streaming.Events.sessionStats(events(s, dir))),
+
     // Latest-record compaction (CDC upsert collapse): one row per user,
     // last write by (ts, event_id) wins — a single partial-agg'd
     // struct-max groupBy, no window rank.
@@ -861,6 +866,20 @@ object SparkEntry {
         s.read.parquet(s"$dir/supplier.parquet"),
         s.read.parquet(s"$dir/nation.parquet"),
         "NATION_1", "NATION_2", "1995-01-01", "1997-01-01")),
+
+    // National market share (TPC-H Q8 shape): 6-table star with both
+    // fact joins key-partitioned, dimension chains collapsed onto fact
+    // keys first, region membership as a left-semi probe.
+    "rel_marketshare" -> ((s, dir) =>
+      ops.Relational.marketShare(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        "STANDARD", "NATION_1", "ASIA", "1995-01-01", "1997-01-01")),
 
     // Power-of-two degree-distribution histogram (integer bit-length
     // buckets over the q3 degree table).
@@ -2128,6 +2147,63 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, rs / 10000.0 AS total_revenue
         |FROM r JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rs = (SELECT max(rs) FROM r)""".stripMargin,
+
+    "rel_marketshare" ->
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |cin AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |j AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |    supp_nation,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+        |         AS DECIMAL(24,4)) AS dp
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  JOIN sn ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cin ON o_custkey = c_custkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT order_year,
+        |  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN dp
+        |                     ELSE CAST(0 AS DECIMAL(24,4)) END)
+        |       AS DECIMAL(34,4)) AS DOUBLE) AS target_rev,
+        |  CAST(CAST(sum(dp) AS DECIMAL(34,4)) AS DOUBLE) AS total_rev,
+        |  round(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN dp
+        |                           ELSE CAST(0 AS DECIMAL(24,4)) END)
+        |             AS DECIMAL(34,4)) AS DOUBLE) /
+        |        CAST(CAST(sum(dp) AS DECIMAL(34,4)) AS DOUBLE) * 100.0, 6)
+        |    AS mkt_share_pct,
+        |  count(*) AS n_lines
+        |FROM j GROUP BY order_year""".stripMargin,
+
+    "ev_sessionstats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM e),
+        |ses AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |         max(us) - min(us) AS duration_us
+        |  FROM s GROUP BY user_id, session_idx)
+        |SELECT n_events, count(*) AS n_sessions,
+        |       CAST(sum(duration_us) AS BIGINT) AS sum_duration_us,
+        |       max(duration_us) AS max_duration_us
+        |FROM ses GROUP BY n_events""".stripMargin,
 
     "rel_discount" ->
       """SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -344,6 +344,71 @@ object Relational {
         .as("revenue"), count(lit(1)).as("n_lines"))
   }
 
+  /** National market share (reference shape: TPC-H Q8): per order
+    * year, the share of `targetNation`'s suppliers in the discounted
+    * revenue of `partType` parts sold to customers of `regionName`.
+    * Exact decimal sums; the share is a 6-dp rendering of the exact
+    * ratio at the very end.
+    *
+    * Scale shape: the two fact-fact joins (lineitem⋈part on partkey,
+    * lineitem⋈orders on orderkey) stay key-partitioned hash joins with
+    * their build inputs pre-filtered/pre-projected (part filtered to
+    * the type FIRST — at warehouse scale part is fact-sized);
+    * supplier⋈nation and customer⋈nation⋈region collapse the dimension
+    * chain onto the fact keys before joining; nation/region ride in as
+    * broadcasts. The final rollup is O(years) groups, partially
+    * aggregated map-side. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame,
+                  nation: DataFrame, region: DataFrame, part: DataFrame,
+                  partType: String, targetNation: String,
+                  regionName: String, from: String,
+                  until: String): DataFrame = {
+    val discPrice = (dec2(col("l_extendedprice")) *
+      (lit(BigDecimal(1)) - dec2(col("l_discount"))).cast(DecimalType(4, 2)))
+      .cast(DecimalType(24, 4))
+    val partsIn = part.filter(col("p_type") === partType)
+      .select(col("p_partkey"))
+    val suppN = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val custIn = customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("cnk"),
+          col("n_regionkey"))
+        .join(region.filter(col("r_name") === regionName)
+          .select("r_regionkey"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("cnk")), col("c_nationkey") === col("cnk"))
+      .select("c_custkey")
+    val ordersIn = orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast(LongType).as("order_year"))
+    val zero = lit(BigDecimal(0)).cast(DecimalType(24, 4))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        discPrice.as("dp"))
+      .join(partsIn, col("l_partkey") === col("p_partkey"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .join(ordersIn, col("l_orderkey") === col("o_orderkey"))
+      .join(custIn, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("order_year")
+      .agg(
+        sum(when(col("supp_nation") === targetNation, col("dp"))
+          .otherwise(zero)).cast(DecimalType(34, 4)).as("tr"),
+        sum(col("dp")).cast(DecimalType(34, 4)).as("ar"),
+        count(lit(1)).as("n_lines"))
+      .select(col("order_year"),
+        col("tr").cast("double").as("target_rev"),
+        col("ar").cast("double").as("total_rev"),
+        round(col("tr").cast("double") / col("ar").cast("double") * 100.0, 6)
+          .as("mkt_share_pct"),
+        col("n_lines"))
+  }
+
   /** Promotional revenue share per ship month (reference shape: TPC-H
     * Q14): of each month's discounted revenue, the fraction from parts
     * of the promo type. Exact decimal sums; the share is rendered as a

@@ -637,6 +637,22 @@ object Events {
         (sum(when(col("isp"), col("vmu")).otherwise(0L)) / lit(1000000.0))
           .as("monetary"))
 
+  /** Session-length distribution — the engagement histogram read off
+    * every sessionization run: for each session size (event count),
+    * how many sessions, with exact integer duration mass and maximum.
+    * Composes [[sessionize]] (hybrid gate flows through), then two
+    * partially-aggregated groupBys — the exchange carries one row per
+    * session, then one per distinct size; no window, no sort. All
+    * output columns are exact integers (double sums of per-session
+    * values would be reducer-order-sensitive; durations are integral
+    * µs). */
+  def sessionStats(events: DataFrame): DataFrame =
+    sessionize(events)
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("duration_us")).as("sum_duration_us"),
+        max(col("duration_us")).as("max_duration_us"))
+
   /** Latest-record compaction — the CDC/upsert collapse every change
     * stream needs before serving: one row per user, the most recent
     * event by (ts, event_id) — "last write wins", with the unique

@@ -319,6 +319,33 @@ class RelationalSpec extends SparkSpec {
       ("JAPAN", "FRANCE", 1996L, 40.0, 1L)))
   }
 
+  test("marketShare: target-nation share within the region per year") {
+    val s = spark; import s.implicits._
+    val li = Seq(
+      // (orderkey, partkey, suppkey, price, disc)
+      (1L, 1L, 100L, 100.0, 0.0),  // FR supp, STANDARD, ASIA cust: target
+      (1L, 2L, 200L, 50.0, 0.0),   // JP supp, STANDARD, ASIA cust: other
+      (1L, 3L, 100L, 999.0, 0.0),  // PROMO part — excluded
+      (2L, 1L, 100L, 77.0, 0.0)    // customer outside ASIA — excluded
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+      "l_discount")
+    val prt = Seq((1L, "STANDARD"), (2L, "STANDARD"), (3L, "PROMO"))
+      .toDF("p_partkey", "p_type")
+    val ord = Seq((1L, 10L, ts("1996-03-01")), (2L, 20L, ts("1996-04-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Seq((10L, 100), (20L, 300)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((100L, 100), (200L, 200)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((100, 1, "FRANCE"), (200, 1, "JAPAN"), (300, 2, "PERU"))
+      .toDF("n_nationkey", "n_regionkey", "n_name")
+    val reg = Seq((1, "ASIA"), (2, "AMERICA")).toDF("r_regionkey", "r_name")
+    val out = Relational.marketShare(li, ord, cust, supp, nat, reg, prt,
+        "STANDARD", "FRANCE", "ASIA", "1995-01-01", "1997-01-01")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    // 1996: target 100, total 150 → 66.666667 %
+    assert(out === Array((1996L, 100.0, 150.0, 66.666667, 2L)))
+  }
+
   test("covarianceMoments: ragged rows and overflow-spill stay exact") {
     val s = spark; import s.implicits._
     // 4e3-magnitude elements quantize to ~4e9 > √Long.Max, forcing the

@@ -231,6 +231,16 @@ class LocalEventsSpec extends SparkSpec {
     assert(rows === Seq((10L, 5000L, 3L, 2L, 0.3), (11L, 2000L, 1L, 0L, 0.0)))
   }
 
+  test("sessionStats: histogram over sessionize, both gate paths") {
+    val (l, d) = bothWays(Events.sessionStats(microEvents))
+    assert(l === d)
+    // sessions: u101 [3 events, 2 events... see sessionize test] — sizes:
+    // u101 → 3-event + 1-event, u102 → two 1-event, u103/104 → 1-event
+    val m = l.map(r => r.head -> r(1)).toMap
+    assert(m(3L) === 1L)
+    assert(m(1L) === 5L)
+  }
+
   test("latestRecord: kernel ≡ distributed; last write by (ts, event_id)") {
     val s = spark; import s.implicits._
     val ev = Seq(
