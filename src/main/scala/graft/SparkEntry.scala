@@ -388,6 +388,12 @@ object SparkEntry {
     // micro-quantized purchase-value sum — one partial-agg'd groupBy.
     "ev_rfm" -> ((s, dir) => streaming.Events.rfm(events(s, dir))),
 
+    // Linear attribution: each purchase splits exactly 1e6 micro-credits
+    // across the user's prior-hour clicks (remainder to the latest) —
+    // binned interval join + per-conversion window + per-click rollup.
+    "ev_attribution" -> ((s, dir) =>
+      streaming.Events.attribution(events(s, dir))),
+
     // Session-length distribution: sessionize → per-size histogram with
     // exact integer duration stats (two partial-agg'd groupBys).
     "ev_sessionstats" -> ((s, dir) =>
@@ -590,6 +596,13 @@ object SparkEntry {
     // candidates above it).
     "sim_knn" -> ((s, dir) => ops.Similarity.knnGraph(emb(s, dir), 3)),
 
+    // ANN recall evaluation: per-query recall@5 of the IVF index vs the
+    // exact scan — query-keyed semi-probe + two partial-agg'd groupBys.
+    "sim_recall" -> ((s, dir) =>
+      ops.Similarity.recallAtK(
+        ops.Similarity.ivfTopK(emb(s, dir), 5, 10, 16, 4),
+        ops.Similarity.bruteForceTopK(emb(s, dir), 5, 10))),
+
     // IVF-bucketed approximate top-5 (the scale path).
     "sim_ivf" -> ((s, dir) => ops.Similarity.ivfTopK(emb(s, dir), 5, 10, 16, 4)),
 
@@ -673,6 +686,18 @@ object SparkEntry {
     // Top-100 vocabulary (tokenizer / min-df prep); distributed top-k
     // via TakeOrdered — no global sort.
     "tx_vocab" -> ((s, dir) => ops.TextOps.vocabulary(docs(s, dir), 100)),
+
+    // Bigram cross-entropy per doc under the corpus's own LM (CCNet
+    // quality-filter shape): one bigram explode feeds model counts and
+    // scoring join; no smoothing needed in-corpus.
+    "tx_perplexity" -> ((s, dir) =>
+      ops.TextOps.bigramCrossEntropy(docs(s, dir))),
+
+    // N-gram inventory stats (n = 1..3): types, occurrences, hapaxes —
+    // the Heaps'-law novelty profile; two-level groupBy, one row per
+    // type on the exchange (never count-distinct re-shuffles).
+    "tx_ngramstats" -> ((s, dir) =>
+      ops.TextOps.ngramStats(docs(s, dir), 3)),
 
     // Count-Min sketch accuracy audit: one corpus pass through the
     // fixed-size cms_sketch grid (element-wise-sum merge — the exchange
@@ -1844,6 +1869,34 @@ object SparkEntry {
         |    / 4000000.0 AS q75
         |FROM st s JOIN sel USING (stratum)""".stripMargin),
 
+    "tx_perplexity" -> (TokCte.stripSuffix("\n") +
+      """,
+        |bg AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM toks,
+        |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cc AS (SELECT w1, count(*) AS cc FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(-sum(ln(CAST(cb AS DOUBLE)/cc))/count(*), 6)
+        |         AS cross_entropy_nats
+        |FROM bg JOIN cb USING (w1, w2) JOIN cc USING (w1)
+        |GROUP BY doc_id""".stripMargin),
+
+    "tx_ngramstats" -> (TokCte.stripSuffix("\n") +
+      """,
+        |grams AS (
+        |  SELECT n, array_to_string(tk[i : i + CAST(n AS INT) - 1], ' ') AS gram
+        |  FROM (SELECT tk, n,
+        |          unnest(generate_series(1, len(tk) - CAST(n AS INT) + 1)) AS i
+        |        FROM toks CROSS JOIN
+        |             (SELECT unnest(generate_series(1, 3)) AS n))),
+        |cnt AS (SELECT n, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+        |SELECT CAST(n AS BIGINT) AS n, count(*) AS n_types,
+        |       CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |FROM cnt GROUP BY 1""".stripMargin),
+
     // Every CMS cell is the exact sum of counts of the tokens hashing
     // into it — rebuilt relationally from the same polyhash the Spark
     // aggregate pins, so the sketch estimates carry a full oracle.
@@ -2183,6 +2236,28 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM j GROUP BY order_year""".stripMargin,
 
+    "ev_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(ts) AS us FROM events),
+        |p AS (SELECT event_id AS conv_id, user_id, us FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, us AS c_us FROM e
+        |      WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.conv_id, c.click_id, c.user_id, c.c_us
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.c_us >= p.us - 3600000000 AND c.c_us < p.us),
+        |sized AS (
+        |  SELECT conv_id, click_id, user_id,
+        |    count(*) OVER (PARTITION BY conv_id) AS n,
+        |    row_number() OVER (PARTITION BY conv_id
+        |                       ORDER BY c_us DESC, click_id DESC) AS rn
+        |  FROM pairs)
+        |SELECT click_id AS event_id, user_id, count(*) AS n_conversions,
+        |  CAST(sum(1000000 // n + CASE WHEN rn = 1 THEN 1000000 % n
+        |                               ELSE 0 END) AS BIGINT) AS credit_micros
+        |FROM sized GROUP BY 1, 2""".stripMargin,
+
     "ev_sessionstats" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -2447,6 +2522,53 @@ object SparkEntry {
         |                            ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin),
+
+    // Both top-k pipelines rebuilt as CTE chains (ivf = the sim_ivf
+    // oracle, brute = the sim_brute oracle), joined per query.
+    "sim_recall" -> (EmbCte +
+      """, cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM nv WHERE vec_id < 16),
+        |ac AS (SELECT nv.vec_id, cent.centroid_id,
+        |         round(list_dot_product(nv.v, cent.cv)/(nv.nrm*cent.cn), 6) AS cc
+        |       FROM nv CROSS JOIN cent),
+        |assign AS (SELECT vec_id, centroid_id FROM (
+        |             SELECT vec_id, centroid_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY cc DESC, centroid_id) AS rn
+        |             FROM ac) WHERE rn = 1),
+        |probes AS (SELECT query_id, centroid_id FROM (
+        |             SELECT vec_id AS query_id, centroid_id,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                                  ORDER BY cc DESC, centroid_id) AS rn
+        |             FROM ac WHERE vec_id < 10) WHERE rn <= 4),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 10),
+        |iscored AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.qv, c.v)/(q.qn*c.nrm), 6) AS cosine
+        |  FROM nv c JOIN assign a ON c.vec_id = a.vec_id
+        |  JOIN probes p ON a.centroid_id = p.centroid_id
+        |  JOIN q ON q.query_id = p.query_id
+        |  WHERE p.query_id <> c.vec_id),
+        |iv AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY cosine DESC, neighbor_id) AS rank
+        |         FROM iscored) WHERE rank <= 5),
+        |bscored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.qv, c.v)/(q.qn*c.nrm), 6) AS cosine
+        |  FROM q JOIN nv c ON q.query_id <> c.vec_id),
+        |bt AS (SELECT query_id, neighbor_id FROM (
+        |         SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY cosine DESC, neighbor_id) AS rank
+        |         FROM bscored) WHERE rank <= 5)
+        |SELECT b.query_id,
+        |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+        |  count(*) AS n_exact,
+        |  round(CAST(count(i.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+        |FROM bt b LEFT JOIN iv i ON b.query_id = i.query_id
+        |                        AND b.neighbor_id = i.neighbor_id
+        |GROUP BY b.query_id""".stripMargin),
 
     "sim_pq" -> (EmbCte +
       """, mk AS (SELECT m, j FROM (SELECT unnest(generate_series(0, 7)) AS m),

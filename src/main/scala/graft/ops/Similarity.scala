@@ -206,6 +206,30 @@ object Similarity {
     }
   }
 
+  /** ANN recall evaluation — the metric every approximate index is
+    * judged by before it replaces an exact scan: per query, how many of
+    * the exact top-k neighbors the approximate result recovered.
+    * `approx`/`exact` are any two (query_id, neighbor_id, …) top-k
+    * tables (e.g. [[ivfTopK]] vs [[bruteForceTopK]]).
+    *
+    * Scale shape: a (query, neighbor)-keyed left-semi probe of the
+    * exact table against the approximate one, then one partial-agg'd
+    * groupBy per side — every join/agg keyed on query_id, exchanges
+    * carry O(k) rows per query. Output: (query_id, n_hit, n_exact,
+    * recall 6-dp). */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact"), 6).as("recall"))
+  }
+
   /** Deterministic sampled spherical k-means: Lloyd's iterations on the
     * first `sampleSize` corpus vectors by id (a distributed top-S — the
     * corpus itself is never collected), initialized from the stand-in

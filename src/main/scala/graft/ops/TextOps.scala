@@ -258,6 +258,71 @@ object TextOps {
     * billion-type vocabulary at 100 TB still ranks in one pass. The
     * only caveat is `countDistinct(doc_id)` (document frequency), which
     * costs the standard expand-shuffle; it rides the same groupBy key. */
+  /** Per-document bigram cross-entropy under the corpus's own bigram
+    * LM — the CCNet-style statistical-LM quality signal: documents
+    * whose word transitions are improbable under the corpus
+    * distribution (gibberish, boilerplate soup) score high and get
+    * filtered; perplexity is `exp(cross_entropy_nats)`. Scoring
+    * in-corpus keeps every bigram count ≥ 1, so no smoothing is needed
+    * and the score is a pure function of exact integer counts (the
+    * `ln` + round-6 rendering follows the [[entropy]] precedent —
+    * engines agree bit-for-bit).
+    *
+    * Scale shape: ONE bigram explode feeds the model counts (two
+    * partially-aggregated groupBys — bigram types and context types on
+    * the exchange, never occurrences) and the scoring join — keyed on
+    * (w1, w2) / (w1); the context table is vocabulary-sized (often
+    * broadcastable), hot stopword contexts are AQE-skew-join fodder;
+    * the final per-doc rollup partially aggregates. */
+  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val toks = tokenized(docs).where(size(col("tk")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cc = bg.groupBy("w1").agg(count(lit(1)).as("cc"))
+    bg.join(cb, Seq("w1", "w2")).join(cc, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(log(col("cb").cast("double") / col("cc"))) /
+          count(lit(1)), 6).as("cross_entropy_nats"))
+  }
+
+  /** N-gram inventory statistics for n = 1..maxN: distinct type count,
+    * total occurrences, and hapax count (types seen exactly once) — the
+    * Heaps'-law / novelty profile an LM-data curator reads to judge a
+    * corpus's lexical richness and near-duplication (a duplicated
+    * corpus collapses types while occurrences double; a rich corpus
+    * grows hapaxes).
+    *
+    * Scale shape: one tokenize pass feeds maxN inline window-slice
+    * generators (narrow explode, no shingle fallback); the only
+    * shuffles are the per-(n, gram) partial-aggregated count and the
+    * O(maxN)-group rollup — `count(DISTINCT gram)` as a naive agg
+    * would re-shuffle every occurrence; the two-level groupBy ships
+    * one row per type. */
+  def ngramStats(docs: DataFrame, maxN: Int = 3): DataFrame = {
+    val toks = tokenized(docs)
+    val perN = (1 to maxN).map { n =>
+      // sequence(1, 0) would run DESCENDING — guard short docs to an
+      // empty gram array (explode then emits no rows)
+      val grams = when(size(col("tk")) >= n,
+        transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+          i => concat_ws(" ", slice(col("tk"), i, lit(n)))))
+        .otherwise(array())
+      toks.select(explode(grams).as("gram"))
+        .select(lit(n.toLong).as("n"), col("gram"))
+    }
+    perN.reduce(_.unionAll(_))
+      .groupBy("n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_occurrences"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+  }
+
   /** Count-Min estimated vs exact occurrence counts for the top-k
     * vocabulary tokens — the sketch-accuracy audit a frequency-sketch
     * deployment runs before trusting estimates at corpora too large

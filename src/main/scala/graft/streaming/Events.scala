@@ -285,6 +285,55 @@ object Events {
               .as("sum_prior_value"))
       }
 
+  /**
+   * Linear marketing attribution: every purchase splits 1,000,000
+   * micro-credits equally across the user's clicks in the prior hour;
+   * per click, the total credit received and the number of purchases it
+   * helped convert. EXACT integer semantics — each click gets
+   * `1e6 div n`, and the remainder goes to the LATEST contributing
+   * click (by (us, event_id)) so the split is deterministic and sums
+   * to exactly 1e6 per converted purchase; a double `1/n` share would
+   * drift across engines.
+   *
+   * Scale shape: candidate pairs come from the same Flink-style binned
+   * (user, bin) equi-join as [[rangeJoinCounts]]; the share window
+   * partitions by the PURCHASE id — conversion cardinality is the
+   * scale axis, so partitions stay tiny; the final rollup is a
+   * partial-agg'd groupBy per click.
+   */
+  def attribution(events: DataFrame,
+                  convType: String = AsofLeftType,
+                  touchType: String = AsofRightType,
+                  windowUs: Long = RangeWindowUs): DataFrame = {
+    val withUs = events.withColumn("us", unix_micros(col("ts")))
+    val conv = withUs.filter(col("event_type") === convType)
+      .select(col("event_id").as("conv_id"), col("user_id").as("l_user"),
+        col("us"), (col("us") - col("us") % windowUs).as("bin"))
+    val touch = withUs.filter(col("event_type") === touchType)
+      .select(col("event_id").as("click_id"), col("user_id").as("r_user"),
+        col("us").as("r_us"))
+      .withColumn("bin", explode(array(
+        col("r_us") - col("r_us") % windowUs,
+        col("r_us") - col("r_us") % windowUs + windowUs)))
+    val pairs = conv.join(touch,
+      conv("l_user") === touch("r_user") && conv("bin") === touch("bin") &&
+        touch("r_us") >= conv("us") - windowUs && touch("r_us") < conv("us"))
+    val w = Window.partitionBy("conv_id")
+    val sized = pairs
+      .select(col("conv_id"), col("click_id"), col("r_user"), col("r_us"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("r_us").desc, col("click_id").desc)))
+    sized
+      .select(col("click_id"), col("r_user"),
+        (expr("1000000L div n") +
+          when(col("rn") === 1, lit(1000000L) % col("n"))
+            .otherwise(lit(0L))).as("credit"))
+      .groupBy(col("click_id").as("event_id"), col("r_user").as("user_id"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("credit")).as("credit_micros"))
+  }
+
   /** Default funnel: first signup → first click at-or-after it → first
     * purchase at-or-after that click. */
   val FunnelSteps: Seq[String] = Seq("signup", "click", "purchase")

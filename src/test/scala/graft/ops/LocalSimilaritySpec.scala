@@ -132,6 +132,31 @@ class LocalSimilaritySpec extends SparkSpec {
     assert((exact.count(lshSet): Double) / exact.size >= 0.10)
   }
 
+  test("recallAtK: per-query hit counts, zero-hit queries kept") {
+    val s = spark; import s.implicits._
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L))
+      .toDF("query_id", "neighbor_id")
+    val exact = Seq((1L, 10L), (1L, 12L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out === Array(
+      (1L, 1L, 2L, 0.5), (2L, 0L, 1L, 0.0), (3L, 0L, 1L, 0.0)))
+  }
+
+  test("sim_recall wiring: IVF recall vs brute is sane on a random corpus") {
+    val c = corpus(60, 8, 5L)
+    val r = Similarity.recallAtK(
+        Similarity.ivfTopK(c, 5, 10, 16, 4),
+        Similarity.bruteForceTopK(c, 5, 10))
+      .collect().map(x => (x.getLong(0), x.getDouble(3)))
+    assert(r.length === 10)
+    // probing 4 of 16 stand-in cells must beat random cell coverage
+    assert(r.map(_._2).sum / r.length >= 0.25)
+    assert(r.forall(x => x._2 >= 0.0 && x._2 <= 1.0))
+  }
+
   test("embeddingDedup: kernel ≡ distributed block path (ties included)") {
     for (seed <- 1L to 3L) {
       val (l, d) = bothWays(Dedup.embeddingDedup(corpus(60, 8, seed), 0.3))

@@ -110,6 +110,17 @@ class OpsSpec extends SparkSpec {
     assert(out2.length === 6)
   }
 
+  test("ngramStats: types/occurrences/hapaxes per n, short docs safe") {
+    val d = docs((0L, "a b a"), (1L, "a"), (2L, ""))
+    val out = TextOps.ngramStats(d, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((2L, 4L, 1L)))  // a×3, b×1 → 2 types, hapax b
+    assert(out(2L) === ((2L, 2L, 2L)))  // "a b", "b a"
+    assert(out(3L) === ((1L, 1L, 1L)))  // "a b a"
+    assert(out.size === 3)
+  }
+
   test("oovRate: top-k vocab membership, count-desc token-asc ties") {
     val d = docs((1L, "a a b c"), (2L, "a b b d"))
     val out = TextOps.oovRate(d, 2).orderBy("doc_id").collect()

@@ -231,6 +231,34 @@ class LocalEventsSpec extends SparkSpec {
     assert(rows === Seq((10L, 5000L, 3L, 2L, 0.3), (11L, 2000L, 1L, 0L, 0.0)))
   }
 
+  test("attribution: exact integer split, remainder to latest click") {
+    val s = spark; import s.implicits._
+    val min = 60L * 1000000
+    val ev = Seq(
+      // user 1: three clicks then a purchase → 333333/333333/333334
+      (1L, 10 * min, 1L, "click", 0.0),
+      (2L, 20 * min, 1L, "click", 0.0),
+      (3L, 30 * min, 1L, "click", 0.0),
+      (4L, 40 * min, 1L, "purchase", 9.0),
+      // user 1: second purchase sees only the later click e6
+      (6L, 50 * min, 1L, "click", 0.0),
+      (5L, 95 * min, 1L, "purchase", 5.0),
+      // user 2: click with no purchase → no row
+      (7L, 10 * min, 2L, "click", 0.0),
+      // user 3: purchase with no clicks → no rows
+      (8L, 10 * min, 3L, "purchase", 1.0),
+      // user 4: click exactly window-start before the purchase counts
+      (9L, 0L, 4L, "click", 0.0),
+      (10L, 60 * min, 4L, "purchase", 2.0)
+    ).toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val out = Events.attribution(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      1L -> ((1L, 333333L)), 2L -> ((1L, 333333L)), 3L -> ((1L, 333334L)),
+      6L -> ((1L, 1000000L)), 9L -> ((1L, 1000000L))))
+  }
+
   test("sessionStats: histogram over sessionize, both gate paths") {
     val (l, d) = bothWays(Events.sessionStats(microEvents))
     assert(l === d)
