@@ -320,6 +320,25 @@ object SparkEntry {
         graft.bfs.LabelPropagation.modularityTop(clean(s, dir),
           graft.bfs.LabelPropagation.lpa(s, clean(s, dir), 4), 20))),
 
+    // Top-20 co-purchase pairs by neighborhood Jaccard (link-prediction
+    // primitive): wedge candidates through shared neighbors only, hot
+    // centers excluded from generation (degree cap), exact full degrees
+    // in the score, TakeOrdered top-k.
+    "gr_jaccard" -> ((s, dir) =>
+      graft.bfs.Triangles.jaccardTop(
+        graft.etl.EdgeOps.cleanEdges(
+          graft.bfs.Triangles.coPurchaseSelfJoin(orderPartPairs(s, dir))),
+        20, 1000L)),
+
+    // Per-community conductance over the LPA partition: cut / min(vol,
+    // 2m − vol) — exact integer cut/vol from the same two label joins
+    // as modularity, 6-dp φ, top-20 by size.
+    "gr_conductance" -> ((s, dir) =>
+      withCsr(s, dir)(csr => graft.bfs.LabelPropagation.conductanceTopCsr(
+          s, csr, graft.bfs.LabelPropagation.lpaCsr(csr, 4), 20))(
+        graft.bfs.LabelPropagation.conductanceTop(clean(s, dir),
+          graft.bfs.LabelPropagation.lpa(s, clean(s, dir), 4), 20))),
+
     // S4 — deterministic initial-edge backbones (MRG scramble → rows check).
     "s4_tree_edges" -> ((s, _) => graft.gen.Kronecker.binaryTreeEdges(s, 10)),
     "s4_ham_edges" -> ((s, _) => graft.gen.Kronecker.hamiltonianCycleEdges(s, 10)),
@@ -1216,6 +1235,21 @@ object SparkEntry {
       |        FROM tclean c JOIN tdeg da ON c.src = da.v JOIN tdeg db ON c.dst = db.v
       |        WHERE da.d < db.d OR (da.d = db.d AND c.src < c.dst))""".stripMargin
 
+  /** Top-20 neighborhood-Jaccard pairs on the co-purchase projection
+    * (mirrors Triangles.jaccardTop with the same center-degree cap). */
+  private val JaccardSql = TriPrefixCte +
+    """,
+      |ctr AS (SELECT v FROM tdeg WHERE d <= 1000),
+      |ce AS (SELECT src, dst FROM tclean JOIN ctr ON src = v),
+      |cm AS (SELECT a.dst AS va, b.dst AS vb, count(*) AS common
+      |       FROM ce a JOIN ce b ON a.src = b.src AND a.dst < b.dst
+      |       GROUP BY 1, 2)
+      |SELECT va AS vertex_a, vb AS vertex_b, common,
+      |       da.d AS deg_a, db.d AS deg_b,
+      |       round(CAST(common AS DOUBLE)/(da.d + db.d - common), 6) AS jaccard
+      |FROM cm JOIN tdeg da ON va = da.v JOIN tdeg db ON vb = db.v
+      |ORDER BY jaccard DESC, va, vb LIMIT 20""".stripMargin
+
   /** Degree-oriented triangle count on the part co-purchase projection
     * (mirrors Triangles.count / countCsr). */
   private val TriangleSql = TriPrefixCte +
@@ -1253,6 +1287,8 @@ object SparkEntry {
 
     "gr_localcc" -> LocalCcSql,
 
+    "gr_jaccard" -> JaccardSql,
+
     "gr_pagerank" -> (GraphCte + pagerankSql(10)),
 
     "gr_kcore" -> (GraphCte + kcoreSql(3, 5)),
@@ -1260,6 +1296,23 @@ object SparkEntry {
     "gr_lpa" -> (GraphCte + lpaSql(4)),
 
     "gr_modularity" -> (GraphCte + modularitySql(4, 20)),
+
+    "gr_conductance" -> (GraphCte + lpaStepsSql(4) + s""",
+      |lab AS (SELECT v, label FROM lp4),
+      |el AS (SELECT a.label AS ls, b.label AS ld
+      |       FROM clean e JOIN lab a ON e.src = a.v JOIN lab b ON e.dst = b.v),
+      |per AS (SELECT ls AS community, count(*) AS k_c,
+      |          CAST(sum(CASE WHEN ls <> ld THEN 1 ELSE 0 END) AS BIGINT) AS cut_c
+      |        FROM el GROUP BY ls),
+      |mem AS (SELECT label AS community, count(*) AS n_members
+      |        FROM lab GROUP BY label),
+      |tot AS (SELECT count(*) AS m2 FROM clean)
+      |SELECT community, n_members, k_c, cut_c,
+      |  CASE WHEN least(k_c, m2 - k_c) > 0
+      |       THEN round(CAST(cut_c AS DOUBLE)/least(k_c, m2 - k_c), 6)
+      |       END AS phi
+      |FROM mem JOIN per USING (community), tot
+      |ORDER BY n_members DESC, community LIMIT 20""".stripMargin),
 
     "gr_diameter" -> (GraphCte +
       """,

@@ -126,25 +126,25 @@ object LabelPropagation {
       .limit(k)
   }
 
-  /** Kernel twin of [[modularityTop]] on CSR arrays + an LPA label
-    * array (dense-indexed): one sweep over the adjacency accumulating
-    * per-community (members, k_c, in_c), same rounded double contract. */
-  def modularityTopCsr(spark: SparkSession, csr: LocalCsr,
-                       labels: Array[Long], k: Int): DataFrame = {
+  private final class CommAcc {
+    var members = 0L
+    var kC = 0L
+    var inC = 0L
+  }
+
+  /** One adjacency sweep accumulating per-community (members, k_c,
+    * in_c) — shared by the modularity and conductance kernels. */
+  private def communityAggCsr(csr: LocalCsr, labels: Array[Long])
+      : Seq[(Long, Long, Long, Long)] = {
     val n = csr.nVerts
     val rs = csr.rowStarts
     val nbrs = csr.nbrs
-    final class Acc {
-      var members = 0L
-      var kC = 0L
-      var inC = 0L
-    }
-    val byC = new java.util.TreeMap[Long, Acc]()
+    val byC = new java.util.TreeMap[Long, CommAcc]()
     var v = 0
     while (v < n) {
       val l = labels(v)
       var a = byC.get(l)
-      if (a == null) { a = new Acc; byC.put(l, a) }
+      if (a == null) { a = new CommAcc; byC.put(l, a) }
       a.members += 1
       a.kC += rs(v + 1) - rs(v)
       var p = rs(v)
@@ -154,10 +154,18 @@ object LabelPropagation {
       }
       v += 1
     }
-    val m2 = rs(n).toDouble
     import scala.jdk.CollectionConverters._
-    val rows = byC.entrySet().asScala.toSeq
+    byC.entrySet().asScala.toSeq
       .map(e => (e.getKey, e.getValue.members, e.getValue.kC, e.getValue.inC))
+  }
+
+  /** Kernel twin of [[modularityTop]] on CSR arrays + an LPA label
+    * array (dense-indexed): one sweep over the adjacency accumulating
+    * per-community (members, k_c, in_c), same rounded double contract. */
+  def modularityTopCsr(spark: SparkSession, csr: LocalCsr,
+                       labels: Array[Long], k: Int): DataFrame = {
+    val m2 = csr.rowStarts(csr.nVerts).toDouble
+    val rows = communityAggCsr(csr, labels)
       .sortBy { case (c, m, _, _) => (-m, c) }
       .take(k)
       .map { case (c, m, kC, inC) =>
@@ -167,5 +175,58 @@ object LabelPropagation {
       }
     import spark.implicits._
     rows.toDF("community", "n_members", "k_c", "in_c", "q_c")
+  }
+
+  /** Per-community conductance φ(C) = cut(C) / min(vol(C), 2m − vol(C))
+    * over a (vertex, label) partition — the OTHER community-quality
+    * metric next to modularity: low φ = few escaping edges relative to
+    * the community's degree mass. `cut` and `vol` are exact integers
+    * from the same symmetric edge labelling as [[modularityTop]]
+    * (cut = k_c − in_c); φ is a 6-dp rendering, NULL for a community
+    * holding all edge mass (denominator 0). Top-k by size.
+    *
+    * Scale shape: identical to modularity — two vertex-keyed label
+    * joins, one partial-agg'd groupBy per side, one-row broadcast
+    * total, TakeOrdered. */
+  def conductanceTop(clean: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    val lab = labels.select(col("vertex"), col("label"))
+    val e = clean.select("src", "dst")
+      .join(lab.select(col("vertex").as("src"), col("label").as("ls")), "src")
+      .join(lab.select(col("vertex").as("dst"), col("label").as("ld")), "dst")
+    val per = e.groupBy(col("ls").as("community"))
+      .agg(count(lit(1)).as("k_c"),
+        sum(when(col("ls") =!= col("ld"), 1L).otherwise(0L)).as("cut_c"))
+    val members = lab.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+    val tot = clean.agg(count(lit(1)).as("m2"))
+    val denom = least(col("k_c"), col("m2") - col("k_c"))
+    members.join(per, Seq("community"))
+      .crossJoin(broadcast(tot))
+      .select(col("community"), col("n_members"), col("k_c"), col("cut_c"),
+        when(denom > 0,
+          round(col("cut_c").cast("double") / denom.cast("double"), 6))
+          .as("phi"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(k)
+  }
+
+  /** Kernel twin of [[conductanceTop]] — same sweep as the modularity
+    * kernel, conductance rendering. */
+  def conductanceTopCsr(spark: SparkSession, csr: LocalCsr,
+                        labels: Array[Long], k: Int): DataFrame = {
+    val m2 = csr.rowStarts(csr.nVerts)
+    val rows = communityAggCsr(csr, labels)
+      .sortBy { case (c, m, _, _) => (-m, c) }
+      .take(k)
+      .map { case (c, m, kC, inC) =>
+        val cut = kC - inC
+        val denom = math.min(kC, m2 - kC)
+        (c, m, kC, cut,
+          if (denom > 0)
+            Some(graft.ops.LocalDedup.round6(cut.toDouble / denom))
+          else None)
+      }
+    import spark.implicits._
+    rows.toDF("community", "n_members", "k_c", "cut_c", "phi")
   }
 }

@@ -200,10 +200,46 @@ object Triangles {
     }
   }
 
+  /** Top-k vertex pairs by neighborhood Jaccard similarity — the
+    * classic link-prediction / "customers also bought" primitive:
+    * J(a,b) = |N(a)∩N(b)| / (|N(a)| + |N(b)| − |N(a)∩N(b)|), candidate
+    * pairs generated through shared neighbors only (zero-overlap pairs
+    * never materialize).
+    *
+    * Scale shape: the wedge expansion through a center vertex is
+    * inherently O(deg²) — so centers above `maxCenterDeg` are excluded
+    * from candidate GENERATION (their wedge mass is quadratic while
+    * their similarity evidence is diluted across thousands of
+    * neighbors — the same hot-key guard as the n-gram index's maxDf);
+    * degrees in the score remain exact full degrees. The wedge join is
+    * a center-keyed equi-join, the common-count a partial-agg'd
+    * groupBy per pair, the result a TakeOrdered top-k on the rounded
+    * score. */
+  def jaccardTop(clean: DataFrame, k: Int,
+                 maxCenterDeg: Long = 1000): DataFrame = {
+    val deg = clean.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val centers = deg.filter(col("d") <= maxCenterDeg).select(col("v"))
+    val e = clean.join(centers, clean("src") === centers("v"), "left_semi")
+    val a = e.select(col("src").as("c"), col("dst").as("va"))
+    val b = e.select(col("src").as("c"), col("dst").as("vb"))
+    val common = a.join(b, Seq("c")).filter(col("va") < col("vb"))
+      .groupBy("va", "vb").agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("v").as("va"), col("d").as("deg_a")), "va")
+      .join(deg.select(col("v").as("vb"), col("d").as("deg_b")), "vb")
+      .select(col("va").as("vertex_a"), col("vb").as("vertex_b"),
+        col("common"), col("deg_a"), col("deg_b"),
+        round(col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("vertex_a"), col("vertex_b"))
+      .limit(k)
+  }
+
   /** Distributed co-occurrence pair expansion: the per-group self-join.
     * Per-group fan-out is the (bounded) group size, so the join is
     * skew-safe. */
-  private def coPurchaseSelfJoin(gm: DataFrame): DataFrame =
+  private[graft] def coPurchaseSelfJoin(gm: DataFrame): DataFrame =
     gm.as("a").join(gm.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.dst").as("src"), col("b.dst").as("dst"))

@@ -96,6 +96,51 @@ class LabelPropagationSpec extends SparkSpec {
     }
   }
 
+  test("conductanceTop: two cliques with one bridge, hand-checked φ") {
+    val s = spark; import s.implicits._
+    // cliques {0,1,2} and {10,11,12}, bridge 2–10
+    val raw = Seq((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (2L, 10L)).toDF("src", "dst")
+    val clean = graft.etl.EdgeOps.cleanEdges(raw)
+    val out = LabelPropagation.conductanceTop(clean,
+        LabelPropagation.lpa(spark, clean, 4), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // each community: vol = 2·3 + 1 = 7, cut = 1 → φ = 1/7
+    assert(out.length === 2)
+    out.foreach { case (_, m, kc, cut, phi) =>
+      assert(m === 3L && kc === 7L && cut === 1L)
+      assert(phi === graft.ops.LocalDedup.round6(1.0 / 7))
+    }
+  }
+
+  test("conductanceTop: random graphs kernel ≡ distributed; φ in [0,1]") {
+    val s = spark; import s.implicits._
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(300 + seed)
+      val nV = 18 + rnd.nextInt(20)
+      val pairs = Seq.fill(3 * nV)(
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter(p => p._1 != p._2)
+      val csr = LocalCsr.buildFromRawPairs(
+        pairs.flatMap(p => Seq(p._1, p._2)).toArray)
+      val labels = LabelPropagation.lpaCsr(csr, 4)
+      val kernel = LabelPropagation.conductanceTopCsr(spark, csr, labels, 5)
+        .collect().map(_.toSeq.toVector).toSeq
+      val clean = graft.etl.EdgeOps.cleanEdges(pairs.toDF("src", "dst"))
+      val dist = LabelPropagation.conductanceTop(clean,
+          LabelPropagation.lpa(spark, clean, 4), 5)
+        .collect().map(_.toSeq.toVector).toSeq
+      assert(kernel === dist, s"seed=$seed")
+      kernel.foreach { r =>
+        if (r(4) != null) {
+          val phi = r(4).asInstanceOf[Double]
+          assert(phi >= 0.0 && phi <= 1.0, s"seed=$seed phi=$phi")
+        }
+      }
+    }
+  }
+
   test("modularityTop: random graphs kernel ≡ distributed, k truncates") {
     val s = spark; import s.implicits._
     for (seed <- 0 until 3) {

@@ -75,6 +75,30 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("jaccardTop: hand graph scores, only shared-neighbor pairs emit") {
+    val s = spark; import s.implicits._
+    val raw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val clean = graft.etl.EdgeOps.cleanEdges(raw)
+    val out = Triangles.jaccardTop(clean, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(out === Array(
+      (1L, 4L, 1L, 0.5), (2L, 4L, 1L, 0.5), (1L, 2L, 1L, 0.333333),
+      (1L, 3L, 1L, 0.25), (2L, 3L, 1L, 0.25)))
+  }
+
+  test("jaccardTop: hot centers are excluded from candidate generation") {
+    val s = spark; import s.implicits._
+    // star center 0 with leaves 1..5, plus edge 1–2: with the cap at 3
+    // the star center (deg 6) generates no wedges — only the wedge
+    // through (eligible) centers 1 and 2 survives
+    val raw = (1L to 5L).map(l => (0L, l)) :+ (1L, 2L)
+    val clean = graft.etl.EdgeOps.cleanEdges(raw.toDF("src", "dst"))
+    val out = Triangles.jaccardTop(clean, 10, maxCenterDeg = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // wedges through center 1 (nbrs {0,2}) and 2 (nbrs {0,1}): (0,2), (0,1)
+    assert(out.toSet === Set((0L, 2L), (0L, 1L)))
+  }
+
   test("run() gate dispatch: local and forced-distributed agree on sf0.001 co-purchase shape") {
     val s = spark; import s.implicits._
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
