@@ -407,6 +407,12 @@ object SparkEntry {
     // micro-quantized purchase-value sum — one partial-agg'd groupBy.
     "ev_rfm" -> ((s, dir) => streaming.Events.rfm(events(s, dir))),
 
+    // Audience overlap matrix: distinct users per type pair (diagonal =
+    // each type's full audience) — per-user type-pair expansion, never
+    // a raw-event self-join.
+    "ev_audience" -> ((s, dir) =>
+      streaming.Events.audienceOverlap(events(s, dir))),
+
     // Linear attribution: each purchase splits exactly 1e6 micro-credits
     // across the user's prior-hour clicks (remainder to the latest) —
     // binned interval join + per-conversion window + per-click rollup.
@@ -546,6 +552,13 @@ object SparkEntry {
     // consumer) — fan-out bounded by the source count, never all-pairs.
     "dd_overlap" -> ((s, dir) => ops.Dedup.sourceOverlap(
       minhashClusters(s, dir), docsMeta(s, dir))),
+
+    // Corpus-level source similarity: Jaccard over each source's
+    // distinct shingle-type set — per-shingle fan-out bounded by the
+    // source count, exact intersections, 6-dp coefficient.
+    "dd_sourcesim" -> ((s, dir) => ops.Dedup.sourceShingleSimilarity(
+      docs(s, dir).join(docsMeta(s, dir).select("doc_id", "source"),
+        "doc_id"))),
 
     // MinHash+LSH near-dup pairs, exact-Jaccard verified.
     "dd_minhash" -> ((s, dir) => minhashPairs(s, dir)),
@@ -2289,6 +2302,14 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM j GROUP BY order_year""".stripMargin,
 
+    "ev_audience" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       count(*) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |WHERE a.event_type <= b.event_type
+        |GROUP BY 1, 2""".stripMargin,
+
     "ev_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_us(ts) AS us FROM events),
@@ -2383,6 +2404,27 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND supp_nation <> cust_nation
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "dd_sourcesim" -> (TokCte.stripSuffix("\n") +
+      """,
+        |shidx AS (SELECT doc_id, tk,
+        |            unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+        |          FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        |       FROM shidx),
+        |ss AS (SELECT DISTINCT sh.shingle, d.source
+        |       FROM sh JOIN documents d USING (doc_id)),
+        |ssz AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+        |cmn AS (SELECT a.source AS source_a, b.source AS source_b,
+        |          count(*) AS n_common
+        |        FROM ss a JOIN ss b
+        |          ON a.shingle = b.shingle AND a.source < b.source
+        |        GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common, na.n AS na, nb.n AS nb,
+        |  round(CAST(n_common AS DOUBLE)/(na.n + nb.n - n_common), 6)
+        |    AS jaccard
+        |FROM cmn JOIN ssz na ON source_a = na.source
+        |         JOIN ssz nb ON source_b = nb.source""".stripMargin),
 
     "dd_overlap" -> (DdClustersCore +
       """,

@@ -146,6 +146,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Corpus-level similarity matrix between sources: Jaccard over each
+    * source's distinct 3-token shingle TYPE set — the dataset-overlap
+    * measure a mix designer reads before weighting two crawls (high
+    * shingle Jaccard ⇒ the sources largely restate each other, their
+    * weights should not double-count). Exact integer intersections and
+    * set sizes; the coefficient is a 6-dp rendering.
+    *
+    * Scale shape: the corpus collapses to distinct (shingle, source)
+    * first — one shuffle; per-shingle fan-out in the pair join is
+    * bounded by the number of sources carrying the shingle (sources
+    * are O(100)); the rollup is O(sources²) groups. Hot universal
+    * shingles cost source-count² pairs each, not corpus rows. */
+  def sourceShingleSimilarity(docs: DataFrame): DataFrame = {
+    val ss = TextOps.shingles(docs.select("doc_id", "text"), 3)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("shingle", "source").distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = ss.select(col("shingle"), col("source").as("source_a"))
+    val b = ss.select(col("shingle"), col("source").as("source_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("na"), col("nb"),
+        round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** STREAMING exact dedup: emit only the first document seen per
     * content digest (`dropDuplicatesWithinWatermark` — state bounded by
     * the event-time watermark, so it runs forever on an unbounded

@@ -686,6 +686,27 @@ object Events {
         (sum(when(col("isp"), col("vmu")).otherwise(0L)) / lit(1000000.0))
           .as("monetary"))
 
+  /** Audience overlap between event types: for each unordered type
+    * pair, how many distinct users did both — the cross-feature /
+    * cross-product engagement matrix. The diagonal (a = a) carries each
+    * type's full distinct audience, so overlap coefficients can be
+    * read straight off the table.
+    *
+    * Scale shape: events first collapse to distinct (user, type) — one
+    * shuffle keyed on the scale axis; the pair expansion is per-USER
+    * (fan-out bounded by the type-set size squared, types are O(10));
+    * the final rollup is O(types²) groups with map-side partials.
+    * Never a user-keyed self-join of the raw event table. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") <= col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Session-length distribution — the engagement histogram read off
     * every sessionization run: for each session size (event count),
     * how many sessions, with exact integer duration mass and maximum.

@@ -280,6 +280,22 @@ class OpsSpec extends SparkSpec {
     assert(r == Map(0L -> 3L, 2L -> 1L))
   }
 
+  test("sourceShingleSimilarity: exact set Jaccard between sources") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "a b c d", "s1"),   // shingles: "a b c", "b c d"
+      (2L, "a b c", "s2"),     // "a b c"
+      (3L, "x y z", "s2"),     // "x y z"
+      (4L, "p q", "s3")        // short → whole-text "p q"
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceShingleSimilarity(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // s1 = {abc, bcd}, s2 = {abc, xyz}, s3 = {pq}
+    assert(out === Map(
+      ("s1", "s2") -> ((1L, 2L, 2L, graft.ops.LocalDedup.round6(1.0 / 3)))))
+  }
+
   test("sourceOverlap: cross-source cluster matrix, diagonal needs ≥2") {
     val s = spark; import s.implicits._
     // cluster 1: docs in srcA (×2) + srcB → diagonal (A,A) and (A,B)

@@ -231,6 +231,22 @@ class LocalEventsSpec extends SparkSpec {
     assert(rows === Seq((10L, 5000L, 3L, 2L, 0.3), (11L, 2000L, 1L, 0L, 0.0)))
   }
 
+  test("audienceOverlap: type-pair distinct users, diagonal = audience") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (1L, 1000L, 1L, "click", 0.0), (2L, 2000L, 1L, "click", 0.0),
+      (3L, 3000L, 1L, "view", 0.0),
+      (4L, 1000L, 2L, "click", 0.0),
+      (5L, 1000L, 3L, "view", 0.0)
+    ).toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val out = Events.audienceOverlap(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("click", "click") -> 2L, ("view", "view") -> 2L,
+      ("click", "view") -> 1L))
+  }
+
   test("attribution: exact integer split, remainder to latest click") {
     val s = spark; import s.implicits._
     val min = 60L * 1000000
