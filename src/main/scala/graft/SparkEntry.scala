@@ -367,6 +367,12 @@ object SparkEntry {
     "ev_range" -> ((s, dir) =>
       streaming.Events.rangeJoinCounts(events(s, dir))),
 
+    // The SAME interval join written naively (no hand binning): the
+    // injected RangeJoinRewrite optimizer rule bands it automatically —
+    // this query pins the rewrite's semantics end-to-end.
+    "ev_range_auto" -> ((s, dir) =>
+      streaming.Events.rangeJoinCountsNaive(events(s, dir))),
+
     // Stepwise funnel: first signup → first click after it → first
     // purchase after that click; dropouts kept with null later steps.
     "ev_funnel" -> ((s, dir) =>
@@ -1640,17 +1646,10 @@ object SparkEntry {
     // streaming twin: identical row set (update-mode emissions union).
     "st_asof" -> EvAsofSql,
 
-    "ev_range" ->
-      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
-        |           FROM events WHERE event_type = 'purchase'),
-        |r AS (SELECT user_id, epoch_us(ts) AS us, value
-        |      FROM events WHERE event_type = 'click')
-        |SELECT l.event_id, l.user_id, l.us,
-        |       count(r.us) AS n_prior,
-        |       round(coalesce(sum(r.value), 0), 6) AS sum_prior_value
-        |FROM l LEFT JOIN r ON r.user_id = l.user_id
-        |  AND r.us >= l.us - 3600000000 AND r.us < l.us
-        |GROUP BY l.event_id, l.user_id, l.us""".stripMargin,
+    "ev_range" -> EvRangeSql,
+    // the naive-join formulation, auto-banded by RangeJoinRewrite —
+    // identical rows by construction.
+    "ev_range_auto" -> EvRangeSql,
 
     "ev_funnel" -> EvFunnelSql,
     // streaming twin: final mapGroupsWithState state per user.
@@ -3037,6 +3036,21 @@ object SparkEntry {
       |  SELECT e.dst, w.lab FROM walk w JOIN sclean e ON e.src = w.vertex
       |)
       |""".stripMargin
+
+  /** Prior-window range-join counts — the contract `ev_range` (the
+    * hand-banded plan) and `ev_range_auto` (the naive join the injected
+    * RangeJoinRewrite rule bands automatically) both fulfill. */
+  private val EvRangeSql =
+    """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+      |           FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, epoch_us(ts) AS us, value
+      |      FROM events WHERE event_type = 'click')
+      |SELECT l.event_id, l.user_id, l.us,
+      |       count(r.us) AS n_prior,
+      |       round(coalesce(sum(r.value), 0), 6) AS sum_prior_value
+      |FROM l LEFT JOIN r ON r.user_id = l.user_id
+      |  AND r.us >= l.us - 3600000000 AND r.us < l.us
+      |GROUP BY l.event_id, l.user_id, l.us""".stripMargin
 
   /** Top-3 users per type — the contract both `ev_topusers` and its
     * streaming twin `st_topusers` fulfill. */

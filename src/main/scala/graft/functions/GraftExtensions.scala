@@ -21,6 +21,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: naive sliding-window interval joins are
+    // rewritten into the banded (Flink-interval-join) form — see
+    // graft.plans.RangeJoinRewrite
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),

@@ -334,6 +334,36 @@ object Events {
         sum(col("credit")).as("credit_micros"))
   }
 
+  /** The NAIVE formulation of [[rangeJoinCounts]]: a plain left-outer
+    * join on `(user, r.us ∈ [l.us − W, l.us))` with no hand binning —
+    * the join a user writes first. Without help Spark plans it as a
+    * per-user hash join whose residual tests every (purchase, click)
+    * pair of a user (quadratic in per-user history). The injected
+    * [[graft.plans.RangeJoinRewrite]] optimizer rule rewrites it into
+    * the banded plan automatically, so this compiles to the SAME
+    * execution shape as the hand-tuned operator — kept as a public
+    * entry (and driver query `ev_range_auto`) to pin that the rewrite
+    * is semantics-preserving end-to-end. */
+  def rangeJoinCountsNaive(events: DataFrame,
+                           leftType: String = AsofLeftType,
+                           rightType: String = AsofRightType,
+                           windowUs: Long = RangeWindowUs): DataFrame = {
+    val withUs = events.withColumn("us", unix_micros(col("ts")))
+    val lhs = withUs.filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id").as("l_user"), col("us"))
+    val rhs = withUs.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("us").as("r_us"),
+        col("value").as("r_value"))
+    lhs.join(rhs,
+        lhs("l_user") === rhs("r_user") &&
+          rhs("r_us") >= lhs("us") - windowUs && rhs("r_us") < lhs("us"),
+        "left_outer")
+      .groupBy(col("event_id"), col("l_user").as("user_id"), col("us"))
+      .agg(count(col("r_us")).as("n_prior"),
+        round(coalesce(sum(col("r_value")), lit(0.0)), 6)
+          .as("sum_prior_value"))
+  }
+
   /** Default funnel: first signup → first click at-or-after it → first
     * purchase at-or-after that click. */
   val FunnelSteps: Seq[String] = Seq("signup", "click", "purchase")

@@ -114,6 +114,49 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinRewrite bands the naive interval join automatically") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val hourUs = 3600L * 1000000
+    val ev = (0 until 400).map { i =>
+      (i.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        1700000000L + rnd.nextInt(40000))),
+        rnd.nextInt(12).toLong,
+        if (i % 3 == 0) "purchase" else "click", rnd.nextDouble())
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val naive = streaming.Events.rangeJoinCountsNaive(ev)
+    naive.count()
+    val plan = naive.queryExecution.executedPlan.toString
+    // the injected rule must have banded the join: generator-replicated
+    // right side, bin equi-key, and NO nested-loop anywhere
+    assert(plan.contains("__graft_range_bin"), plan)
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // and the rewrite is semantics-preserving vs the hand-banded op
+    val banded = streaming.Events.rangeJoinCounts(ev)
+    val a = naive.collect().map(_.toSeq.toVector).sortBy(_.mkString("|"))
+    val b = banded.collect().map(_.toSeq.toVector).sortBy(_.mkString("|"))
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("RangeJoinRewrite leaves the hand-banded plan alone (idempotent)") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "purchase", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 09:30:00"), 1L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    spark.conf.set("spark.graft.localEventsMaxRows", "0")
+    val q = try streaming.Events.rangeJoinCounts(ev)
+    finally spark.conf.unset("spark.graft.localEventsMaxRows")
+    q.count()
+    // the hand-banded plan already joins on a key named `bin` — the
+    // rule must not re-band it (no marker column appears)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_range_bin"), plan)
+  }
+
   test("distributed pack plans exactly one range exchange") {
     val s = spark; import s.implicits._
     spark.conf.set("spark.graft.localMixMaxRows", "0")
