@@ -320,15 +320,12 @@ object SparkEntry {
         graft.bfs.LabelPropagation.modularityTop(clean(s, dir),
           graft.bfs.LabelPropagation.lpa(s, clean(s, dir), 4), 20))),
 
-    // Top-20 co-purchase pairs by neighborhood Jaccard (link-prediction
-    // primitive): wedge candidates through shared neighbors only, hot
-    // centers excluded from generation (degree cap), exact full degrees
-    // in the score, TakeOrdered top-k.
+    // Top-20 co-purchase EDGES by endpoint Jaccard (tie strength /
+    // sparsification primitive): per-edge common counts ride the
+    // degree-ordered oriented triangle machinery — O(m^1.5) wedge mass,
+    // hub-skew-proof, never an unoriented Σdeg² expansion.
     "gr_jaccard" -> ((s, dir) =>
-      graft.bfs.Triangles.jaccardTop(
-        graft.etl.EdgeOps.cleanEdges(
-          graft.bfs.Triangles.coPurchaseSelfJoin(orderPartPairs(s, dir))),
-        20, 1000L)),
+      graft.bfs.Triangles.jaccardCoPurchase(s, orderPartPairs(s, dir), 20)),
 
     // Per-community conductance over the LPA partition: cut / min(vol,
     // 2m − vol) — exact integer cut/vol from the same two label joins
@@ -1254,18 +1251,24 @@ object SparkEntry {
       |        FROM tclean c JOIN tdeg da ON c.src = da.v JOIN tdeg db ON c.dst = db.v
       |        WHERE da.d < db.d OR (da.d = db.d AND c.src < c.dst))""".stripMargin
 
-  /** Top-20 neighborhood-Jaccard pairs on the co-purchase projection
-    * (mirrors Triangles.jaccardTop with the same center-degree cap). */
+  /** Top-20 edge-Jaccard (tie strength) pairs on the co-purchase
+    * projection (mirrors Triangles.jaccardTop: per-edge triangle
+    * credits off the oriented wedge enumeration). */
   private val JaccardSql = TriPrefixCte +
     """,
-      |ctr AS (SELECT v FROM tdeg WHERE d <= 1000),
-      |ce AS (SELECT src, dst FROM tclean JOIN ctr ON src = v),
-      |cm AS (SELECT a.dst AS va, b.dst AS vb, count(*) AS common
-      |       FROM ce a JOIN ce b ON a.src = b.src AND a.dst < b.dst
-      |       GROUP BY 1, 2)
+      |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      |        FROM ori e1 JOIN ori e2 ON e1.a = e2.a
+      |        WHERE (e1.bd < e2.bd OR (e1.bd = e2.bd AND e1.b < e2.b))
+      |          AND EXISTS (SELECT 1 FROM ori o
+      |                      WHERE o.a = e1.b AND o.b = e2.b)),
+      |ec AS (SELECT least(a, b) AS va, greatest(a, b) AS vb FROM tri
+      |       UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+      |       UNION ALL SELECT least(b, c), greatest(b, c) FROM tri),
+      |cm AS (SELECT va, vb, count(*) AS common FROM ec GROUP BY 1, 2)
       |SELECT va AS vertex_a, vb AS vertex_b, common,
       |       da.d AS deg_a, db.d AS deg_b,
-      |       round(CAST(common AS DOUBLE)/(da.d + db.d - common), 6) AS jaccard
+      |       round(CAST(common AS DOUBLE)/(da.d + db.d - 2 - common), 6)
+      |         AS jaccard
       |FROM cm JOIN tdeg da ON va = da.v JOIN tdeg db ON vb = db.v
       |ORDER BY jaccard DESC, va, vb LIMIT 20""".stripMargin
 

@@ -75,28 +75,49 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
-  test("jaccardTop: hand graph scores, only shared-neighbor pairs emit") {
+  test("jaccardTop: hand graph edge scores, triangle edges only") {
     val s = spark; import s.implicits._
     val raw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
     val clean = graft.etl.EdgeOps.cleanEdges(raw)
     val out = Triangles.jaccardTop(clean, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    // one triangle {1,2,3}: edge (1,2) J = 1/(2+2-2-1) = 1; edges
+    // (1,3)/(2,3) J = 1/(2+3-2-1) = 0.5; edge (3,4) has no triangle
     assert(out === Array(
-      (1L, 4L, 1L, 0.5), (2L, 4L, 1L, 0.5), (1L, 2L, 1L, 0.333333),
-      (1L, 3L, 1L, 0.25), (2L, 3L, 1L, 0.25)))
+      (1L, 2L, 1L, 1.0), (1L, 3L, 1L, 0.5), (2L, 3L, 1L, 0.5)))
   }
 
-  test("jaccardTop: hot centers are excluded from candidate generation") {
+  test("jaccardTopCsr ≡ jaccardTop on random graphs (4 seeds)") {
     val s = spark; import s.implicits._
-    // star center 0 with leaves 1..5, plus edge 1–2: with the cap at 3
-    // the star center (deg 6) generates no wedges — only the wedge
-    // through (eligible) centers 1 and 2 survives
-    val raw = (1L to 5L).map(l => (0L, l)) :+ (1L, 2L)
-    val clean = graft.etl.EdgeOps.cleanEdges(raw.toDF("src", "dst"))
-    val out = Triangles.jaccardTop(clean, 10, maxCenterDeg = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    // wedges through center 1 (nbrs {0,2}) and 2 (nbrs {0,1}): (0,2), (0,1)
-    assert(out.toSet === Set((0L, 2L), (0L, 1L)))
+    for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(500 + seed)
+      val nV = 20 + rnd.nextInt(15)
+      val pairs = Seq.fill(4 * nV)(
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter(p => p._1 != p._2)
+      val clean = graft.etl.EdgeOps.cleanEdges(pairs.toDF("src", "dst"))
+      val dist = Triangles.jaccardTop(clean, 8).collect()
+        .map(_.toSeq.toVector).toSeq
+      val csr = LocalCsr.buildFromRawPairs(
+        pairs.flatMap(p => Seq(p._1, p._2)).toArray)
+      val kernel = Triangles.jaccardTopCsr(spark, csr, 8).collect()
+        .map(_.toSeq.toVector).toSeq
+      assert(kernel === dist, s"seed=$seed")
+    }
+  }
+
+  test("jaccardTop: K4 all edges J = 1; triangle-free graph is empty") {
+    val s = spark; import s.implicits._
+    val k4 = (for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j))
+      .toDF("src", "dst")
+    val outK4 = Triangles.jaccardTop(graft.etl.EdgeOps.cleanEdges(k4), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5)))
+    assert(outK4.length === 6)
+    outK4.foreach { case (_, _, c, j) => assert(c === 2L && j === 1.0) }
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    assert(Triangles.jaccardTop(
+      graft.etl.EdgeOps.cleanEdges(star), 10).count() === 0L)
   }
 
   test("run() gate dispatch: local and forced-distributed agree on sf0.001 co-purchase shape") {
