@@ -159,9 +159,14 @@ object Dedup {
     * are O(100)); the rollup is O(sources²) groups. Hot universal
     * shingles cost source-count² pairs each, not corpus rows. */
   def sourceShingleSimilarity(docs: DataFrame): DataFrame = {
+    // three consumers (sizes + both join sides) — materialize the
+    // distinct (shingle, source) table once (bounded by shingle TYPES
+    // × sources, not occurrences) instead of re-running the tokenize +
+    // explode + distinct pipeline per consumer
     val ss = TextOps.shingles(docs.select("doc_id", "text"), 3)
       .join(docs.select("doc_id", "source"), "doc_id")
       .select("shingle", "source").distinct()
+      .localCheckpoint(true)
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val a = ss.select(col("shingle"), col("source").as("source_a"))
     val b = ss.select(col("shingle"), col("source").as("source_b"))
