@@ -603,6 +603,22 @@ object SparkEntry {
           col("quality_score"))
     }),
 
+    // End-to-end shard manifest: the dedup survivors that clear the
+    // quality gate, packed into per-language token-budget shards with
+    // exact global offsets — dedup ∘ quality ∘ two-phase prefix-sum
+    // packing, the full training-data pipeline as one composition.
+    "pipe_shards" -> ((s, dir) => {
+      val surv = ops.Dedup.keepFromClusters(minhashClusters(s, dir))
+        .select("doc_id")
+      val q = ops.TextOps.quality(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .where(col("quality_score") > 0)
+      val withLang = surv.join(q, "doc_id")
+        .join(docsMeta(s, dir).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+      ops.Mix.pack(withLang, col("lang"), 4096L)
+    }),
+
     // SimHash fingerprints (full hash check of the 60-bit signatures).
     "dd_simhash_sig" -> ((s, dir) => ops.Dedup.simhash(docs(s, dir))),
 
@@ -940,6 +956,59 @@ object SparkEntry {
         s.read.parquet(s"$dir/region.parquet"),
         s.read.parquet(s"$dir/part.parquet"),
         "STANDARD", "NATION_1", "ASIA", "1995-01-01", "1997-01-01")),
+
+    // Small-quantity revenue for one brand (TPC-H Q17 shape): exact
+    // integer cross-multiplied fractional-average predicate, per-part
+    // pre-aggregation, key-partitioned joins.
+    "rel_smallqty" -> ((s, dir) =>
+      ops.Relational.smallQuantityRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"), "Brand#3", 1, 5)),
+
+    // Disjunctive brand/size/quantity revenue (TPC-H Q19 shape): one
+    // equi-join on the part key, OR-of-clauses as a codegen residual.
+    "rel_brandrev" -> ((s, dir) =>
+      ops.Relational.brandRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        Seq(("Brand#1", 1, 10, 1, 20), ("Brand#2", 1, 20, 10, 30),
+          ("Brand#3", 1, 30, 20, 40)))),
+
+    // Revenue by supplier nation × ship year for a part-name family
+    // (TPC-H Q9 shape, sans the partsupp cost term this schema lacks).
+    "rel_partprofit" -> ((s, dir) =>
+      ops.Relational.partProfitByNation(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"), "red")),
+
+    // Distinct-supplier counts per part attribute group (TPC-H Q16
+    // shape): distinct-ed pairs first, broadcast anti-join exclusion.
+    "rel_partsuppliers" -> ((s, dir) =>
+      ops.Relational.supplierCountsByPart(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        "Brand#5", "PROMO", Seq(1, 5, 9, 13, 17, 21, 25, 29, 33, 37))),
+
+    // Dormant high-balance customers per nation (TPC-H Q22 shape):
+    // exact integer above-average predicate, anti-join on recent
+    // order keys.
+    "rel_dormant" -> ((s, dir) =>
+      ops.Relational.dormantCustomers(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"), "2000-06-01")),
+
+    // Suppliers who alone shipped last on multi-supplier finished
+    // orders (TPC-H Q21 shape re-keyed to ship dates): one per-order
+    // aggregate pass, no correlated rescans.
+    "rel_latesupplier" -> ((s, dir) =>
+      ops.Relational.lateSuppliers(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"), "F", 100)),
 
     // Power-of-two degree-distribution histogram (integer bit-length
     // buckets over the q3 degree table).
@@ -1836,6 +1905,33 @@ object SparkEntry {
         |FROM pq p JOIN sv USING (doc_id) JOIN skk k USING (doc_id)
         |WHERE p.quality_score > 0""".stripMargin),
 
+    "pipe_shards" -> (DdClustersCore +
+      """,
+        |sv AS (SELECT d.doc_id
+        |       FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id
+        |       WHERE coalesce(c.component, d.doc_id) = d.doc_id),
+        |pq AS (SELECT d.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |         round(CASE WHEN len(tk) >= 10
+        |           THEN round(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it)\b'))*1.0
+        |                      / greatest(len(tk), 1), 6) * 2.0
+        |                - round(len(regexp_extract_all(text, '[.,;:!?]'))*1.0
+        |                        / greatest(length(text), 1), 6)
+        |           ELSE -1.0 END, 6) AS quality_score
+        |       FROM toks JOIN documents d USING (doc_id)),
+        |wt AS (SELECT d.lang AS stratum, p.doc_id, p.n_tokens
+        |       FROM pq p JOIN sv USING (doc_id)
+        |       JOIN documents d USING (doc_id)
+        |       WHERE p.quality_score > 0),
+        |cum AS (SELECT stratum, doc_id, n_tokens,
+        |          sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            - n_tokens AS start_offset
+        |        FROM wt)
+        |SELECT stratum, doc_id, n_tokens,
+        |       CAST(start_offset AS BIGINT) AS start_offset,
+        |       CAST(floor(start_offset / 4096.0) AS BIGINT) AS shard
+        |FROM cum""".stripMargin),
+
     "dd_simhash_sig" -> (SimhashCte + "SELECT doc_id, simhash FROM ssig"),
 
     // Streaming simhash dedup: first-seen (= min doc_id) survivor per
@@ -2406,6 +2502,109 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND supp_nation <> cust_nation
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "rel_smallqty" ->
+      """WITH pp AS (
+        |  SELECT l_partkey AS pk,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS sum_qs,
+        |    count(*) AS n_part
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       AS DECIMAL(34,2)) AS DOUBLE) AS total_extprice,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       AS DECIMAL(34,2)) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pp ON l_partkey = pk
+        |WHERE p_brand = 'Brand#3'
+        |  AND CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * n_part * 5 < 1 * sum_qs""".stripMargin,
+
+    "rel_brandrev" ->
+      """SELECT
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+        |       AS DECIMAL(24,4))) AS DECIMAL(34,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND
+        |       CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         BETWEEN 100 AND 2000)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND
+        |       CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         BETWEEN 1000 AND 3000)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND
+        |       CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |         BETWEEN 2000 AND 4000)""".stripMargin,
+
+    "rel_partprofit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+        |       AS DECIMAL(24,4))) AS DECIMAL(34,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "rel_partsuppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ls
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1,5,9,13,17,21,25,29,33,37)
+        |  AND l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "rel_dormant" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+        |             AS BIGINT)) AS sum_pos,
+        |         count(*) AS n_pos
+        |  FROM customer
+        |  WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) > 0)
+        |SELECT n_name AS nation, count(*) AS n_custs,
+        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS DOUBLE) / 100.0 AS total_acctbal
+        |FROM customer
+        |CROSS JOIN pos
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * n_pos > sum_pos
+        |  AND c_custkey NOT IN
+        |      (SELECT o_custkey FROM orders
+        |       WHERE o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY 1""".stripMargin,
+
+    "rel_latesupplier" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+        |  WHERE l_orderkey IN
+        |        (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')),
+        |po AS (
+        |  SELECT l_orderkey AS ok, max(l_shipdate) AS mx,
+        |         count(DISTINCT l_suppkey) AS nsupp
+        |  FROM lines GROUP BY 1),
+        |sole AS (
+        |  SELECT l.l_orderkey, max(l.l_suppkey) AS the_supp
+        |  FROM lines l
+        |  JOIN po ON l.l_orderkey = po.ok AND l.l_shipdate = po.mx
+        |  WHERE po.nsupp > 1
+        |  GROUP BY 1 HAVING count(DISTINCT l.l_suppkey) = 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_waiting
+        |FROM sole JOIN supplier ON the_supp = s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY n_waiting DESC, s_suppkey LIMIT 100""".stripMargin,
 
     "dd_sourcesim" -> (TokCte.stripSuffix("\n") +
       """,

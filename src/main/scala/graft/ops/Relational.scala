@@ -441,4 +441,199 @@ object Relational {
           .as("promo_share_pct"),
         col("n_lines"))
   }
+
+  /** Small-quantity revenue for one brand (reference shape: TPC-H
+    * Q17): total revenue from lines whose quantity is below
+    * `num/den` of the part's average ordered quantity. The fractional
+    * threshold is evaluated as an EXACT integer cross-multiplication —
+    * `qty_scaled · n_lines · den < num · sum_qty_scaled` — so no
+    * division ever happens and the predicate can't ulp-flip. Scale
+    * shape: the per-part average is a partially-aggregated
+    * groupBy(partkey) (one row per part on the exchange), the brand
+    * filter projects part to its key before the join, and both joins
+    * are plain key-partitioned equi-joins; `avg_yearly` divides the
+    * one exact total at the very end. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+                           brand: String, num: Int, den: Int): DataFrame = {
+    val qtyScaled = (dec2(col("l_quantity")) * lit(100)).cast(LongType)
+    val perPart = lineitem
+      .select(col("l_partkey").as("pp_partkey"), qtyScaled.as("qs"))
+      .groupBy("pp_partkey")
+      .agg(sum(col("qs")).as("sum_qs"), count(lit(1)).as("n_part"))
+    lineitem
+      .select(col("l_partkey"), qtyScaled.as("qty_scaled"),
+        dec2(col("l_extendedprice")).as("price"))
+      .join(part.filter(col("p_brand") === brand).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pp_partkey"))
+      .filter(col("qty_scaled") * col("n_part") * lit(den.toLong) <
+        lit(num.toLong) * col("sum_qs"))
+      .agg(sum(col("price")).cast(DecimalType(34, 2)).as("t"),
+        count(lit(1)).as("n_lines"))
+      .select(col("t").cast("double").as("total_extprice"),
+        (col("t").cast("double") / 7.0).as("avg_yearly"),
+        col("n_lines"))
+  }
+
+  /** Disjunctive brand/size/quantity revenue (reference shape: TPC-H
+    * Q19): revenue from lines matching ANY of three (brand, size
+    * range, quantity range) clauses. The join stays a single
+    * key-partitioned equi-join on the part key; the disjunction is a
+    * residual filter evaluated post-join in codegen — the classic
+    * OR-predicate shape that must NOT turn into three scans or a
+    * cartesian. Quantity bounds compare scaled integers (exact). */
+  def brandRevenue(lineitem: DataFrame, part: DataFrame,
+                   clauses: Seq[(String, Int, Int, Int, Int)]): DataFrame = {
+    val qtyScaled = (dec2(col("l_quantity")) * lit(100)).cast(LongType)
+    val discPrice = (dec2(col("l_extendedprice")) *
+      (lit(BigDecimal(1)) - dec2(col("l_discount"))).cast(DecimalType(4, 2)))
+      .cast(DecimalType(24, 4))
+    val pred = clauses.map { case (brand, szLo, szHi, qtyLo, qtyHi) =>
+      col("p_brand") === brand &&
+        col("p_size") >= szLo && col("p_size") <= szHi &&
+        col("qty_scaled") >= qtyLo * 100L && col("qty_scaled") <= qtyHi * 100L
+    }.reduce(_ || _)
+    lineitem
+      .select(col("l_partkey"), qtyScaled.as("qty_scaled"), discPrice.as("dp"))
+      .join(part.select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(sum(col("dp")).cast(DecimalType(34, 4)).as("r"),
+        count(lit(1)).as("n_lines"))
+      .select(col("r").cast("double").as("revenue"), col("n_lines"))
+  }
+
+  /** Revenue by supplier nation × ship year for parts whose name
+    * contains `nameSubstr` (reference shape: TPC-H Q9, sans the
+    * partsupp supply-cost term this schema doesn't carry). Scale
+    * shape: part is filtered by the pushed-down substring predicate
+    * and projected to its key BEFORE the join (at warehouse scale a
+    * key-partitioned join, not a broadcast); supplier→nation collapses
+    * to (suppkey, nation name) with nation riding broadcast; the final
+    * rollup partially aggregates to O(nations × years) groups. */
+  def partProfitByNation(lineitem: DataFrame, part: DataFrame,
+                         supplier: DataFrame, nation: DataFrame,
+                         nameSubstr: String): DataFrame = {
+    val discPrice = (dec2(col("l_extendedprice")) *
+      (lit(BigDecimal(1)) - dec2(col("l_discount"))).cast(DecimalType(4, 2)))
+      .cast(DecimalType(24, 4))
+    val suppNation = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast(LongType).as("ship_year"),
+        discPrice.as("dp"))
+      .join(part.filter(col("p_name").contains(nameSubstr))
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("nation", "ship_year")
+      .agg(sum(col("dp")).cast(DecimalType(34, 4)).as("r"),
+        count(lit(1)).as("n_lines"))
+      .select(col("nation"), col("ship_year"),
+        col("r").cast("double").as("revenue"), col("n_lines"))
+  }
+
+  /** Distinct-supplier counts per part attribute group (reference
+    * shape: TPC-H Q16): for parts NOT of `excludeBrand`, NOT of the
+    * `excludeTypePrefix` type family, with size in `sizes`, how many
+    * distinct suppliers shipped them — excluding "complained-about"
+    * suppliers (negative account balance stands in for the spec's
+    * complaint subquery). Scale shape: the (partkey, suppkey) pairs
+    * are distinct-ed FIRST (one shuffle keyed on the pair, partial
+    * map-side dedup), the excluded-supplier set is a broadcast
+    * anti-join probe, part attributes join on the key, and the
+    * count-distinct rides the already-distinct pairs. */
+  def supplierCountsByPart(lineitem: DataFrame, part: DataFrame,
+                           supplier: DataFrame, excludeBrand: String,
+                           excludeTypePrefix: String,
+                           sizes: Seq[Int]): DataFrame = {
+    val parts = part
+      .filter(col("p_brand") =!= excludeBrand &&
+        !col("p_type").startsWith(excludeTypePrefix) &&
+        col("p_size").isInCollection(sizes))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    lineitem.select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(supplier.filter(col("s_acctbal") < 0)
+          .select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Dormant high-balance customers per nation (reference shape:
+    * TPC-H Q22): customers whose balance exceeds the average POSITIVE
+    * balance and who placed no order on/after `cutoff`, rolled up by
+    * nation. The above-average predicate is the exact integer
+    * cross-multiplication `bal_scaled · n_pos > sum_pos_scaled`
+    * (never a float average); the one-row global aggregate rides a
+    * broadcast cross join; the no-recent-order test is a LEFT ANTI
+    * join against the date-filtered order keys (the filter pushes to
+    * the scan). */
+  def dormantCustomers(customer: DataFrame, orders: DataFrame,
+                       nation: DataFrame, cutoff: String): DataFrame = {
+    val balScaled = (dec2(col("c_acctbal")) * lit(100)).cast(LongType)
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"),
+      balScaled.as("bal_scaled"))
+    val posAvg = cust.filter(col("bal_scaled") > 0)
+      .agg(sum(col("bal_scaled")).as("sum_pos"),
+        count(lit(1)).as("n_pos"))
+    cust
+      .crossJoin(broadcast(posAvg))
+      .filter(col("bal_scaled") * col("n_pos") > col("sum_pos"))
+      .join(orders
+          .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal_scaled")).as("bs"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_custs"),
+        (col("bs") / lit(100.0)).as("total_acctbal"))
+  }
+
+  /** Suppliers who alone shipped last on multi-supplier finished
+    * orders (reference shape: TPC-H Q21, re-keyed to ship dates —
+    * this schema has no commit/receipt dates): for orders with status
+    * `status` served by >1 supplier, find the orders where exactly ONE
+    * supplier shipped on the order's latest ship date, and count per
+    * supplier how many orders they held up. Scale shape: everything
+    * derives from ONE per-order aggregate pass (max date + distinct
+    * suppliers) joined back to the lines at the max date — no
+    * correlated exists/not-exists rescans of the fact table; the
+    * global top-k is a TakeOrderedAndProject. */
+  def lateSuppliers(lineitem: DataFrame, orders: DataFrame,
+                    supplier: DataFrame, status: String, k: Int): DataFrame = {
+    val lines = lineitem
+      .join(orders.filter(col("o_orderstatus") === status)
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val perOrder = lines
+      .groupBy("l_orderkey")
+      .agg(max(col("l_shipdate")).as("mx"),
+        countDistinct(col("l_suppkey")).as("nsupp"))
+      .filter(col("nsupp") > 1)
+      .select(col("l_orderkey").as("m_orderkey"), col("mx"))
+    val soleLast = lines
+      .join(perOrder, col("l_orderkey") === col("m_orderkey") &&
+        col("l_shipdate") === col("mx"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_last"),
+        max(col("l_suppkey")).as("the_supp"))
+      .filter(col("n_last") === 1)
+    soleLast
+      .groupBy(col("the_supp"))
+      .agg(count(lit(1)).as("n_waiting"))
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("the_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waiting"))
+      .orderBy(col("n_waiting").desc, col("s_suppkey"))
+      .limit(k)
+  }
 }

@@ -346,6 +346,108 @@ class RelationalSpec extends SparkSpec {
     assert(out === Array((1996L, 100.0, 150.0, 66.666667, 2L)))
   }
 
+  test("smallQuantityRevenue: exact fractional-average predicate") {
+    val s = spark; import s.implicits._
+    // part 1 (Brand#3): qtys 10,10,10,1 → avg 7.75, 1/5·avg = 1.55 —
+    // only the qty-1 line (price 42) qualifies. part 2: wrong brand.
+    val li = Seq(
+      (1L, 10.0, 100.0), (1L, 10.0, 100.0), (1L, 10.0, 100.0),
+      (1L, 1.0, 42.0), (2L, 0.1, 9999.0)
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val prt = Seq((1L, "Brand#3"), (2L, "Brand#9"))
+      .toDF("p_partkey", "p_brand")
+    val out = Relational.smallQuantityRevenue(li, prt, "Brand#3", 1, 5)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(out === Array((42.0, 42.0 / 7.0, 1L)))
+  }
+
+  test("brandRevenue: disjunctive clauses, single equi-join") {
+    val s = spark; import s.implicits._
+    val li = Seq(
+      (1L, 10.0, 100.0, 0.10), // B1/size 5/qty 10 → clause 1: rev 90
+      (1L, 30.0, 100.0, 0.00), // qty out of clause 1's range
+      (2L, 10.0, 100.0, 0.00), // size 50 out of range
+      (3L, 10.0, 100.0, 0.00)  // brand B2, clause 2 wants qty 10-30 ✓
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val prt = Seq((1L, "B1", 5), (2L, "B1", 50), (3L, "B2", 15))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val out = Relational.brandRevenue(li, prt,
+        Seq(("B1", 1, 10, 1, 20), ("B2", 1, 20, 10, 30)))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out === Array((190.0, 2L)))
+  }
+
+  test("partProfitByNation: name filter, nation × ship-year rollup") {
+    val s = spark; import s.implicits._
+    val li = Seq(
+      (1L, 100L, 100.0, 0.10, ts("1997-05-01")), // red, FR, 1997: 90
+      (1L, 100L, 10.0, 0.00, ts("1998-01-01")),  // red, FR, 1998: 10
+      (2L, 100L, 999.0, 0.00, ts("1997-05-01"))  // name has no 'red'
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+      "l_shipdate")
+    val prt = Seq((1L, "red widget"), (2L, "blue bolt"))
+      .toDF("p_partkey", "p_name")
+    val supp = Seq((100L, 100)).toDF("s_suppkey", "s_nationkey")
+    val out = Relational.partProfitByNation(li, prt, supp, nation, "red")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._2)
+    assert(out === Array(("FRANCE", 1997L, 90.0, 1L),
+      ("FRANCE", 1998L, 10.0, 1L)))
+  }
+
+  test("supplierCountsByPart: distinct pairs, exclusions, anti-join") {
+    val s = spark; import s.implicits._
+    val li = Seq(
+      (1L, 100L), (1L, 100L), // duplicate pair counts once
+      (1L, 200L),             // negative-balance supplier — excluded
+      (2L, 100L),             // Brand#5 — excluded
+      (3L, 100L),             // PROMO type — excluded
+      (4L, 100L)              // size 7 not in the size set — excluded
+    ).toDF("l_partkey", "l_suppkey")
+    val prt = Seq(
+      (1L, "Brand#1", "LARGE", 5), (2L, "Brand#5", "LARGE", 5),
+      (3L, "Brand#1", "PROMO", 5), (4L, "Brand#1", "LARGE", 7)
+    ).toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supp = Seq((100L, 10.0), (200L, -5.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val out = Relational.supplierCountsByPart(li, prt, supp,
+        "Brand#5", "PROMO", Seq(1, 5, 9))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3)))
+    assert(out === Array(("Brand#1", "LARGE", 5, 1L)))
+  }
+
+  test("dormantCustomers: above-positive-average, no recent orders") {
+    val s = spark; import s.implicits._
+    // positive balances 100, 10 → avg 55; only cust 1 is above it.
+    val cust = Seq((1L, 100, 100.0), (2L, 100, 10.0), (3L, 200, -50.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val ord = Seq(
+      (1L, 1L, ts("1999-06-01")), // before the cutoff — still dormant
+      (2L, 2L, ts("2000-07-01"))  // recent order
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Relational.dormantCustomers(cust, ord, nation, "2000-01-01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out === Array(("FRANCE", 1L, 100.0)))
+  }
+
+  test("lateSuppliers: sole latest shipper on multi-supplier orders") {
+    val s = spark; import s.implicits._
+    val li = Seq(
+      (1L, 100L, ts("1997-01-01")), (1L, 200L, ts("1997-02-01")), // sole: 200
+      (2L, 100L, ts("1997-03-01")), (2L, 200L, ts("1997-03-01")), // tie — none
+      (3L, 100L, ts("1997-01-01")), (3L, 200L, ts("1997-05-01")), // status O
+      (4L, 100L, ts("1997-01-01"))                                // 1 supplier
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val ord = Seq((1L, "F"), (2L, "F"), (3L, "O"), (4L, "F"))
+      .toDF("o_orderkey", "o_orderstatus")
+    val supp = Seq((100L, "S100"), (200L, "S200"))
+      .toDF("s_suppkey", "s_name")
+    val out = Relational.lateSuppliers(li, ord, supp, "F", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out === Array((200L, "S200", 1L)))
+  }
+
   test("covarianceMoments: ragged rows and overflow-spill stay exact") {
     val s = spark; import s.implicits._
     // 4e3-magnitude elements quantize to ~4e9 > √Long.Max, forcing the
