@@ -1010,6 +1010,14 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"),
         s.read.parquet(s"$dir/supplier.parquet"), "F", 100)),
 
+    // One-pass numeric column profile of the fact table (the
+    // data-quality scan): stack-unpivot + partially-aggregated
+    // per-column stats, exact distinct over hash-partitioned pairs.
+    "rel_colprofile" -> ((s, dir) =>
+      ops.Relational.columnProfile(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // Power-of-two degree-distribution histogram (integer bit-length
     // buckets over the q3 degree table).
     "gr_degdist" -> ((s, dir) =>
@@ -2585,6 +2593,19 @@ object SparkEntry {
         |      (SELECT o_custkey FROM orders
         |       WHERE o_orderdate >= TIMESTAMP '2000-06-01')
         |GROUP BY 1""".stripMargin,
+
+    "rel_colprofile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(v) AS n_nonnull, count(DISTINCT v) AS n_distinct,
+           |  CAST(min(v) AS DOUBLE) AS min_v,
+           |  CAST(max(v) AS DOUBLE) AS max_v,
+           |  CAST(CAST(sum(v) AS DECIMAL(34,2)) AS DOUBLE) AS sum_v
+           |FROM (SELECT CAST($c AS DECIMAL(18,2)) AS v FROM lineitem)"""
+          .stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString("\nUNION ALL\n")
+    },
 
     "rel_latesupplier" ->
       """WITH lines AS (

@@ -597,6 +597,28 @@ object Relational {
         (col("bs") / lit(100.0)).as("total_acctbal"))
   }
 
+  /** One-pass numeric column profile — the data-quality scan every
+    * warehouse/training pipeline runs before trusting a table: per
+    * column its row/non-null/distinct counts, min/max, and exact
+    * decimal sum. The columns unpivot through `stack` (one narrow
+    * generate, no per-column scans), aggregates are partially
+    * map-side-combined on (col_name, value) before the exchange —
+    * min/max/count/sum collapse to O(columns) rows, the exact distinct
+    * count shuffles the already-deduped (column, value) pairs
+    * hash-partitioned across the cluster, never one task per column. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', `$c`").mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v0)")
+      .select(col("col_name"), dec2(col("v0")).as("v"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).cast("double").as("min_v"),
+        max(col("v")).cast("double").as("max_v"),
+        sum(col("v")).cast(DecimalType(34, 2)).cast("double").as("sum_v"))
+  }
+
   /** Suppliers who alone shipped last on multi-supplier finished
     * orders (reference shape: TPC-H Q21, re-keyed to ship dates —
     * this schema has no commit/receipt dates): for orders with status

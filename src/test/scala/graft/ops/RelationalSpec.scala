@@ -448,6 +448,20 @@ class RelationalSpec extends SparkSpec {
     assert(out === Array((200L, "S200", 1L)))
   }
 
+  test("columnProfile: per-column stats, nulls counted not aggregated") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Some(1.0), Some(10.0)), (Some(2.0), None), (Some(1.0), Some(30.0))
+    ).toDF("a", "b")
+    val out = Relational.columnProfile(df, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(out === Array(
+      ("a", 3L, 3L, 2L, 1.0, 2.0, 4.0),
+      ("b", 3L, 2L, 2L, 10.0, 30.0, 40.0)))
+  }
+
   test("covarianceMoments: ragged rows and overflow-spill stay exact") {
     val s = spark; import s.implicits._
     // 4e3-magnitude elements quantize to ~4e9 > √Long.Max, forcing the
