@@ -636,20 +636,23 @@ object Relational {
           .select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
       .select("l_orderkey", "l_suppkey", "l_shipdate")
+    // ONE aggregation pass decides everything per order — no second
+    // scan joined back at the max date:
+    //  · multi-supplier       ⟺ min(suppkey) ≠ max(suppkey)
+    //  · max supp at max date =  max(struct(date, supp)).supp
+    //  · min supp at max date = -max(struct(date, −supp)).negsupp
+    //  · sole last shipper    ⟺ the two agree.
     val perOrder = lines
       .groupBy("l_orderkey")
-      .agg(max(col("l_shipdate")).as("mx"),
-        countDistinct(col("l_suppkey")).as("nsupp"))
-      .filter(col("nsupp") > 1)
-      .select(col("l_orderkey").as("m_orderkey"), col("mx"))
-    val soleLast = lines
-      .join(perOrder, col("l_orderkey") === col("m_orderkey") &&
-        col("l_shipdate") === col("mx"))
-      .groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_last"),
-        max(col("l_suppkey")).as("the_supp"))
-      .filter(col("n_last") === 1)
-    soleLast
+      .agg(min(col("l_suppkey")).as("smin"),
+        max(col("l_suppkey")).as("smax"),
+        max(struct(col("l_shipdate"), col("l_suppkey"))).as("hi"),
+        max(struct(col("l_shipdate"), (-col("l_suppkey")).as("neg")))
+          .as("lo"))
+      .filter(col("smin") =!= col("smax") &&
+        col("hi.l_suppkey") === -col("lo.neg"))
+      .select(col("hi.l_suppkey").as("the_supp"))
+    perOrder
       .groupBy(col("the_supp"))
       .agg(count(lit(1)).as("n_waiting"))
       .join(supplier.select("s_suppkey", "s_name"),
