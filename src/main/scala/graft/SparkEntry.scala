@@ -773,6 +773,11 @@ object SparkEntry {
     "tx_bigram_lm" -> ((s, dir) =>
       ops.TextOps.bigramConditional(docs(s, dir), 5L)),
 
+    // Top-100 collocations by 6-dp PMI: one corpus scan feeds bigram +
+    // unigram counts, vocabulary-keyed marginal joins, global top-k.
+    "tx_pmi" -> ((s, dir) =>
+      ops.TextOps.pmiCollocations(docs(s, dir), 5L, 100)),
+
     // Top-3 tf-idf terms per document (keyword extraction); rank is a
     // per-doc window over the already-aggregated term table.
     "tx_tfidf" -> ((s, dir) => ops.TextOps.tfidf(docs(s, dir), 3)),
@@ -2121,6 +2126,24 @@ object SparkEntry {
         |       round(sum_qm / (n_docs * 1000000.0), 6) AS mean_quality,
         |       round(n_tokens * 1.0 / (SELECT ct FROM tot), 6) AS token_share
         |FROM g""".stripMargin),
+
+    "tx_pmi" -> (TokCte.stripSuffix("\n") +
+      """,
+        |bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+        |       FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        |             FROM toks WHERE len(tk) >= 2)),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |uni AS (SELECT w, count(*) AS c
+        |        FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+        |nt AS (SELECT sum(c) AS n_tokens FROM uni)
+        |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+        |       round(ln(c12 * 1.0 * n_tokens / (u1.c * 1.0 * u2.c)), 6)
+        |         AS pmi
+        |FROM bc JOIN uni u1 ON bc.w1 = u1.w
+        |        JOIN uni u2 ON bc.w2 = u2.w
+        |CROSS JOIN nt
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin),
 
     "tx_bigram_lm" -> (TokCte.stripSuffix("\n") +
       """,
