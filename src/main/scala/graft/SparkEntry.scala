@@ -2133,14 +2133,14 @@ object SparkEntry {
         |       FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
         |             FROM toks WHERE len(tk) >= 2)),
         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-        |uni AS (SELECT w, count(*) AS c
-        |        FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
-        |nt AS (SELECT sum(c) AS n_tokens FROM uni)
-        |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
-        |       round(ln(c12 * 1.0 * n_tokens / (u1.c * 1.0 * u2.c)), 6)
+        |m1 AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+        |m2 AS (SELECT w2, sum(c12) AS c2 FROM bc GROUP BY w2),
+        |nt AS (SELECT sum(c12) AS n_bigrams FROM bc)
+        |SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+        |       CAST(c2 AS BIGINT) AS c2,
+        |       round(ln(c12 * 1.0 * n_bigrams / (c1 * 1.0 * c2)), 6)
         |         AS pmi
-        |FROM bc JOIN uni u1 ON bc.w1 = u1.w
-        |        JOIN uni u2 ON bc.w2 = u2.w
+        |FROM bc JOIN m1 USING (w1) JOIN m2 USING (w2)
         |CROSS JOIN nt
         |WHERE c12 >= 5
         |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin),

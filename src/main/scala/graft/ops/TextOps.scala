@@ -484,19 +484,22 @@ object TextOps {
         round(col("c12").cast("double") / col("c1"), 6).as("p_cond"))
   }
 
-  /** Top-k collocations by pointwise mutual information —
-    * `pmi(w1,w2) = ln(c12·N / (c1·c2))` over adjacent-token bigrams
-    * with `c12 ≥ minCount`. PMI is the standard phrase-mining signal
-    * (BPE-style merges rank by raw frequency; PMI surfaces the pairs
-    * that co-occur far above chance even when rare).
+  /** Top-k collocations by pointwise mutual information over the
+    * bigram event space — `pmi(w1,w2) = ln(c12·N / (c1·c2))` where
+    * `c1`/`c2`/`N` are the left/right/total marginals of the
+    * adjacent-bigram counts, reported for pairs with `c12 ≥ minCount`.
+    * PMI is the standard phrase-mining signal (BPE-style merges rank
+    * by raw frequency; PMI surfaces pairs that co-occur far above
+    * chance even when rare).
     *
-    * Scale shape: one corpus scan feeds BOTH the bigram and unigram
-    * counts via explode + partially-aggregated groupBys; the two
-    * marginal joins are vocabulary-keyed equi-joins (never broadcast —
-    * a 100 TB corpus has a fact-sized vocabulary); the token total
-    * rides a one-row broadcast; the global top-k is a
-    * TakeOrderedAndProject on the 6-dp-rounded score with a total
-    * (w1, w2) tie-break. */
+    * Scale shape: the corpus is scanned ONCE — the bigram-count table
+    * is materialized (bounded by bigram TYPES, not occurrences) and
+    * feeds all four consumers: both marginal groupBys (vocabulary-
+    * keyed partial aggs), the one-row broadcast total, and the scored
+    * join. Marginal joins stay key-partitioned equi-joins (a 100 TB
+    * corpus has a fact-sized vocabulary); the global top-k is a
+    * TakeOrderedAndProject on the 6-dp score with a total (w1, w2)
+    * tie-break. */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5L,
                       k: Int = 100): DataFrame = {
     val tk = tokens(col("text"))
@@ -504,19 +507,21 @@ object TextOps {
       slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
       slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val uni = docs.select(explode(tk).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val nTotal = uni.agg(sum(col("c")).as("n_tokens"))
-    docs
+    val bc = docs
       .select(explode(bigrams).as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val m1 = bc.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val m2 = bc.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val nTotal = bc.agg(sum(col("c12")).as("n_bigrams"))
+    bc
       .where(col("c12") >= minCount)
-      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
-      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .join(m1, "w1")
+      .join(m2, "w2")
       .crossJoin(broadcast(nTotal))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
-        round(log(col("c12").cast("double") * col("n_tokens") /
+        round(log(col("c12").cast("double") * col("n_bigrams") /
           (col("c1").cast("double") * col("c2"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)

@@ -525,27 +525,32 @@ class OpsSpec extends SparkSpec {
     assert(r.toSet == dist)
   }
 
-  test("pmiCollocations: ln(c12·N/(c1·c2)), minCount gate, ordered top-k") {
+  test("pmiCollocations: bigram-marginal PMI, minCount gate, ordered top-k") {
     val d = docs(
       (0L, "new york new york big city"),
       (1L, "new york big apple"),
       (2L, "big city big city"))
-    // tokens: new 3, york 3, big 4, city 3, apple 1 → N = 14
-    // bigrams (adjacent, within doc): "new york" ×3, "big city" ×3, ...
+    // bigrams: new york ×3, york new ×1, york big ×2, big city ×3,
+    // big apple ×1, city big ×1 → N = 11; left marginals new 3 york 3
+    // big 4 city 1; right marginals york 3 big 3 city 3 new 1 apple 1
     val r = TextOps.pmiCollocations(d, 2L, 10).collect()
       .map(x => (x.getString(0), x.getString(1), x.getLong(2),
         x.getLong(3), x.getLong(4), x.getDouble(5)))
     val m = r.map(x => (x._1, x._2) -> x).toMap
     assert(m(("new", "york"))._3 == 3L)
+    assert(m(("new", "york"))._4 == 3L && m(("new", "york"))._5 == 3L)
     assert(m(("new", "york"))._6 ==
-      math.round(math.log(3.0 * 14 / (3.0 * 3)) * 1e6) / 1e6)
-    assert(m(("big", "city"))._3 == 3L)
+      math.round(math.log(3.0 * 11 / (3.0 * 3)) * 1e6) / 1e6)
     assert(m(("big", "city"))._6 ==
-      math.round(math.log(3.0 * 14 / (4.0 * 3)) * 1e6) / 1e6)
+      math.round(math.log(3.0 * 11 / (4.0 * 3)) * 1e6) / 1e6)
+    assert(m(("york", "big"))._6 ==
+      math.round(math.log(2.0 * 11 / (3.0 * 3)) * 1e6) / 1e6)
     // minCount drops the single-occurrence bigrams ("york new", ...)
-    assert(r.forall(_._3 >= 2L))
-    // ordered by (pmi desc, w1, w2): new york (1.540445) > big city
-    assert(r.head._1 == "new" && r.head._2 == "york")
+    assert(r.length == 3 && r.forall(_._3 >= 2L))
+    // ordered by pmi desc: new york 1.299283 > big city 1.011601 >
+    // york big 0.893818
+    assert(r.map(x => (x._1, x._2)).toSeq ==
+      Seq(("new", "york"), ("big", "city"), ("york", "big")))
   }
 
   test("chunks: overlapping windows, short tail, token-less docs dropped") {
