@@ -1015,6 +1015,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"),
         s.read.parquet(s"$dir/supplier.parquet"), "F", 100)),
 
+    // OLAP grouping sets: region → nation → grand-total revenue rollup
+    // in ONE aggregation via Expand, grouping_id disambiguates levels.
+    "rel_rollup" -> ((s, dir) =>
+      ops.Relational.revenueRollup(
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"))),
+
+    // Wide-table PIVOT: monthly revenue by order status with an
+    // explicit value list — one aggregation of conditional sums.
+    "rel_pivot" -> ((s, dir) =>
+      ops.Relational.revenuePivotByStatus(
+        s.read.parquet(s"$dir/orders.parquet"), Seq("F", "O", "P"))),
+
     // One-pass numeric column profile of the fact table (the
     // data-quality scan): stack-unpivot + partially-aggregated
     // per-column stats, exact distinct over hash-partitioned pairs.
@@ -2616,6 +2631,31 @@ object SparkEntry {
         |      (SELECT o_custkey FROM orders
         |       WHERE o_orderdate >= TIMESTAMP '2000-06-01')
         |GROUP BY 1""".stripMargin,
+
+    "rel_rollup" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       AS DECIMAL(34,2)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders,
+        |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "rel_pivot" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+        |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |       AS DECIMAL(34,2)) AS DOUBLE) AS rev_f,
+        |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |       AS DECIMAL(34,2)) AS DOUBLE) AS rev_o,
+        |  CAST(CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |       AS DECIMAL(34,2)) AS DOUBLE) AS rev_p
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "rel_colprofile" -> {
       def one(c: String) =

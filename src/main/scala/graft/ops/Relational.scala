@@ -597,6 +597,61 @@ object Relational {
         (col("bs") / lit(100.0)).as("total_acctbal"))
   }
 
+  /** Hierarchical revenue rollup (region → nation → grand total) —
+    * the OLAP grouping-sets shape, executed as Spark's native
+    * `rollup` (one aggregation producing every level via the Expand
+    * operator, partial-aggregated before the single exchange — NOT a
+    * union of three scans). `gid` is the grouping bitmask
+    * distinguishing subtotal rows from genuine NULL keys. Order
+    * totals join through the customer→nation chain with the O(100)-row
+    * dimensions broadcast. */
+  def revenueRollup(orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame = {
+    val joined = orders
+      .select(col("o_custkey"), dec2(col("o_totalprice")).as("p"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("p"))
+    // Dataset.rollup on any post-join frame trips Spark 4.1.2's
+    // DetectAmbiguousSelfJoin (the Expand duplicates the grouping
+    // attributes and the per-Dataset-id check misreads them as a
+    // self-join). The SQL path carries no Dataset ids, so the rollup
+    // goes through a uniquely-named temp view; the view is dropped
+    // immediately — the returned plan is already resolved.
+    val spark = joined.sparkSession
+    val view = s"graft_rollup_${java.util.UUID.randomUUID.toString
+      .replace("-", "")}"
+    joined.createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT region, nation,
+         |  CAST(CAST(sum(p) AS DECIMAL(34,2)) AS DOUBLE) AS revenue,
+         |  count(*) AS n_orders, grouping_id() AS gid
+         |FROM $view GROUP BY ROLLUP (region, nation)""".stripMargin)
+    finally spark.catalog.dropTempView(view)
+  }
+
+  /** Monthly revenue pivoted by order status — the wide-table PIVOT
+    * shape. Spark's `pivot` with an EXPLICIT status list compiles to
+    * one aggregation with conditional sums (no second pass to discover
+    * pivot values — at warehouse scale value discovery is its own
+    * job). Exact decimal sums per cell, rendered as doubles. */
+  def revenuePivotByStatus(orders: DataFrame,
+                           statuses: Seq[String]): DataFrame = {
+    val out = orders
+      .select(date_trunc("month", col("o_orderdate")).as("order_month"),
+        col("o_orderstatus"), dec2(col("o_totalprice")).as("p"))
+      .groupBy("order_month")
+      .pivot("o_orderstatus", statuses)
+      .agg(sum(col("p")).cast(DecimalType(34, 2)).cast("double"))
+    statuses.foldLeft(out)((d, st) =>
+      d.withColumnRenamed(st, s"rev_${st.toLowerCase}"))
+  }
+
   /** One-pass numeric column profile — the data-quality scan every
     * warehouse/training pipeline runs before trusting a table: per
     * column its row/non-null/distinct counts, min/max, and exact

@@ -462,6 +462,38 @@ class RelationalSpec extends SparkSpec {
       ("b", 3L, 2L, 2L, 10.0, 30.0, 40.0)))
   }
 
+  test("revenueRollup: all three levels from one pass, gid disambiguates") {
+    val s = spark; import s.implicits._
+    val ord = Seq((1L, 10L, 100.0), (2L, 20L, 50.0), (3L, 10L, 25.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Relational.revenueRollup(ord, customer, nation, region)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+    // cust 10 → FRANCE/EUROPE (125), cust 20 → JAPAN/ASIA (50)
+    assert(out === Set(
+      (Some("EUROPE"), Some("FRANCE"), 125.0, 2L, 0L),
+      (Some("ASIA"), Some("JAPAN"), 50.0, 1L, 0L),
+      (Some("EUROPE"), None, 125.0, 2L, 1L),
+      (Some("ASIA"), None, 50.0, 1L, 1L),
+      (None, None, 175.0, 3L, 3L)))
+  }
+
+  test("revenuePivotByStatus: explicit value list, absent cells null") {
+    val s = spark; import s.implicits._
+    val ord = Seq(
+      (1L, "F", 10.0, ts("1997-01-05")), (2L, "F", 5.0, ts("1997-01-20")),
+      (3L, "O", 7.0, ts("1997-01-09")), (4L, "F", 2.0, ts("1997-02-01"))
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val out = Relational.revenuePivotByStatus(ord, Seq("F", "O", "P"))
+      .collect().map(r => (r.getTimestamp(0).toString.take(7),
+        Option(if (r.isNullAt(1)) null else r.getDouble(1)),
+        Option(if (r.isNullAt(2)) null else r.getDouble(2)),
+        Option(if (r.isNullAt(3)) null else r.getDouble(3)))).toSet
+    assert(out === Set(
+      ("1997-01", Some(15.0), Some(7.0), None),
+      ("1997-02", Some(2.0), None, None)))
+  }
+
   test("covarianceMoments: ragged rows and overflow-spill stay exact") {
     val s = spark; import s.implicits._
     // 4e3-magnitude elements quantize to ~4e9 > √Long.Max, forcing the
