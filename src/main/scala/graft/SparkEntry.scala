@@ -1015,6 +1015,14 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"),
         s.read.parquet(s"$dir/supplier.parquet"), "F", 100)),
 
+    // Salted two-phase aggregation over a 3-value hot key: the
+    // explicit skew-mitigation path, oracle-identical to a plain
+    // groupBy count (only the shuffle distribution differs).
+    "rel_skewcount" -> ((s, dir) =>
+      ops.Skew.saltedCount(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderstatus")), "o_orderstatus", 8)),
+
     // OLAP grouping sets: region → nation → grand-total revenue rollup
     // in ONE aggregation via Expand, grouping_id disambiguates levels.
     "rel_rollup" -> ((s, dir) =>
@@ -2631,6 +2639,10 @@ object SparkEntry {
         |      (SELECT o_custkey FROM orders
         |       WHERE o_orderdate >= TIMESTAMP '2000-06-01')
         |GROUP BY 1""".stripMargin,
+
+    "rel_skewcount" ->
+      """SELECT o_orderstatus, count(*) AS count
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "rel_rollup" ->
       """SELECT r_name AS region, n_name AS nation,
