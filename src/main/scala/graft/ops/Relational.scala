@@ -636,20 +636,25 @@ object Relational {
   }
 
   /** Monthly revenue pivoted by order status — the wide-table PIVOT
-    * shape. Spark's `pivot` with an EXPLICIT status list compiles to
-    * one aggregation with conditional sums (no second pass to discover
-    * pivot values — at warehouse scale value discovery is its own
-    * job). Exact decimal sums per cell, rendered as doubles. */
+    * shape, compiled as ONE aggregation of conditional sums over the
+    * explicit status list. (`Dataset.pivot` with an explicit list
+    * still plans two aggregations/shuffles — a (month, status)
+    * pre-agg feeding `pivotfirst`; the conditional-sum form does the
+    * same wide table in a single partial-aggregated groupBy. Value
+    * DISCOVERY is deliberately out of scope either way — at warehouse
+    * scale that's its own job.) Exact decimal sums per cell, rendered
+    * as doubles; months with no rows for a status yield NULL cells. */
   def revenuePivotByStatus(orders: DataFrame,
                            statuses: Seq[String]): DataFrame = {
-    val out = orders
+    val cells = statuses.map(st =>
+      sum(when(col("o_orderstatus") === st, col("p")))
+        .cast(DecimalType(34, 2)).cast("double")
+        .as(s"rev_${st.toLowerCase}"))
+    orders
       .select(date_trunc("month", col("o_orderdate")).as("order_month"),
         col("o_orderstatus"), dec2(col("o_totalprice")).as("p"))
       .groupBy("order_month")
-      .pivot("o_orderstatus", statuses)
-      .agg(sum(col("p")).cast(DecimalType(34, 2)).cast("double"))
-    statuses.foldLeft(out)((d, st) =>
-      d.withColumnRenamed(st, s"rev_${st.toLowerCase}"))
+      .agg(cells.head, cells.tail: _*)
   }
 
   /** One-pass numeric column profile — the data-quality scan every

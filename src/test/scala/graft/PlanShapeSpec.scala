@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * has finalized them. */
 class PlanShapeSpec extends SparkSpec {
 
+  /** Final-plan text only (AdaptiveSparkPlan.toString appends the
+    * pre-AQE Initial Plan, which double-counts node occurrences). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+
   private def docs = {
     val s = spark; import s.implicits._
     Seq((0L, "the cat sat"), (1L, "a dog ran fast today"))
@@ -155,6 +160,64 @@ class PlanShapeSpec extends SparkSpec {
     // rule must not re-band it (no marker column appears)
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("__graft_range_bin"), plan)
+  }
+
+  test("rel_latesupplier: one aggregation pass, no window, bounded top-k") {
+    val s = spark; import s.implicits._
+    val li = Seq((1L, 100L, java.sql.Timestamp.valueOf("1997-01-01 00:00:00")),
+      (1L, 200L, java.sql.Timestamp.valueOf("1997-02-01 00:00:00")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val ord = Seq((1L, "F")).toDF("o_orderkey", "o_orderstatus")
+    val supp = Seq((200L, "S")).toDF("s_suppkey", "s_name")
+    val q = ops.Relational.lateSuppliers(li, ord, supp, "F", 10)
+    q.collect()
+    val plan = finalPlan(q)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly TWO hash exchanges — the one per-order aggregation pass
+    // and the per-supplier rollup; the join-back-at-max formulation
+    // this replaced planned three plus a shuffled join
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 2, plan)
+  }
+
+  test("rel_rollup: one Expand aggregation, not a union of scans") {
+    val s = spark; import s.implicits._
+    val ord = Seq((1L, 10L, 5.0)).toDF("o_orderkey", "o_custkey",
+      "o_totalprice")
+    val cust = Seq((10L, 100)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((100, 1, "FRANCE")).toDF("n_nationkey", "n_regionkey",
+      "n_name")
+    val reg = Seq((1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val q = ops.Relational.revenueRollup(ord, cust, nat, reg)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("rel_pivot: one aggregation of conditional sums, no join") {
+    val s = spark; import s.implicits._
+    val ord = Seq((1L, "F", 5.0,
+        java.sql.Timestamp.valueOf("1997-01-05 00:00:00")))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val q = ops.Relational.revenuePivotByStatus(ord, Seq("F", "O", "P"))
+    q.collect()
+    val plan = finalPlan(q)
+    assert(!plan.contains("Join"), plan)
+    // ONE hash exchange (the groupBy(month)); Dataset.pivot would plan
+    // a second (month, status) aggregation stage
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+    assert(!plan.contains("pivotfirst"), plan)
+  }
+
+  test("tx_pmi: single corpus lineage, bounded top-k, no cartesian") {
+    val q = ops.TextOps.pmiCollocations(docs, 1L, 5)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the one-row total rides a broadcast; the marginal joins must stay
+    // equi-joins — no cartesian anywhere
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("distributed pack plans exactly one range exchange") {
