@@ -351,6 +351,11 @@ object SparkEntry {
       streaming.Events.windowedCounts(events(s, dir))),
     "ev_sessions" -> ((s, dir) =>
       streaming.Events.sessionize(events(s, dir))),
+
+    // Native session_window sessionization: the engine-level merge
+    // (streaming-identical expression), micro-quantized value sums.
+    "ev_sessionwin" -> ((s, dir) =>
+      streaming.Events.sessionWindows(events(s, dir))),
     "ev_topusers" -> ((s, dir) =>
       streaming.Events.topUsers(events(s, dir), 3)),
 
@@ -1725,6 +1730,27 @@ object SparkEntry {
         |       max(us) - min(us) AS duration_us,
         |       round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    // session_window merges touching windows: only a gap STRICTLY
+    // greater than 30 min breaks the session (same > as ev_sessions).
+    "ev_sessionwin" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 1000000) AS BIGINT) AS vq,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts)) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us, vq,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(us) AS start_us,
+        |       max(us) + 1800000000 AS end_us,
+        |       count(*) AS n_events, sum(vq) AS sum_value_micro
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "ev_topusers" -> EvTopUsersSql,
     // streaming twin: final running sums ranked by the batch rank half.

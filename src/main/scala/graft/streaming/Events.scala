@@ -61,6 +61,30 @@ object Events {
         round(sum(col("value")), 6).as("sum_value"))
   }
 
+  /** Gap-based sessionization through Spark's NATIVE `session_window`
+    * operator — the engine-level twin of [[sessionize]]'s window
+    * formulation (same one-shuffle-per-user scale shape, but the
+    * session merge runs inside the aggregation operator instead of a
+    * lag + running-sum window pair, and the identical expression works
+    * under Structured Streaming with a watermark). Boundary semantics
+    * match [[sessionize]] and are pinned in the spec: `session_window`
+    * merges touching windows, so only a gap STRICTLY greater than
+    * `gap` opens a new session. The value sum is micro-quantized to
+    * an integral long (order-free — a reducer-order double sum can't
+    * enter the oracle compare). Output: (user_id, start_us, end_us,
+    * n_events, sum_value_micro). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes")
+      : DataFrame =
+    events
+      .select(col("user_id"), col("ts"),
+        round(col("value") * lit(1000000d), 0).cast("long").as("vq"))
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vq")).as("sum_value_micro"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value_micro"))
+
   /** Per-user session state carried across micro-batches. */
   case class SessionState(sessionIdx: Long, lastUs: Long, nEvents: Long)
 

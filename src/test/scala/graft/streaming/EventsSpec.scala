@@ -28,6 +28,25 @@ class EventsSpec extends SparkSpec {
       (2L, 1L, 1L, 0L)))
   }
 
+  test("sessionWindows: native merge, exact-gap boundary MERGES (>)") {
+    val d = evDf(
+      Ev(0, ts(0), 1, "a", 1.5), Ev(1, ts(10), 1, "a", 2.0),
+      Ev(2, ts(40), 1, "a", 3.0), // exactly 30min after ts(10): merges
+      Ev(4, Timestamp.valueOf("2024-01-01 01:10:01"), 1, "a", 0.5),
+      Ev(3, ts(5), 2, "b", 4.0))
+    val r = Events.sessionWindows(d).orderBy("user_id", "start_us")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    val base = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC in µs
+    val gap = 1800000000L
+    assert(r.toSeq === Seq(
+      // touching windows merge: 3 events through the exact-30min gap
+      (1L, base, base + 2400000000L + gap, 3L, 6500000L),
+      // 30min 1s after ts(40) → strictly greater → new session
+      (1L, base + 4201000000L, base + 4201000000L + gap, 1L, 500000L),
+      (2L, base + 300000000L, base + 300000000L + gap, 1L, 4000000L)))
+  }
+
   test("peakConcurrency: interval sweep, ties start-before-end") {
     // user 1: session [00:00, 00:10]; user 2: session [00:10, 00:15]
     // (start tied with user 1's end → both open at 00:10 → peak 2);
