@@ -843,6 +843,13 @@ object SparkEntry {
       ops.Mix.interleave(docsMeta(s, dir), col("lang"),
         Map("en" -> 4L, "es" -> 2L, "fr" -> 2L, "de" -> 1L, "zh" -> 1L))),
 
+    // Deterministic per-language resampling to document quotas (epoch
+    // weighting): broadcast stratum counts + a codegen repeat-count map.
+    "mix_upsample" -> ((s, dir) =>
+      ops.Mix.upsample(docsMeta(s, dir), col("lang"),
+        Map("en" -> 100L, "es" -> 300L, "fr" -> 500L, "de" -> 800L,
+          "zh" -> 1000L), 200L)),
+
     // Deterministic 90/5/5 stratified train/val/test assignment —
     // salted hash stream, pure narrow map.
     "mix_split" -> ((s, dir) =>
@@ -2205,6 +2212,25 @@ object SparkEntry {
         |SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
         |       round(c12*1.0/c1, 6) AS p_cond
         |FROM wc WHERE c12 >= 5""".stripMargin),
+
+    "mix_upsample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS stratum,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        CAST(doc_id AS VARCHAR) || ':' || lang || '#up', ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |      (h, cp) -> (h * 31 + cp) % 1000000007) % 10000 AS b
+        |  FROM documents),
+        |c AS (SELECT stratum, count(*) AS n FROM s GROUP BY 1)
+        |SELECT doc_id, s.stratum,
+        |  CAST(q // n + CASE WHEN b < ((q % n) * 10000) // n
+        |       THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        |FROM (SELECT *, CASE stratum
+        |        WHEN 'en' THEN 100 WHEN 'es' THEN 300 WHEN 'fr' THEN 500
+        |        WHEN 'de' THEN 800 WHEN 'zh' THEN 1000 ELSE 200 END AS q
+        |      FROM s) s
+        |JOIN c ON s.stratum = c.stratum""".stripMargin,
 
     "mix_sample" ->
       """SELECT doc_id, stratum, bucket,

@@ -49,6 +49,38 @@ object Mix {
       when(bucket < cut, 1L).otherwise(0L).as("kept"))
   }
 
+  /** Deterministic per-stratum resampling to a document quota — the
+    * epoch-weighting step that repeats under-represented sources and
+    * thins over-represented ones. Every document of a stratum with
+    * `n` docs and quota `q` gets `q div n` repeats, plus one more iff
+    * its salted hash bucket clears `((q mod n)·10000) div n` — so the
+    * expected stratum size is exactly `q`, the assignment is a pure
+    * row function (retries / repartitions / corpus growth never flip
+    * a document's count), and `n_repeats = 0` expresses deterministic
+    * downsampling. Strict exact-count selection is [[exactQuota]]'s
+    * job; this operator trades the ±√n binomial wobble for a fully
+    * narrow plan: one partially-aggregated stratum count broadcast
+    * back, then a codegen map. Output: (doc_id, stratum, n_repeats). */
+  def upsample(docs: DataFrame, stratum: Column,
+               quotas: Map[String, Long], defaultQuota: Long): DataFrame = {
+    val base = docs.select(col("doc_id"), stratum.as("stratum"))
+    val counts = base.groupBy("stratum").agg(count(lit(1)).as("n"))
+    val quota = quotas.foldLeft(lit(defaultQuota)) {
+      case (acc, (k, v)) => when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    val bucket = pmod(graft.functions.StringPolyHash.fingerprint(
+      concat(col("doc_id").cast("string"), lit(":"), col("stratum"),
+        lit("#up"))), lit(Buckets))
+    base.join(broadcast(counts), "stratum")
+      .select(col("doc_id"), col("stratum"), col("n"),
+        quota.cast("long").as("q"), bucket.as("b"))
+      // `div` is exact integer division at any magnitude (a `/` on
+      // longs would detour through double)
+      .selectExpr("doc_id", "stratum",
+        "(q div n) + (CASE WHEN b < ((q % n) * 10000 div n)" +
+          " THEN 1 ELSE 0 END) AS n_repeats")
+  }
+
   /** Deterministic stratified train/val/test assignment: bucket =
     * polyhash(doc_id ":" stratum "#split") mod 10000 (a DIFFERENT hash
     * stream than [[stratifiedSample]]'s, via the "#split" salt — the

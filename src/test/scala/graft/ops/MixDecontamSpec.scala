@@ -192,6 +192,32 @@ class MixDecontamSpec extends SparkSpec {
     assert(keptSet(2000L) == k2)
   }
 
+  test("upsample: q div n base, hash-salted remainder, downsample to 0") {
+    val s = spark; import s.implicits._
+    val meta = (0L until 100L).map(i => (i, if (i < 40) "small" else "big"))
+      .toDF("doc_id", "lang")
+    // small: n=40, q=100 → base 2, remainder 20 → thr = 20*10000/40 = 5000
+    // big:   n=60, q=30  → base 0, remainder 30 → thr = 30*10000/60 = 5000
+    val r = Mix.upsample(meta, col("lang"),
+        Map("small" -> 100L, "big" -> 30L), 0L)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val small = r.filter(_._2 == "small")
+    val big = r.filter(_._2 == "big")
+    assert(small.forall(x => x._3 == 2L || x._3 == 3L))
+    assert(big.forall(x => x._3 == 0L || x._3 == 1L)) // downsampling path
+    // expected totals: E[small] = 100, E[big] = 30; binomial wobble is
+    // bounded — totals must land within the hash's deterministic spread
+    val totSmall = small.map(_._3).sum
+    val totBig = big.map(_._3).sum
+    assert(totSmall >= 80L && totSmall <= 120L, totSmall)
+    assert(totBig >= 15L && totBig <= 45L, totBig)
+    // pure row function: repartitioned input assigns identical counts
+    val r2 = Mix.upsample(meta.repartition(7), col("lang"),
+        Map("small" -> 100L, "big" -> 30L), 0L)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.sortBy(_._1).toSeq === r2.sortBy(_._1).toSeq)
+  }
+
   test("TopKPairMin: bounded-heap aggregate == window rank, incl. SQL form") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(3)
