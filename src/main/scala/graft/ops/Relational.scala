@@ -543,9 +543,11 @@ object Relational {
     * suppliers (negative account balance stands in for the spec's
     * complaint subquery). Scale shape: the (partkey, suppkey) pairs
     * are distinct-ed FIRST (one shuffle keyed on the pair, partial
-    * map-side dedup), the excluded-supplier set is a broadcast
-    * anti-join probe, part attributes join on the key, and the
-    * count-distinct rides the already-distinct pairs. */
+    * map-side dedup), the excluded-supplier anti-join stays an
+    * UNHINTED equi-join — supplier is SF-proportional, so the build
+    * side is AQE's call, not a forced broadcast — part attributes join
+    * on the key, and the count-distinct rides the already-distinct
+    * pairs. */
   def supplierCountsByPart(lineitem: DataFrame, part: DataFrame,
                            supplier: DataFrame, excludeBrand: String,
                            excludeTypePrefix: String,
@@ -556,8 +558,7 @@ object Relational {
         col("p_size").isInCollection(sizes))
       .select("p_partkey", "p_brand", "p_type", "p_size")
     lineitem.select("l_partkey", "l_suppkey").distinct()
-      .join(broadcast(supplier.filter(col("s_acctbal") < 0)
-          .select("s_suppkey")),
+      .join(supplier.filter(col("s_acctbal") < 0).select("s_suppkey"),
         col("l_suppkey") === col("s_suppkey"), "left_anti")
       .join(parts, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
