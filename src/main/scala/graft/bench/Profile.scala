@@ -63,6 +63,57 @@ object Profile {
     spark.stop()
   }
 
+  /** `runMain graft.bench.Profile relscale [sfDir] [K]`: the heaviest
+    * relational plans on a K×-replicated lineitem (key-shifted copies,
+    * so group/join cardinalities scale with the data) — scale-smoke
+    * evidence that the shapes hold past the provided tiers, not a
+    * correctness tier (oracles stay at sf0.01). */
+  def profileRelScale(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val k = if (args.length > 2) args(2).toInt else 20
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val maxOk = li0.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    val li = li0
+      .crossJoin(spark.range(k).select(col("id").as("rep")))
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOk)
+      .drop("rep")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = t(s"materialize ${k}x lineitem")(li.count())
+    println(s"    rows = $n")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    // orders replicated the same way so the fact-fact joins scale too
+    val maxOk2 = maxOk
+    val ordK = ord.crossJoin(spark.range(k).select(col("id").as("rep")))
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOk2)
+      .drop("rep")
+    for (i <- 1 to 2) {
+      t(s"#$i rel_pricing")(graft.ops.Relational
+        .pricingSummary(li, "1998-09-02").count())
+      t(s"#$i rel_toporders")(graft.ops.Relational
+        .topOrdersPerSegment(li, ordK, cust, 10).count())
+      t(s"#$i rel_latesupplier")(graft.ops.Relational
+        .lateSuppliers(li, ordK, supp, "F", 100).count())
+      t(s"#$i rel_colprofile")(graft.ops.Relational
+        .columnProfile(li,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .count())
+      t(s"#$i rel_smallqty")(graft.ops.Relational
+        .smallQuantityRevenue(li, part, "Brand#3", 1, 5).count())
+    }
+    li.unpersist()
+    spark.stop()
+  }
+
   /** `runMain graft.bench.Profile batched [scale]`: per-run times inside
     * the batched kernel loop vs the sequential protocol's interleaved
     * bfs/validate pattern — attributes the batched-throughput gap. */
@@ -118,6 +169,7 @@ object Profile {
     if (args.headOption.contains("queries")) { profileQueries(args); return }
     if (args.headOption.contains("triangles")) { profileTriangles(args); return }
     if (args.headOption.contains("batched")) { profileBatched(args); return }
+    if (args.headOption.contains("relscale")) { profileRelScale(args); return }
     val scale = if (args.nonEmpty) args(0).toInt else 18
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
