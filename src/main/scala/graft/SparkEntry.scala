@@ -356,6 +356,12 @@ object SparkEntry {
     // (streaming-identical expression), micro-quantized value sums.
     "ev_sessionwin" -> ((s, dir) =>
       streaming.Events.sessionWindows(events(s, dir))),
+
+    // Day-over-day per-user reconciliation: pre-aggregated sides, ONE
+    // full-outer hash join, added/dropped/changed/same classification.
+    "ev_diff" -> ((s, dir) =>
+      streaming.Events.activityDiff(events(s, dir),
+        "2024-01-01", "2024-01-02", "2024-01-02", "2024-01-03")),
     "ev_topusers" -> ((s, dir) =>
       streaming.Events.topUsers(events(s, dir), 3)),
 
@@ -1758,6 +1764,23 @@ object SparkEntry {
         |       max(us) + 1800000000 AS end_us,
         |       count(*) AS n_events, sum(vq) AS sum_value_micro
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "ev_diff" ->
+      """WITH a AS (
+        |  SELECT user_id AS ua, count(*) AS n_a FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT user_id AS ub, count(*) AS n_b FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+        |  GROUP BY 1)
+        |SELECT coalesce(ua, ub) AS user_id,
+        |       coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |       CASE WHEN ua IS NULL THEN 'added'
+        |            WHEN ub IS NULL THEN 'dropped'
+        |            WHEN n_a = n_b THEN 'same'
+        |            ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON ua = ub""".stripMargin,
 
     "ev_topusers" -> EvTopUsersSql,
     // streaming twin: final running sums ranked by the batch rank half.

@@ -85,6 +85,36 @@ object Events {
         unix_micros(col("sw.end")).as("end_us"),
         col("n_events"), col("sum_value_micro"))
 
+  /** Period-over-period per-user activity reconciliation — the
+    * data-diff every warehouse runs after a backfill or between two
+    * snapshot partitions: which users appeared, disappeared, or
+    * changed volume between window A = [fromA, untilA) and window B =
+    * [fromB, untilB). Scale shape: each side is a sargable-filtered
+    * scan pre-aggregated to (user, count) BEFORE the single FULL
+    * OUTER hash join on user_id (the join carries one row per active
+    * user per side, never raw events); status classification is a
+    * codegen map. */
+  def activityDiff(events: DataFrame, fromA: String, untilA: String,
+                   fromB: String, untilB: String): DataFrame = {
+    def side(from: String, until: String, user: String, n: String) =
+      events
+        .filter(col("ts") >= lit(from).cast("timestamp") &&
+          col("ts") < lit(until).cast("timestamp"))
+        .groupBy(col("user_id").as(user))
+        .agg(count(lit(1)).as(n))
+    side(fromA, untilA, "user_a", "n_a")
+      .join(side(fromB, untilB, "user_b", "n_b"),
+        col("user_a") === col("user_b"), "full_outer")
+      .select(
+        coalesce(col("user_a"), col("user_b")).as("user_id"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("user_a").isNull, "added")
+          .when(col("user_b").isNull, "dropped")
+          .when(col("n_a") === col("n_b"), "same")
+          .otherwise("changed").as("status"))
+  }
+
   /** Per-user session state carried across micro-batches. */
   case class SessionState(sessionIdx: Long, lastUs: Long, nEvents: Long)
 

@@ -47,6 +47,24 @@ class EventsSpec extends SparkSpec {
       (2L, base + 300000000L, base + 300000000L + gap, 1L, 4000000L)))
   }
 
+  test("activityDiff: full-outer reconciliation classifies all four ways") {
+    def at(day: Int, h: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val d = evDf(
+      Ev(0, at(1, 1), 1, "a", 0.0), Ev(1, at(1, 2), 1, "a", 0.0), // dropped
+      Ev(2, at(1, 3), 2, "a", 0.0), Ev(3, at(2, 1), 2, "a", 0.0), // same 1:1
+      Ev(4, at(1, 4), 3, "a", 0.0), Ev(5, at(2, 2), 3, "a", 0.0),
+      Ev(6, at(2, 3), 3, "a", 0.0),                               // changed
+      Ev(7, at(2, 4), 4, "a", 0.0))                               // added
+    val r = Events.activityDiff(d, "2024-01-01", "2024-01-02",
+        "2024-01-02", "2024-01-03")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getString(3))).sortBy(_._1)
+    assert(r.toSeq === Seq(
+      (1L, 2L, 0L, "dropped"), (2L, 1L, 1L, "same"),
+      (3L, 1L, 2L, "changed"), (4L, 0L, 1L, "added")))
+  }
+
   test("peakConcurrency: interval sweep, ties start-before-end") {
     // user 1: session [00:00, 00:10]; user 2: session [00:10, 00:15]
     // (start tied with user 1's end → both open at 00:10 → peak 2);
