@@ -849,6 +849,15 @@ object SparkEntry {
       ops.Mix.interleave(docsMeta(s, dir), col("lang"),
         Map("en" -> 4L, "es" -> 2L, "fr" -> 2L, "de" -> 1L, "zh" -> 1L))),
 
+    // Classifier evaluation: language-ID confusion matrix vs the
+    // labeled lang column — one narrow scoring map + an O(langs²)
+    // partial-agg'd groupBy.
+    "tx_confusion" -> ((s, dir) =>
+      ops.TextOps.langId(docs(s, dir)).select("doc_id", "lang_pred")
+        .join(docsMeta(s, dir).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))),
+
     // Deterministic per-language resampling to document quotas (epoch
     // weighting): broadcast stratum counts + a codegen repeat-count map.
     "mix_upsample" -> ((s, dir) =>
@@ -3075,25 +3084,13 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin),
 
-    "tx_langid" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is)\b')) AS BIGINT) AS s_en,
-        |  CAST(len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS BIGINT) AS s_es,
-        |  CAST(len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')) AS BIGINT) AS s_fr,
-        |  CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
-        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh,
-        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
-        |       WHEN len(regexp_extract_all(text, '\b(the|and|of|to|is)\b')) >=
-        |            greatest(len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')),
-        |                     len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')),
-        |                     len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))) THEN 'en'
-        |       WHEN len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) >=
-        |            greatest(len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')),
-        |                     len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))) THEN 'es'
-        |       WHEN len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')) >=
-        |            len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) THEN 'fr'
-        |       ELSE 'de' END AS lang_pred
-        |FROM documents""".stripMargin,
+    "tx_langid" -> LangIdSql,
+
+    "tx_confusion" -> ("WITH p AS (" + LangIdSql + """)
+        |SELECT d.lang, p.lang_pred, count(*) AS n
+        |FROM p JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin),
+
 
     "tx_quality" -> (TokCte +
       """SELECT d.doc_id,
@@ -3197,6 +3194,26 @@ object SparkEntry {
   )
 
   /** Shared DuckDB prelude: whitespace tokens per document. */
+  private val LangIdSql =
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|is)\b')) AS BIGINT) AS s_en,
+        |  CAST(len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS BIGINT) AS s_es,
+        |  CAST(len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')) AS BIGINT) AS s_fr,
+        |  CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
+        |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh,
+        |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |       WHEN len(regexp_extract_all(text, '\b(the|and|of|to|is)\b')) >=
+        |            greatest(len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')),
+        |                     len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')),
+        |                     len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))) THEN 'en'
+        |       WHEN len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) >=
+        |            greatest(len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')),
+        |                     len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))) THEN 'es'
+        |       WHEN len(regexp_extract_all(text, '\b(le|les|des|et|une)\b')) >=
+        |            len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) THEN 'fr'
+        |       ELSE 'de' END AS lang_pred
+        |FROM documents""".stripMargin
+
   private val TokCte =
     """WITH toks AS (
       |  SELECT doc_id,
