@@ -691,6 +691,12 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet")
           .select("label", "embedding"))),
 
+    // Mislabel/outlier scoring: exact-integer cosine of each vector to
+    // its label centroid — broadcast O(labels×dims) table, narrow map.
+    "sim_outliers" -> ((s, dir) =>
+      ops.Similarity.centroidOutliers(
+        s.read.parquet(s"$dir/embeddings.parquet"), 0.1)),
+
     // Symmetric int8 embedding quantization (long form) — narrow map,
     // codegen column expressions only.
     "sim_quantize" -> ((s, dir) =>
@@ -2093,6 +2099,38 @@ object SparkEntry {
         |SELECT label, CAST(ii - 1 AS BIGINT) AS dim, count(*) AS n_vecs,
         |       round(avg(CAST(embedding[ii] AS DOUBLE)), 6) AS centroid
         |FROM ex GROUP BY 1, 2""".stripMargin,
+
+    "sim_outliers" ->
+      """WITH ct AS (
+        |  SELECT label, ii,
+        |    CAST(round(round(avg(CAST(embedding[ii] AS DOUBLE)), 6)
+        |         * 1000000, 0) AS BIGINT) AS qc
+        |  FROM (SELECT label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS ii
+        |        FROM embeddings)
+        |  GROUP BY 1, 2),
+        |ev AS (
+        |  SELECT vec_id, label, ii,
+        |    CAST(round(CAST(embedding[ii] AS DOUBLE) * 1000000, 0)
+        |         AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS ii
+        |        FROM embeddings)),
+        |sc AS (
+        |  SELECT vec_id, e.label,
+        |    sum(qv * qc) AS dot, sum(qv * qv) AS nv, sum(qc * qc) AS nc
+        |  FROM ev e JOIN ct ON e.label = ct.label AND e.ii = ct.ii
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label,
+        |  CASE WHEN nv = 0 OR nc = 0 THEN NULL
+        |       ELSE round(CAST(dot AS DOUBLE) /
+        |            (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
+        |  END AS cos_to_centroid,
+        |  CAST(CASE WHEN nv > 0 AND nc > 0 AND
+        |            round(CAST(dot AS DOUBLE) /
+        |            (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
+        |            < 0.1 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM sc""".stripMargin,
 
     "tx_quality_pcts" -> (TokCte.stripSuffix("\n") +
       """,

@@ -593,6 +593,54 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         round(avg(col("v").cast("double")), 6).as("centroid"))
 
+  /** Embedding-space outlier scoring against each vector's own label
+    * centroid — the mislabel / noisy-sample detector run before
+    * training on labeled embeddings. Each vector's cosine to its
+    * label's mean vector is computed in EXACT integer arithmetic:
+    * the 6-dp centroid and the vector both quantize to micro-units,
+    * the dot product and both norms are order-free long sums inside a
+    * row (never a float reduction), and only the final
+    * `dot / (√n_v·√n_c)` runs in (deterministic, IEEE) doubles,
+    * rendered at 6 dp.
+    *
+    * Scale shape: the centroid table is O(labels × dims) — built by
+    * ONE partially-aggregated groupBy and broadcast back; scoring is
+    * then a narrow per-row map (zip_with + aggregate HOFs). Output:
+    * (vec_id, label, cos_to_centroid, is_outlier). */
+  def centroidOutliers(embeddings: DataFrame,
+                       threshold: Double = 0.1): DataFrame = {
+    val cents = labelCentroids(embeddings)
+      .select(col("label"),
+        struct(col("dim"),
+          round(col("centroid") * lit(1000000d), 0).cast("long").as("qc"))
+          .as("p"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(col("p"))),
+        x => x.getField("qc")).as("c"))
+    val qv = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1000000d), 0).cast("long"))
+    embeddings
+      .select(col("vec_id"), col("label"), qv.as("qv"))
+      .join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("qv"), col("c"), (a, b) => a * b),
+          lit(0L), _ + _).as("dot"),
+        aggregate(transform(col("qv"), a => a * a), lit(0L), _ + _)
+          .as("nv"),
+        aggregate(transform(col("c"), a => a * a), lit(0L), _ + _)
+          .as("nc"))
+      .select(col("vec_id"), col("label"),
+        // a zero vector (or zero centroid) has no direction: NULL
+        // cosine, never flagged — and never an ANSI divide-by-zero
+        when(col("nv") === 0L || col("nc") === 0L, lit(null))
+          .otherwise(round(col("dot").cast("double") /
+            (sqrt(col("nv").cast("double")) *
+              sqrt(col("nc").cast("double"))), 6))
+          .as("cos_to_centroid"))
+      .withColumn("is_outlier",
+        when(col("cos_to_centroid") < threshold, 1L).otherwise(0L))
+  }
+
   /** Exact second-moment (covariance) accumulation over the embedding
     * matrix — the single-pass statistic behind PCA whitening, feature
     * decorrelation and Mahalanobis scoring. Emits, for every

@@ -606,6 +606,25 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("centroidOutliers: exact-integer cosine to the label mean") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      (1L, "a", Array(1f, 0f)), (2L, "a", Array(0f, 1f)), // centroid (.5,.5)
+      (3L, "b", Array(1f, 1f)), (4L, "b", Array(-1f, -1f)) // centroid (0,0)
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.centroidOutliers(e, 0.8)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)), x.getLong(3)))
+      .toMap
+    // label a: cos((1,0),(.5,.5)) = .5/(1·√.5) = 0.707107 < 0.8 → outlier
+    assert(r(1L) === ((Some(0.707107), 1L)))
+    assert(r(2L) === ((Some(0.707107), 1L)))
+    // label b centroid is the zero vector → no direction: NULL cosine,
+    // never flagged (and no ANSI divide-by-zero)
+    assert(r(3L) === ((None, 0L)))
+    assert(r(4L) === ((None, 0L)))
+  }
+
   test("quantizeInt8: symmetric scale, saturating poles, zero vector") {
     val s = spark; import s.implicits._
     val e = Seq(
