@@ -478,6 +478,12 @@ object SparkEntry {
     "st_sessions" -> ((s, dir) =>
       streaming.StreamVerify.sessionsFinal(s, events(s, dir))),
 
+    // Streaming NATIVE session windows (session_window under the
+    // state store, update mode): final sessions keyed by their fixed
+    // (user, start).
+    "st_sessionwin" -> ((s, dir) =>
+      streaming.StreamVerify.sessionWindowsFinal(s, events(s, dir))),
+
     // Streaming funnel (mapGroupsWithState): final per-user step times.
     "st_funnel" -> ((s, dir) =>
       streaming.StreamVerify.funnelFinal(s, events(s, dir))),
@@ -1762,6 +1768,26 @@ object SparkEntry {
     // session_window merges touching windows: only a gap STRICTLY
     // greater than 30 min breaks the session (same > as ev_sessions).
     "ev_sessionwin" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 1000000) AS BIGINT) AS vq,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY epoch_us(ts)) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us, vq,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(us) AS start_us,
+        |       max(us) + 1800000000 AS end_us,
+        |       count(*) AS n_events, sum(vq) AS sum_value_micro
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // streaming twin: final native session-window state ≡ batch.
+    "st_sessionwin" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us,
         |         CAST(round(value * 1000000) AS BIGINT) AS vq,

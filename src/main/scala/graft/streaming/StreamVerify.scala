@@ -134,6 +134,29 @@ object StreamVerify {
         col("s.n_events").as("n_events"), col("s.sum_value").as("sum_value"))
   }
 
+  /** Final session set from the NATIVE streaming `session_window`
+    * aggregation ([[Events.sessionWindows]] under a zero-delay
+    * watermark). Streaming session windows only support APPEND mode —
+    * a session row is emitted exactly once, when the watermark passes
+    * it — so the sink holds final sessions directly, no
+    * state-reconstruction fold. A far-future sentinel event (user −1)
+    * rides in as a last micro-batch purely to advance the watermark
+    * past every real session; the sentinel's own never-finalized
+    * session stays in the state store and is filtered from the
+    * result. ≡ batch [[Events.sessionWindows]]. */
+  def sessionWindowsFinal(spark: SparkSession,
+                          events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = EvRow(-1L,
+      new Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000), -1L, "x", 0.0)
+    val mem = MemoryStream[EvRow]
+    run(spark, mem, eventBatches(events, 4) :+ Seq(sentinel), "append")(
+        df => Events.sessionWindows(df.withWatermark("ts", "0 seconds")))
+      .filter(col("user_id") =!= -1L)
+  }
+
   def sessionsFinal(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
