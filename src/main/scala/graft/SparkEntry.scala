@@ -484,6 +484,11 @@ object SparkEntry {
     "st_sessionwin" -> ((s, dir) =>
       streaming.StreamVerify.sessionWindowsFinal(s, events(s, dir))),
 
+    // Spark 4 transformWithState (typed ValueState handles): final
+    // per-user running profile after the last micro-batch.
+    "st_userstats" -> ((s, dir) =>
+      streaming.StreamVerify.userStatsFinal(s, events(s, dir))),
+
     // Streaming funnel (mapGroupsWithState): final per-user step times.
     "st_funnel" -> ((s, dir) =>
       streaming.StreamVerify.funnelFinal(s, events(s, dir))),
@@ -1805,6 +1810,13 @@ object SparkEntry {
         |       max(us) + 1800000000 AS end_us,
         |       count(*) AS n_events, sum(vq) AS sum_value_micro
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // transformWithState twin: running per-user profile ≡ batch agg.
+    "st_userstats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_value_micro,
+        |  max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY 1""".stripMargin,
 
     "ev_diff" ->
       """WITH a AS (

@@ -157,6 +157,67 @@ object Events {
         })
   }
 
+  /** Running per-user totals state for [[userStatsStream]]. */
+  final case class UserStatsState(n_events: Long, sum_value_micro: Long,
+                                  last_us: Long)
+
+  /** Output row of [[userStatsStream]]: the user's running profile. */
+  final case class UserStatsRow(user_id: Long, n_events: Long,
+                                sum_value_micro: Long, last_us: Long)
+
+  /** Spark 4 `transformWithState` processor — the current arbitrary
+    * stateful API (typed `ValueState` handles, optional per-state TTL
+    * and timers; supersedes map/flatMapGroupsWithState). Folds each
+    * user's events into a running (count, micro-quantized value sum,
+    * last-event µs) profile and emits the updated row once per
+    * (user, batch). */
+  final class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), UserStatsRow] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[UserStatsState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode)
+        : Unit =
+      state = getHandle.getValueState[UserStatsState]("userStats",
+        org.apache.spark.sql.Encoders.product[UserStatsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long, Long)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserStatsRow] = {
+      var st = if (state.exists()) state.get()
+        else UserStatsState(0L, 0L, Long.MinValue)
+      rows.foreach { case (_, vq, us) =>
+        st = UserStatsState(st.n_events + 1, st.sum_value_micro + vq,
+          math.max(st.last_us, us))
+      }
+      state.update(st)
+      Iterator.single(UserStatsRow(key, st.n_events, st.sum_value_micro,
+        st.last_us))
+    }
+  }
+
+  /** STREAMING per-user running profile via `transformWithState` —
+    * value sums micro-quantized (order-free longs), one updated row
+    * per (user, batch); the batch equivalent is a plain
+    * groupBy(user).agg(count, sum, max). */
+  def userStatsStream(spark: SparkSession,
+                      events: DataFrame): Dataset[UserStatsRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        round(col("value") * lit(1000000d), 0).cast("long").as("vq"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Per-user funnel progress: first-completion µs per step, -1 unset. */
   final case class FunnelState(times: Array[Long])
 

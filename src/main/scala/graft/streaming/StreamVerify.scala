@@ -157,6 +157,36 @@ object StreamVerify {
       .filter(col("user_id") =!= -1L)
   }
 
+  /** Final per-user profile from [[Events.userStatsStream]] (the Spark
+    * 4 `transformWithState` path). n_events is strictly monotone per
+    * user, so max(struct) per key is the last update ≡ the batch
+    * groupBy. transformWithState needs multi-column-family state, which
+    * only the RocksDB provider supports — scoped to this query's
+    * lifetime, then restored. */
+  def userStatsFinal(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val sink = try {
+      val mem = MemoryStream[EvRow]
+      run(spark, mem, eventBatches(events, 4), "update")(
+        df => Events.userStatsStream(spark, df))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+    sink
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value_micro"),
+        col("last_us"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.sum_value_micro").as("sum_value_micro"),
+        col("s.last_us").as("last_us"))
+  }
+
   def sessionsFinal(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
