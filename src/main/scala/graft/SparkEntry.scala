@@ -641,6 +641,21 @@ object SparkEntry {
       ops.Mix.pack(withLang, col("lang"), 4096L)
     }),
 
+    // Retrieval composition (the RAG serving shape): exact vector
+    // top-k → restrict hits to dedup survivors (left-semi) → hydrate
+    // document metadata. Ranks keep their pre-filter values — a
+    // filtered hit leaves a gap, it doesn't re-rank.
+    "pipe_search" -> ((s, dir) => {
+      val hits = ops.Similarity.bruteForceTopK(emb(s, dir), 5, 10)
+      val surv = ops.Dedup.keepFromClusters(minhashClusters(s, dir))
+        .select(col("doc_id").as("sv_id"))
+      hits
+        .join(surv, col("neighbor_id") === col("sv_id"), "left_semi")
+        .join(docsMeta(s, dir), col("neighbor_id") === col("doc_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("cosine"), col("lang"), col("source"))
+    }),
+
     // SimHash fingerprints (full hash check of the 60-bit signatures).
     "dd_simhash_sig" -> ((s, dir) => ops.Dedup.simhash(docs(s, dir))),
 
@@ -2076,6 +2091,35 @@ object SparkEntry {
         |       CAST(start_offset AS BIGINT) AS start_offset,
         |       CAST(floor(start_offset / 4096.0) AS BIGINT) AS shard
         |FROM cum""".stripMargin),
+
+    "pipe_search" -> (DdClustersCore +
+      """,
+        |sv AS (SELECT d.doc_id
+        |       FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id
+        |       WHERE coalesce(c.component, d.doc_id) = d.doc_id),
+        |nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[]))) AS nrm
+        |       FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+        |      FROM nv WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.qv, c.v)/(q.qn*c.nrm), 6) AS cosine
+        |  FROM q JOIN nv c ON q.query_id <> c.vec_id),
+        |hits AS (
+        |  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+        |  FROM (SELECT query_id, neighbor_id, cosine,
+        |          row_number() OVER (PARTITION BY query_id
+        |                             ORDER BY cosine DESC, neighbor_id)
+        |            AS rank
+        |        FROM scored)
+        |  WHERE rank <= 5)
+        |SELECT h.query_id, h.neighbor_id, h.rank, h.cosine,
+        |       d.lang, d.source
+        |FROM hits h
+        |JOIN sv ON h.neighbor_id = sv.doc_id
+        |JOIN documents d ON h.neighbor_id = d.doc_id""".stripMargin),
 
     "dd_simhash_sig" -> (SimhashCte + "SELECT doc_id, simhash FROM ssig"),
 
