@@ -1111,6 +1111,11 @@ object SparkEntry {
       etl.EdgeOps.degreeHistogram(
         withCsr(s, dir)(_.degreesDf(s))(etl.EdgeOps.degrees(clean(s, dir))))),
 
+    // Exact 2-hop reach of the top-20 hubs: TakeOrdered hub table
+    // broadcast, one vertex-keyed hop join, (hub, vertex) distinct.
+    "gr_2hop" -> ((s, dir) =>
+      etl.EdgeOps.twoHopReach(clean(s, dir), 20)),
+
     // Degree-assortativity moments: exact integer edge-endpoint degree
     // sums (Pearson numerator/denominator pieces, division left to the
     // reader).
@@ -1478,6 +1483,21 @@ object SparkEntry {
     "gr_pagerank" -> (GraphCte + pagerankSql(10)),
 
     "gr_kcore" -> (GraphCte + kcoreSql(3, 5)),
+
+    "gr_2hop" -> (GraphCte +
+      """,
+        |deg AS (SELECT src, count(*) AS degree FROM clean GROUP BY 1),
+        |hubs AS (SELECT src AS h, degree FROM deg
+        |         ORDER BY degree DESC, src LIMIT 20),
+        |h1 AS (SELECT h, dst AS v FROM clean JOIN hubs ON src = h),
+        |h2 AS (SELECT h1.h, c.dst AS v
+        |       FROM h1 JOIN clean c ON c.src = h1.v),
+        |r AS (SELECT DISTINCT h, v
+        |      FROM (SELECT h, v FROM h1 UNION ALL SELECT h, v FROM h2)
+        |      WHERE v <> h)
+        |SELECT hubs.h AS vertex, hubs.degree, count(*) AS reach_2hop
+        |FROM r JOIN hubs ON r.h = hubs.h
+        |GROUP BY 1, 2""".stripMargin),
 
     "gr_lpa" -> (GraphCte + lpaSql(4)),
 

@@ -59,6 +59,37 @@ object EdgeOps {
         min(col("degree")).as("min_degree"),
         max(col("degree")).as("max_degree"))
 
+  /** Exact 2-hop reach of the top-k hubs: per hub, how many DISTINCT
+    * vertices lie within two edges (excluding the hub itself) — the
+    * influence/blast-radius metric. Restricting to the k highest-degree
+    * hubs (ties to the smaller id) is what makes exact 2-hop
+    * tractable: global 2-hop reach is Σdeg² by nature.
+    *
+    * Scale shape: the hub table is a TakeOrdered over the degree
+    * aggregate (k rows, broadcast); hop 1 is a broadcast-filtered
+    * scan of the edge list; hop 2 is one vertex-keyed equi-join whose
+    * fan-out is the hubs' combined 2-hop wedge mass — the inherent
+    * cost of the exact answer, spread across the cluster by the join
+    * key; the distinct + count are hash-partitioned on (hub, vertex).
+    * Output: (vertex, degree, reach_2hop). */
+  def twoHopReach(clean: DataFrame, k: Int): DataFrame = {
+    val hubs = clean.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .orderBy(col("degree").desc, col("src")).limit(k)
+      .select(col("src").as("h"), col("degree"))
+    val h1 = clean.join(broadcast(hubs.select("h")),
+        col("src") === col("h"))
+      .select(col("h"), col("dst").as("v"))
+    val h2 = h1
+      .join(clean.select(col("src").as("v"), col("dst").as("v2")), "v")
+      .select(col("h"), col("v2").as("v"))
+    h1.union(h2)
+      .where(col("v") =!= col("h"))
+      .distinct()
+      .groupBy("h").agg(count(lit(1)).as("reach_2hop"))
+      .join(broadcast(hubs), "h")
+      .select(col("h").as("vertex"), col("degree"), col("reach_2hop"))
+  }
+
   /** Degree-assortativity moments: over every directed edge entry of
     * the symmetrized graph, the exact integer sums
     * (n, Σdeg(src), Σdeg(src)², Σdeg(src)·deg(dst)) from which the
