@@ -598,6 +598,11 @@ object SparkEntry {
     "dd_keep" -> ((s, dir) =>
       ops.Dedup.keepFromClusters(minhashClusters(s, dir))),
 
+    // One-row dedup dashboard: corpus/cluster/survivor counts + 6-dp
+    // duplicate rate from the shared cluster map.
+    "dd_summary" -> ((s, dir) =>
+      ops.Dedup.dedupSummary(minhashClusters(s, dir))),
+
     // Quality-aware survivor per cluster: argmax quality (min-id ties)
     // via partial-aggregating struct max — no per-cluster window sort.
     "dd_keep_best" -> ((s, dir) =>
@@ -2111,6 +2116,21 @@ object SparkEntry {
         |       CAST(start_offset AS BIGINT) AS start_offset,
         |       CAST(floor(start_offset / 4096.0) AS BIGINT) AS shard
         |FROM cum""".stripMargin),
+
+    "dd_summary" -> (DdClustersCore +
+      """,
+        |cl AS (SELECT d.doc_id,
+        |         coalesce(c.component, d.doc_id) AS canonical_id
+        |       FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id),
+        |sz AS (SELECT canonical_id, count(*) AS sz FROM cl GROUP BY 1)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+        |       count(*) AS n_clusters,
+        |       CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+        |         AS n_docs_in_dup_clusters,
+        |       count(*) AS n_keep,
+        |       round(CAST(sum(sz) - count(*) AS DOUBLE)
+        |             / CAST(sum(sz) AS DOUBLE), 6) AS dup_rate
+        |FROM sz""".stripMargin),
 
     "pipe_search" -> (DdClustersCore +
       """,

@@ -362,6 +362,26 @@ object Dedup {
       .groupBy(col("canonical_id").as("doc_id"))
       .agg(count(lit(1)).as("cluster_size"))
 
+  /** One-row dedup dashboard over a cluster map: corpus size, cluster
+    * count, how many documents are members of a multi-doc cluster, the
+    * surviving count, and the 6-dp duplicate rate — the numbers a
+    * pipeline report leads with. Two partially-aggregated passes over
+    * the (already tiny relative to the corpus) cluster map; the final
+    * row is a global aggregate. */
+  def dedupSummary(clusters: DataFrame): DataFrame = {
+    val sizes = clusters
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("sz"))
+    sizes.agg(
+        sum(col("sz")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("sz") > 1, col("sz")).otherwise(0L))
+          .as("n_docs_in_dup_clusters"),
+        count(lit(1)).as("n_keep"),
+        round((sum(col("sz")) - count(lit(1))).cast("double") /
+          sum(col("sz")).cast("double"), 6).as("dup_rate"))
+  }
+
   /** SemDeDup-style semantic clustering: connected components over the
     * embedding-cosine near-dup pair graph ([[embeddingDedup]] — LSH
     * bands above the broadcast gate, exact cosine on candidates only),

@@ -75,6 +75,19 @@ class EdgeOpsSpec extends SparkSpec {
     assert(m2 === Map(1L -> 0, 2L -> 1, 3L -> 2, 8L -> 3, 9L -> 4))
   }
 
+  test("twoHopReach: distinct 2-hop set, hub excluded, k bounds hubs") {
+    val implicits = spark.implicits
+    import implicits._
+    // path 1-2-3-4 plus hub 2-5; symmetrized
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L)).toDF("src", "dst")
+    val clean = EdgeOps.cleanEdges(raw)
+    val r = EdgeOps.twoHopReach(clean, 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    // degrees: 2→3, 3→2, others 1 → hubs = {2 (deg 3), 3 (deg 2)}
+    // reach(2): 1,3,5 (hop1) + 4 (via 3) = 4; reach(3): 2,4 + 1,5 = 4
+    assert(r.toSeq === Seq((2L, 3L, 4L), (3L, 2L, 4L)))
+  }
+
   test("BFS on two components: unreached get pred=-1, depth NULL; validator passes") {
     val clean = EdgeOps.cleanEdges(tiny)
     val result = Bfs.bfsMinParent(spark, clean, 1L)

@@ -280,6 +280,16 @@ class OpsSpec extends SparkSpec {
     assert(r == Map(0L -> 3L, 2L -> 1L))
   }
 
+  test("dedupSummary: one-row dashboard over the cluster map") {
+    val s = spark; import s.implicits._
+    // clusters: {0,1,3} → 0 (size 3), {2} → 2 (size 1)
+    val clusters = Seq((0L, 0L), (1L, 0L), (3L, 0L), (2L, 2L))
+      .toDF("doc_id", "canonical_id")
+    val r = Dedup.dedupSummary(clusters).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) === ((4L, 2L, 3L, 2L, 0.5)))
+  }
+
   test("sourceShingleSimilarity: exact set Jaccard between sources") {
     val s = spark; import s.implicits._
     val d = Seq(
