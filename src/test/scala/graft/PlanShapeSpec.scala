@@ -220,6 +220,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("ev_sessionwin: one user-keyed exchange into the merge aggregate") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "a", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = streaming.Events.sessionWindows(d)
+    q.collect()
+    val plan = finalPlan(q)
+    // the session merge runs inside the aggregation operator — no
+    // window rank, no self-join; exactly one hash exchange (user key)
+    assert(!plan.contains("Window ") && !plan.contains("Join"), plan)
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+    assert(plan.toLowerCase.contains("session"), plan)
+  }
+
   test("distributed pack plans exactly one range exchange") {
     val s = spark; import s.implicits._
     spark.conf.set("spark.graft.localMixMaxRows", "0")
