@@ -479,8 +479,8 @@ object SparkEntry {
       streaming.StreamVerify.sessionsFinal(s, events(s, dir))),
 
     // Streaming NATIVE session windows (session_window under the
-    // state store, update mode): final sessions keyed by their fixed
-    // (user, start).
+    // state store, append mode — streaming session windows support
+    // only append): final sessions keyed by their fixed (user, start).
     "st_sessionwin" -> ((s, dir) =>
       streaming.StreamVerify.sessionWindowsFinal(s, events(s, dir))),
 
@@ -1781,8 +1781,8 @@ object SparkEntry {
         |       FROM h GROUP BY event_type)
         |SELECT h.event_type, h.w_start, h.n_events,
         |       CAST(h.n_events * st.k - st.sum_n AS BIGINT) AS dev,
-        |       CAST(st.k * st.sum_n2 - st.sum_n * st.sum_n
-        |            AS DECIMAL(38,0)) AS var_num,
+        |       CAST(CAST(st.k * st.sum_n2 - st.sum_n * st.sum_n
+        |                 AS DECIMAL(38,0)) AS VARCHAR) AS var_num,
         |       CAST(CASE WHEN (h.n_events * st.k - st.sum_n)
         |                      * (h.n_events * st.k - st.sum_n)
         |                      * (st.k - 1)
@@ -1828,7 +1828,8 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, min(us) AS start_us,
         |       max(us) + 1800000000 AS end_us,
-        |       count(*) AS n_events, sum(vq) AS sum_value_micro
+        |       count(*) AS n_events,
+        |       CAST(sum(vq) AS BIGINT) AS sum_value_micro
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // streaming twin: final native session-window state ≡ batch.
@@ -1848,13 +1849,15 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, min(us) AS start_us,
         |       max(us) + 1800000000 AS end_us,
-        |       count(*) AS n_events, sum(vq) AS sum_value_micro
+        |       count(*) AS n_events,
+        |       CAST(sum(vq) AS BIGINT) AS sum_value_micro
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // transformWithState twin: running per-user profile ≡ batch agg.
     "st_userstats" ->
       """SELECT user_id, count(*) AS n_events,
-        |  sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_value_micro,
+        |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micro,
         |  max(epoch_us(ts)) AS last_us
         |FROM events GROUP BY 1""".stripMargin,
 
@@ -2521,7 +2524,8 @@ object SparkEntry {
         |    FROM documents)),
         |t AS (SELECT DISTINCT h FROM a WHERE split = 'train')
         |SELECT a.split, a.stratum, count(*) AS n_docs,
-        |       sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS n_leaked
+        |       CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_leaked
         |FROM a LEFT JOIN t ON a.h = t.h
         |WHERE a.split <> 'train'
         |GROUP BY a.split, a.stratum""".stripMargin,
@@ -3673,14 +3677,16 @@ object SparkEntry {
 
   /** Media decode from document text bytes (mirrors
     * Multimodal.mediaFromDocuments + encodeImages + encodeAudio +
-    * decodeMeta; text is ASCII). Image-kind payloads are real 24bpp BMP
-    * files whose encoded size is the deterministic `54 + h*rowSize`
-    * layout and whose decoded dims/bands come from the actual
-    * javax.imageio parse; audio-kind payloads are real 16-bit PCM WAV
-    * files (channels = first-byte parity + 1, one frame per byte,
-    * 8 kHz) whose decoded (frames, rate, channels) come from the actual
-    * javax.sound header parse; video stays the stub header parse over
-    * the raw text bytes. */
+    * decodeMeta; text is ASCII). Image-kind payloads alternate between
+    * real baseline JFIF/JPEG files (doc_id % 6 = 0: grayscale, 6 bits
+    * of entropy coding per 8×8 block over the fixed 330-byte marker
+    * layout — Multimodal.jpegSize) and real 24bpp BMP files (the
+    * deterministic `54 + h*rowSize` layout); decoded dims/bands for
+    * both come from the actual javax.imageio parse. Audio-kind
+    * payloads are real 16-bit PCM WAV files (channels = first-byte
+    * parity + 1, one frame per byte, 8 kHz) whose decoded (frames,
+    * rate, channels) come from the actual javax.sound header parse;
+    * video stays the stub header parse over the raw text bytes. */
   private val MmDecodeCte =
     """WITH dims AS (
       |  SELECT doc_id, length(text) AS n,
@@ -3693,7 +3699,9 @@ object SparkEntry {
       |  SELECT doc_id AS media_id,
       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |    CAST(CASE WHEN doc_id % 3 = 0 AND n > 0
+      |    CAST(CASE WHEN doc_id % 6 = 0 AND n > 0
+      |         THEN 330 + (6 * (((w + 7) // 8) * ((h + 7) // 8)) + 7) // 8
+      |         WHEN doc_id % 3 = 0 AND n > 0
       |         THEN 54 + h * ((3 * w + 3) // 4 * 4)
       |         WHEN doc_id % 3 = 1 AND n > 0
       |         THEN 44 + n * ac * 2
@@ -3702,7 +3710,8 @@ object SparkEntry {
       |         ELSE w END AS INT) AS width,
       |    CAST(CASE WHEN doc_id % 3 = 1 AND n > 0 THEN 8000
       |         ELSE h END AS INT) AS height,
-      |    CAST(CASE WHEN doc_id % 3 = 0 AND n > 0 THEN 3
+      |    CAST(CASE WHEN doc_id % 6 = 0 AND n > 0 THEN 1
+      |         WHEN doc_id % 3 = 0 AND n > 0 THEN 3
       |         WHEN doc_id % 3 = 1 AND n > 0 THEN ac
       |         ELSE 1 + n % 3 END AS INT) AS channels
       |  FROM dims

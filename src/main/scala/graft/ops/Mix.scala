@@ -54,7 +54,9 @@ object Mix {
     * thins over-represented ones. Every document of a stratum with
     * `n` docs and quota `q` gets `q div n` repeats, plus one more iff
     * its salted hash bucket clears `((q mod n)·10000) div n` — so the
-    * expected stratum size is exactly `q`, the assignment is a pure
+    * expected stratum size is `q` up to the 1/10000 bucket granularity
+    * (the floored threshold under-shoots `q mod n` by at most
+    * n/10000 docs), the assignment is a pure
     * row function (retries / repartitions / corpus growth never flip
     * a document's count), and `n_repeats = 0` expresses deterministic
     * downsampling. Strict exact-count selection is [[exactQuota]]'s

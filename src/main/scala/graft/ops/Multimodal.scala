@@ -62,17 +62,21 @@ object Multimodal {
     * header + 40-byte info header + h rows padded to 4-byte multiples. */
   def bmpSize(w: Int, h: Int): Long = 54L + h.toLong * ((3 * w + 3) / 4 * 4)
 
-  /** Re-encode image-kind payloads as REAL 24bpp BMP files (narrow
-    * per-partition map, no shuffle): dims from [[stubDims]], grayscale
-    * pixels cycling the source bytes. Hand-rolled writer so the byte
-    * layout (and so `n_bytes`) is exact and engine-independent; the
-    * matching decode side goes through the actual `javax.imageio` codec. */
+  /** Re-encode image-kind payloads as REAL image files (narrow
+    * per-partition map, no shuffle): every other image (media_id % 6
+    * == 0) becomes a baseline JFIF/JPEG, the rest 24bpp BMPs — so the
+    * decode stage exercises BOTH `javax.imageio` codec families. Dims
+    * from [[stubDims]]; hand-rolled writers so the byte layout (and so
+    * `n_bytes`) is exact and engine-independent; the matching decode
+    * side goes through the actual `javax.imageio` codecs. */
   def encodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.grouped(64).flatMap(_.map { m =>
         if (m.kind == "image" && m.payload.nonEmpty)
-          m.copy(payload = encodeBmp(m.payload))
+          m.copy(payload =
+            if (m.media_id % 6 == 0) encodeJpeg(m.payload)
+            else encodeBmp(m.payload))
         else m
       })
     }.toDF()
@@ -105,6 +109,87 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  // ---- minimal baseline JPEG writer -------------------------------
+  // Standard Huffman tables from the JPEG spec (ITU-T T.81 Annex K.3),
+  // the public tables every baseline encoder ships.
+  private val JpegDcBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = Array.range(0, 12)
+  private val JpegAcBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val JpegAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+
+  /** Fixed marker-segment overhead of [[encodeJpeg]]'s layout: SOI(2) +
+    * JFIF APP0(18) + DQT(69) + SOF0(13) + DHT DC(33) + DHT AC(183) +
+    * SOS(10) + EOI(2). */
+  val JpegOverheadBytes = 330L
+
+  /** Encoded size of [[encodeJpeg]]'s output: every 8×8 block of the
+    * uniform-gray image emits DC-category-0 ("00") + EOB ("1010") —
+    * 6 bits — so the entropy-coded scan is ⌈6·blocks/8⌉ bytes (the
+    * repeating 001010 bit stream never forms an 0xFF byte, so no
+    * byte-stuffing ever applies) on top of the fixed marker overhead. */
+  def jpegSize(w: Int, h: Int): Long = {
+    val blocks = ((w + 7) / 8).toLong * ((h + 7) / 8)
+    JpegOverheadBytes + (6 * blocks + 7) / 8
+  }
+
+  /** Minimal REAL baseline JFIF/JPEG: grayscale, dims from
+    * [[stubDims]], every pixel mid-gray 128. The level shift zeroes
+    * every DCT coefficient, so each block's entropy coding is exactly
+    * (DC diff 0, EOB) under the spec's standard Huffman tables —
+    * a fully deterministic byte layout ([[jpegSize]]) that the actual
+    * `javax.imageio` JPEG codec parses back to (w, h, 1 band). */
+  private def encodeJpeg(src: Array[Byte]): Array[Byte] = {
+    val (w, h) = stubDims(src)
+    val out = new java.io.ByteArrayOutputStream(jpegSize(w, h).toInt)
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def marker(m: Int, payload: Int*): Unit = {
+      b(0xFF, m, (payload.length + 2) >> 8, (payload.length + 2) & 0xff)
+      b(payload: _*)
+    }
+    b(0xFF, 0xD8)                                    // SOI
+    marker(0xE0, "JFIF".map(_.toInt) ++ Seq(0, 1, 1, 0, 0, 1, 0, 1, 0, 0): _*)
+    marker(0xDB, 0 +: Seq.fill(64)(1): _*)           // DQT 0: all ones
+    marker(0xC0, 8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0) // SOF0
+    marker(0xC4, 0x00 +: (JpegDcBits ++ JpegDcVals).toSeq: _*)  // DHT DC 0
+    marker(0xC4, 0x10 +: (JpegAcBits ++ JpegAcVals).toSeq: _*)  // DHT AC 0
+    marker(0xDA, 1, 1, 0x00, 0, 63, 0)               // SOS
+    // scan: 6 bits per block (00 + 1010), MSB-first, 1-padded tail
+    val blocks = ((w + 7) / 8) * ((h + 7) / 8)
+    var acc = 0L
+    var nBits = 0
+    var i = 0
+    while (i < blocks) {
+      acc = (acc << 6) | 0x0A                        // 001010
+      nBits += 6
+      while (nBits >= 8) {
+        out.write(((acc >> (nBits - 8)) & 0xff).toInt)
+        nBits -= 8
+      }
+      i += 1
+    }
+    if (nBits > 0)
+      out.write((((acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1)) & 0xff).toInt)
+    b(0xFF, 0xD9)                                    // EOI
+    out.toByteArray
   }
 
   /** Audio sample rate used by the WAV encoder (and so reported back by
@@ -188,12 +273,16 @@ object Multimodal {
   private def isPng(b: Array[Byte]): Boolean =
     b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
       b(3) == 'G'
+  /** SOI + next-marker prefix shared by JFIF and EXIF JPEG payloads. */
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 4 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8 &&
+      (b(2) & 0xff) == 0xFF
   private def isWav(b: Array[Byte]): Boolean =
     b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
       b(11) == 'E'
 
-  /** Real codec decode for BMP/PNG (`javax.imageio`) and RIFF/WAVE
+  /** Real codec decode for BMP/PNG/JPEG (`javax.imageio`) and RIFF/WAVE
     * (`javax.sound.sampled` — a header parse, no audio device needed)
     * payloads; deterministic stub header parse otherwise (including on
     * a corrupt magic-prefixed payload, so the map is total either
@@ -202,7 +291,7 @@ object Multimodal {
   private def decodeOne(m: MediaRow): DecodedMedia = {
     val b = m.payload
     val n = b.length.toLong
-    if (isBmp(b) || isPng(b)) {
+    if (isBmp(b) || isPng(b) || isJpeg(b)) {
       try {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(b))

@@ -137,7 +137,7 @@ object Similarity {
           .map(_.toLong).getOrElse(Dedup.EmbeddingBlockLimit)
         if (blockLimit > 0 &&
           embeddings.select("vec_id").count() <= blockLimit)
-          topKForQueryStream(embeddings, embeddings, k)
+          topKBroadcastBlock(embeddings, embeddings, k)
         else knnGraphLsh(embeddings, k)
     }
 
@@ -319,21 +319,53 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** STREAMING-safe ANN: score each incoming query row against a
-    * BROADCAST corpus map-side and emit its top-k — stateless and
-    * shuffle-free, so it runs identically on a batch DataFrame and under
-    * `readStream` (per-query top-k needs no cross-row state, unlike the
-    * window rank in [[bruteForceTopK]]). Queries carry
-    * (vec_id, embedding); the corpus is a static embeddings table
-    * collected once. Output contract and ordering exactly match
-    * [[bruteForceTopK]] restricted to the same query rows:
-    * (query_id, neighbor_id, rank, cosine), rank by (rounded cosine
-    * desc, neighbor_id asc), self-matches excluded. */
+  /** STREAMING-safe ANN serving: score each incoming query row against
+    * a static corpus and emit its top-k. Two paths behind the
+    * [[graft.ops.Dedup.EmbeddingBlockLimit]] strategy switch (the
+    * `spark.graft.embeddingBlockMaxVecs` convention — two DISTRIBUTED
+    * strategies, not a driver-kernel gate):
+    *
+    *  - corpora at or under the limit take [[topKBroadcastBlock]]: the
+    *    corpus ships once as a broadcast of primitive vectors and every
+    *    query row scores against it map-side — stateless, shuffle-free,
+    *    EXACT, output ≡ [[bruteForceTopK]] restricted to the same
+    *    query rows;
+    *  - larger corpora NEVER collect to the driver (the retrieval-scale
+    *    path): candidates come from a hyperplane-LSH band-key equi-join
+    *    of the query stream against the banded corpus, exact cosine
+    *    scoring touches candidates only, and the per-query top-k runs
+    *    in bounded per-partition heaps after one query-keyed
+    *    repartition — every step stateless, so the whole plan is legal
+    *    under append-mode Structured Streaming (a stream-static join +
+    *    narrow maps; no window rank, no stateful agg). Approximate for
+    *    genuinely far-apart "neighbors", the documented LSH/IVF
+    *    tradeoff of every ANN engine ([[knnGraph]]'s contract);
+    *    [[recallAtK]] is the measuring stick.
+    *
+    * Output contract either way: (query_id, neighbor_id, rank, cosine),
+    * rank by (rounded cosine desc, neighbor_id asc), self-matches
+    * excluded. */
   def topKForQueryStream(queries: DataFrame, corpus: DataFrame,
                          k: Int = 5): DataFrame = {
+    require(!corpus.isStreaming, "corpus must be a static table")
+    val spark = corpus.sparkSession
+    val blockLimit = spark.conf
+      .getOption("spark.graft.embeddingBlockMaxVecs")
+      .map(_.toLong).getOrElse(Dedup.EmbeddingBlockLimit)
+    if (blockLimit > 0 && corpus.select("vec_id").count() <= blockLimit)
+      topKBroadcastBlock(queries, corpus, k)
+    else topKForQueryStreamLsh(queries, corpus, k)
+  }
+
+  /** The under-limit serving path: broadcast corpus, map-side exact
+    * scoring with a per-row bounded heap (see [[topKForQueryStream]]).
+    * Callers must have verified the corpus is at or under the block
+    * limit — this is the only corpus collect in the file, and it is
+    * bounded by that check. */
+  private def topKBroadcastBlock(queries: DataFrame, corpus: DataFrame,
+                                 k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    require(!corpus.isStreaming, "corpus must be a static table")
     val rows = corpus.select(col("vec_id"), col("embedding")).collect()
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
@@ -349,6 +381,78 @@ object Similarity {
         explode(scoreOne(col("vec_id"), col("embedding"))).as("hit"))
       .select(col("query_id"), col("hit._1").as("neighbor_id"),
         col("hit._2").as("rank"), col("hit._3").as("cosine"))
+  }
+
+  /** The above-limit serving path (see [[topKForQueryStream]]): band-key
+    * stream-static equi-join candidates → exact cosine on candidates
+    * only → one repartition on query_id → per-partition dedup +
+    * bounded-heap top-k + rank, all inside a single stateless
+    * mapPartitions. A (query, neighbor) pair surfaces once per shared
+    * band; the in-heap kept-set dedups it (duplicates carry the same
+    * deterministic rounded cosine, so a re-offer of an evicted
+    * candidate loses again — the set only guards double-keeping).
+    * Memory per task: O(live queries in the partition × k). */
+  private def topKForQueryStreamLsh(queries: DataFrame, corpus: DataFrame,
+                                    k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bandKeys = udf((v: Seq[Double]) => Dedup.hyperplaneBandKeys(v).toSeq)
+    val cn = withNorm(corpus)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      .withColumn("bk", explode(bandKeys(col("cv"))))
+    val qn = queries
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("bk", explode(bandKeys(col("qv"))))
+    val scored = qn.join(cn, Seq("bk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .as[(Long, Long, Double)]
+    scored
+      .repartition(col("query_id"))
+      .mapPartitions { it =>
+        // weakest kept first: cosine asc, neighbor_id desc (topK's order)
+        val weakestFirst = new java.util.Comparator[(Long, Double)] {
+          def compare(x: (Long, Double), y: (Long, Double)): Int = {
+            val byCos = java.lang.Double.compare(x._2, y._2)
+            if (byCos != 0) byCos else java.lang.Long.compare(y._1, x._1)
+          }
+        }
+        final class Q {
+          val heap = new java.util.PriorityQueue[(Long, Double)](
+            k + 1, weakestFirst)
+          val kept = new java.util.HashSet[Long]()
+        }
+        val state = new java.util.HashMap[Long, Q]()
+        it.foreach { case (q, nid, c) =>
+          var s = state.get(q)
+          if (s == null) { s = new Q; state.put(q, s) }
+          if (!s.kept.contains(nid)) {
+            if (s.heap.size < k) { s.heap.offer((nid, c)); s.kept.add(nid) }
+            else if (weakestFirst.compare((nid, c), s.heap.peek()) > 0) {
+              s.kept.remove(s.heap.poll()._1)
+              s.heap.offer((nid, c)); s.kept.add(nid)
+            }
+          }
+        }
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        state.forEach { (q, s) =>
+          val arr = s.heap.toArray(new Array[(Long, Double)](s.heap.size))
+          // rank order: cosine desc, neighbor_id asc
+          java.util.Arrays.sort(arr, weakestFirst.reversed())
+          var r = 0
+          while (r < arr.length) {
+            out += ((q, arr(r)._1, (r + 1).toLong, arr(r)._2))
+            r += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("query_id", "neighbor_id", "rank", "cosine")
   }
 
   /** Deterministic per-query top-k: rank by (cosine desc, neighbor_id).

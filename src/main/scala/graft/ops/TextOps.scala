@@ -507,11 +507,18 @@ object TextOps {
       slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
       slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
+    // persist, not localCheckpoint: the bigram-TYPE table is
+    // vocabulary² -sized (unlike the tiny capped tables checkpointed
+    // elsewhere) — an eager local checkpoint would pin unreplicated,
+    // lineage-TRUNCATED blocks that an executor loss could never
+    // recompute at scale. Lazy MEMORY_AND_DISK keeps the one-scan
+    // sharing across the four consumers, full lineage recovery, and
+    // ContextCleaner-driven release once the plan is unreachable.
     val bc = docs
       .select(explode(bigrams).as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m1 = bc.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val m2 = bc.groupBy("w2").agg(sum(col("c12")).as("c2"))
     val nTotal = bc.agg(sum(col("c12")).as("n_bigrams"))

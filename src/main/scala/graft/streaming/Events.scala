@@ -622,8 +622,12 @@ object Events {
     * ⇒ Σn² ~ 1e22 and (Σn)² ~ 1e26 silently wrap an int64 under
     * non-ANSI Spark if summed or squared as LongType — the cast must
     * precede the multiply, not follow the sum). `dev = n·k − Σn` (a
-    * linear term, long-safe) and `var_num = k·Σn² − (Σn)²` (decimal —
-    * it genuinely exceeds int64 at scale) ride along for audit.
+    * linear term, long-safe) and `var_num = k·Σn² − (Σn)²` ride along
+    * for audit. The decimal(38,0) var_num is RENDERED as a string: it
+    * genuinely exceeds int64 at scale, and a digit string is the one
+    * physical form every engine materializes identically (DuckDB's
+    * HUGEINT/DECIMAL and Spark's decimal hash differently in the
+    * driver's frame even when every cell is value-identical).
     *
     * Scale shape: one windowed groupBy over the raw events (partial
     * agg), one tiny per-type stats aggregate broadcast back onto the
@@ -646,7 +650,7 @@ object Events {
       col("sum_n").cast(dec) * col("sum_n")).cast(dec)
     hourly.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("w_start"), col("n_events"),
-        dev.cast("long").as("dev"), varNum.as("var_num"),
+        dev.cast("long").as("dev"), varNum.cast("string").as("var_num"),
         when(dev * dev * (col("k") - 1).cast(dec) >
             lit(threshold * threshold) * varNum * col("k").cast(dec), 1L)
           .otherwise(0L).as("is_anomaly"))

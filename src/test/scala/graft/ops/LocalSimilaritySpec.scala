@@ -277,6 +277,68 @@ class LocalSimilaritySpec extends SparkSpec {
     assert(viaStreamOp === viaBrute)
   }
 
+  test("topKForQueryStream above the block limit: LSH join plan, no " +
+      "corpus collect, guaranteed pairs exact") {
+    val c = corpus(80, 8, 12L)
+    val queries = c.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    // below the limit: the broadcast path — no join anywhere in the plan
+    val below = Similarity.topKForQueryStream(queries, c, 3)
+    assert(!below.queryExecution.executedPlan.toString.contains("Join"),
+      "below-limit path should broadcast, not join")
+    // above the limit: band-key equi-join candidates; the corpus is
+    // never collected (the plan carries the corpus scan + a Join)
+    spark.conf.set("spark.graft.embeddingBlockMaxVecs", "1")
+    try {
+      val lshDf = Similarity.topKForQueryStream(queries, c, 3)
+      val plan = lshDf.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), plan)
+      val lsh = lshDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // identical band keys by construction: every query's exact
+      // duplicate twin (i%4==3 duplicates i-1) is recovered at rank 1
+      for (i <- 0 until 10 if i % 4 == 3)
+        assert(lsh.exists(h => h._1 == i.toLong && h._2 == (i - 1).toLong
+          && h._3 == 1L && h._4 == 1.0), s"dup pair ($i, ${i - 1}) missed")
+      assert(lsh.forall(h => h._1 != h._2))
+      assert(lsh.forall(h => h._3 >= 1L && h._3 <= 3L))
+      // per-query ranks are dense from 1 with no duplicate neighbors
+      lsh.groupBy(_._1).foreach { case (q, hits) =>
+        assert(hits.map(_._2).distinct.length == hits.length, s"q=$q dup")
+        assert(hits.map(_._3).sorted.toSeq ==
+          (1L to hits.length.toLong).toSeq, s"q=$q ranks")
+      }
+    } finally spark.conf.unset("spark.graft.embeddingBlockMaxVecs")
+  }
+
+  test("topKForQueryStream above the block limit runs append-mode " +
+      "Structured Streaming (stream-static LSH join, stateless top-k)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val staticCorpus = corpus(30, 8, 10L).persist()
+    spark.conf.set("spark.graft.embeddingBlockMaxVecs", "1")
+    try {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val qdf = mem.toDF().toDF("vec_id", "embedding")
+      val q = Similarity.topKForQueryStream(qdf, staticCorpus, 3)
+        .writeStream.format("memory").queryName("annlsh").outputMode("append")
+        .start()
+      try {
+        val qvec = staticCorpus.filter($"vec_id" === 0L)
+          .select("embedding").head().getSeq[Float](0).toArray
+        mem.addData((1000L, qvec))
+        q.processAllAvailable()
+        val hits = spark.sql("SELECT * FROM annlsh ORDER BY rank").collect()
+        // the query duplicates corpus vector 0: identical band keys
+        // guarantee the candidate join surfaces it — top hit at cosine 1
+        assert(hits.nonEmpty)
+        assert(hits(0).getLong(1) === 0L && hits(0).getDouble(3) === 1.0)
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("spark.graft.embeddingBlockMaxVecs")
+      staticCorpus.unpersist()
+    }
+  }
+
   test("topKForQueryStream scores queries under Structured Streaming") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -765,6 +765,50 @@ class OpsSpec extends SparkSpec {
     assert(v.getAs[Array[Byte]]("payload").length === text.length)
   }
 
+  test("image decode is the real javax.imageio codec (JPEG round-trip)") {
+    val s = spark; import s.implicits._
+    val text = "qrstuv"
+    val d = Seq((6L, text)).toDF("doc_id", "text")  // 6 % 6 = 0 → JPEG
+    val enc = Multimodal.encodeImages(
+      spark, Multimodal.mediaFromDocuments(d))
+    val payload = enc.select("payload").head().getAs[Array[Byte]](0)
+    val w = 16 + ('q' % 64)
+    val h = 16 + ('r' % 64)
+    // the deterministic closed-form byte layout the oracle predicts
+    assert(payload.length === Multimodal.jpegSize(w, h))
+    // ImageIO itself must parse the hand-rolled baseline JFIF: real
+    // dims, grayscale band, every pixel the uniform mid-gray 128
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    assert(img !== null)
+    assert(img.getWidth === w && img.getHeight === h)
+    assert(img.getRaster.getNumBands === 1)
+    assert(img.getRaster.getSample(0, 0, 0) === 128)
+    assert(img.getRaster.getSample(w - 1, h - 1, 0) === 128)
+    // decodeMeta goes through the same codec
+    val dec = Multimodal.decodeMeta(spark, enc).head()
+    assert(dec.getAs[Int]("width") === w)
+    assert(dec.getAs[Int]("height") === h)
+    assert(dec.getAs[Int]("channels") === 1)
+    assert(dec.getAs[Long]("n_bytes") === Multimodal.jpegSize(w, h))
+  }
+
+  test("decodeMeta parses externally-encoded JPEG payloads (JFIF sniff)") {
+    val s = spark; import s.implicits._
+    val img = new java.awt.image.BufferedImage(
+      11, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(4, 2, 0x406080)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val rows = Seq((9L, "image", bos.toByteArray))
+      .toDF("media_id", "kind", "payload")
+    val dec = Multimodal.decodeMeta(spark, rows).head()
+    assert(dec.getAs[Int]("width") === 11)
+    assert(dec.getAs[Int]("height") === 6)
+    assert(dec.getAs[Int]("channels") === 3)
+    assert(dec.getAs[Long]("n_bytes") === bos.size().toLong)
+  }
+
   test("decodeMeta parses PNG payloads through the real codec too") {
     val s = spark; import s.implicits._
     val img = new java.awt.image.BufferedImage(

@@ -121,12 +121,11 @@ class EventsSpec extends SparkSpec {
     assert(r.length === 10)
     assert(r.take(9).forall { case (n, flag) => n == 10L && flag == 0L })
     assert(r(9) === ((100L, 1L)))
-    // uniform counts: var_num = 0 (decimal — wider than int64 at scale),
-    // nothing flagged
+    // uniform counts: var_num = "0" (decimal rendered as a digit
+    // string — wider than int64 at scale), nothing flagged
     val u = evDf((0 to 3).flatMap(h => tsh(h, 5)): _*)
     val ru = Events.hourlyAnomalies(u, 2L).collect()
-    assert(ru.forall(x =>
-      x.getDecimal(4).longValueExact == 0L && x.getLong(5) == 0L))
+    assert(ru.forall(x => x.getString(4) == "0" && x.getLong(5) == 0L))
   }
 
   test("typeTransitions: per-user consecutive pairs, exact conditionals") {

@@ -55,6 +55,18 @@ def main():
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT_MISMATCH got={len(got)} exp={len(exp)}"
             continue
+        # The driver's hash sees PHYSICAL types: int64 vs float64 (DuckDB
+        # sum(BIGINT)→HUGEINT widening) or decimal columns hash-mismatch
+        # even when every cell is value-identical. Normalize datetime
+        # units; everything else must agree exactly.
+        def dt(d):
+            s = str(d)
+            return "datetime64" if s.startswith("datetime64") else s
+        dbad = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+                if dt(got[c].dtype) != dt(exp[c].dtype)]
+        if dbad:
+            results[name] = f"DTYPE_MISMATCH (driver hash would fail) {dbad}"
+            continue
         bad = 0
         first = None
         for col in got.columns:
