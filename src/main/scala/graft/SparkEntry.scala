@@ -700,21 +700,30 @@ object SparkEntry {
     "sim_ivf" -> ((s, dir) => ops.Similarity.ivfTopK(emb(s, dir), 5, 10, 16, 4)),
 
     // IVF with trained centroids (deterministic sampled k-means, 3 Lloyd
-    // iterations). k-means is not SQL-expressible → rows-only oracle;
-    // recall vs sim_brute is pinned ≥ the stand-in's in
-    // LocalSimilaritySpec.
-    "sim_ivf_kmeans" -> ((s, dir) =>
-      ops.Similarity.ivfTopK(emb(s, dir), 5, 10, 16, 4, nIter = 3)),
+    // iterations). The TRAINING loop is not SQL-expressible, but the
+    // trained centroids are a deterministic value — so the query records
+    // them and the oracle receives them as an inline side table, making
+    // the assignment/probe/score pipeline fully DuckDB-checkable (the
+    // sim_ivf oracle with a VALUES centroid CTE).
+    "sim_ivf_kmeans" -> ((s, dir) => {
+      val cents = ops.Similarity.trainCentroids(emb(s, dir), 16, 3)
+      TrainedOracles.recordIvf(cents)
+      ops.Similarity.ivfTopKWithTrained(emb(s, dir), cents, 5, 10, 4)
+    }),
 
     // Product-quantization ADC top-5: 8 subspaces × 16 stand-in
     // codewords, per-query LUT scoring — fully oracle-checked.
     "sim_pq" -> ((s, dir) => ops.Similarity.pqTopK(emb(s, dir), 8, 16, 5, 10)),
 
     // PQ with trained per-subspace codebooks (deterministic sampled L2
-    // k-means, 3 iterations) — rows-only like sim_ivf_kmeans; digest +
-    // recall floor pinned in specs.
-    "sim_pq_kmeans" -> ((s, dir) =>
-      ops.Similarity.pqTopKTrained(emb(s, dir), 8, 16, 5, 10, nIter = 3)),
+    // k-means, 3 iterations) — same side-table promotion as
+    // sim_ivf_kmeans: the trained codebooks ride into the sim_pq oracle
+    // as a VALUES CTE, so encode/LUT/ADC/rank are fully checked.
+    "sim_pq_kmeans" -> ((s, dir) => {
+      val cw = ops.Similarity.trainPqCodebooks(emb(s, dir), 8, 16, 3)
+      TrainedOracles.recordPq(cw)
+      ops.Similarity.pqTopKWithTrainedCodebooks(emb(s, dir), 8, cw, 5, 10)
+    }),
 
     // Per-label embedding centroids (mean-pool prototypes), long form.
     "sim_labelmeans" -> ((s, dir) =>
@@ -3135,33 +3144,7 @@ object SparkEntry {
 
     "sim_ivf" -> (EmbCte +
       """, cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM nv WHERE vec_id < 16),
-        |ac AS (SELECT nv.vec_id, cent.centroid_id,
-        |         round(list_dot_product(nv.v, cent.cv)/(nv.nrm*cent.cn), 6) AS cc
-        |       FROM nv CROSS JOIN cent),
-        |assign AS (SELECT vec_id, centroid_id FROM (
-        |             SELECT vec_id, centroid_id,
-        |               row_number() OVER (PARTITION BY vec_id
-        |                                  ORDER BY cc DESC, centroid_id) AS rn
-        |             FROM ac) WHERE rn = 1),
-        |probes AS (SELECT query_id, centroid_id FROM (
-        |             SELECT vec_id AS query_id, centroid_id,
-        |               row_number() OVER (PARTITION BY vec_id
-        |                                  ORDER BY cc DESC, centroid_id) AS rn
-        |             FROM ac WHERE vec_id < 10) WHERE rn <= 4),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT p.query_id, c.vec_id AS neighbor_id,
-        |         round(list_dot_product(q.qv, c.v)/(q.qn*c.nrm), 6) AS cosine
-        |  FROM nv c JOIN assign a ON c.vec_id = a.vec_id
-        |  JOIN probes p ON a.centroid_id = p.centroid_id
-        |  JOIN q ON q.query_id = p.query_id
-        |  WHERE p.query_id <> c.vec_id)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
-        |  SELECT query_id, neighbor_id, cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY cosine DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5""".stripMargin),
+        |""".stripMargin + IvfServeSql),
 
     // Both top-k pipelines rebuilt as CTE chains (ivf = the sim_ivf
     // oracle, brute = the sim_brute oracle), joined per query.
@@ -3216,37 +3199,7 @@ object SparkEntry {
         |cb AS (SELECT mk.m, mk.j, nv.v[mk.m*8+1 : mk.m*8+8] AS cw
         |       FROM mk JOIN nv ON nv.vec_id = mk.j - 1),
         |cb2 AS (SELECT m, j, cw, list_dot_product(cw, cw) AS cwn2 FROM cb),
-        |sc AS (SELECT nv.vec_id, c.m, c.j,
-        |         round(list_dot_product(nv.v[c.m*8+1 : c.m*8+8], c.cw)
-        |               - 0.5*c.cwn2, 6) AS s
-        |       FROM nv CROSS JOIN cb2 c),
-        |codes AS (SELECT vec_id, m, j AS code, cwn2 FROM (
-        |            SELECT s.vec_id, s.m, s.j, c2.cwn2,
-        |              row_number() OVER (PARTITION BY s.vec_id, s.m
-        |                                 ORDER BY s.s DESC, s.j) AS rn
-        |            FROM sc s JOIN cb2 c2 ON s.m = c2.m AND s.j = c2.j)
-        |          WHERE rn = 1),
-        |na AS (SELECT vec_id,
-        |         sqrt(list_reduce(list(cwn2 ORDER BY m), (a, b) -> a + b)) AS na
-        |       FROM codes GROUP BY vec_id),
-        |lut AS (SELECT q.vec_id AS query_id, c.m, c.j,
-        |          list_dot_product(q.v[c.m*8+1 : c.m*8+8], c.cw) AS pd
-        |        FROM nv q CROSS JOIN cb2 c WHERE q.vec_id < 10),
-        |ad AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
-        |         list_reduce(list(l.pd ORDER BY l.m), (a, b) -> a + b) AS adot
-        |       FROM codes cd JOIN lut l ON l.m = cd.m AND l.j = cd.code
-        |       GROUP BY l.query_id, cd.vec_id),
-        |scored AS (SELECT ad.query_id, ad.neighbor_id,
-        |             round(ad.adot / (qn.nrm * na.na), 6) AS cosine
-        |           FROM ad JOIN nv qn ON qn.vec_id = ad.query_id
-        |                JOIN na ON na.vec_id = ad.neighbor_id
-        |           WHERE ad.query_id <> ad.neighbor_id)
-        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
-        |  SELECT query_id, neighbor_id, cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY cosine DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |WHERE rank <= 5""".stripMargin),
+        |""".stripMargin + PqServeSql),
 
     "tx_langid" -> LangIdSql,
 
@@ -3355,7 +3308,58 @@ object SparkEntry {
          |$fcols
          |FROM m""".stripMargin
     }
-  )
+  ) ++ TrainedOracles.entries
+
+  /** Oracles for the trained-k-means ANN queries. The TRAINING loop is
+    * deterministic but not SQL-expressible; the trained parameters are
+    * a fixed value the serving pipeline consumes — so the query records
+    * them when it runs and the oracle SQL (built lazily; Verify dumps
+    * oracle_sql.json AFTER running every query) receives them as an
+    * inline VALUES side table. The assignment, probing, LUT and ranking
+    * math is then verified end-to-end by DuckDB exactly like sim_ivf /
+    * sim_pq — only the centroid VALUES are "given". If the query never
+    * ran (e.g. a filtered Verify), the entry is simply absent and the
+    * driver records its rows-only check, the pre-promotion behavior.
+    *
+    * Literal rendering: Double.toString is the shortest round-trip
+    * decimal form, which DuckDB's (correctly-rounded) parser maps back
+    * to the identical IEEE double — and the lists are CAST to DOUBLE[]
+    * so bare literals never land as DECIMAL. */
+  private object TrainedOracles {
+    @volatile private var ivfSql: Option[String] = None
+    @volatile private var pqSql: Option[String] = None
+
+    private def lit(v: Array[Double]): String =
+      v.mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+    def recordIvf(cents: Array[Array[Double]]): Unit = if (cents.nonEmpty) {
+      val rows = cents.zipWithIndex
+        .map { case (v, i) => s"($i, ${lit(v)})" }.mkString(",\n  ")
+      ivfSql = Some(EmbCte +
+        s""", cent AS (
+           |  SELECT centroid_id, cv, sqrt(list_dot_product(cv, cv)) AS cn
+           |  FROM (VALUES
+           |  $rows) t(centroid_id, cv)),
+           |""".stripMargin + IvfServeSql)
+    }
+
+    def recordPq(cw: Array[Array[Double]]): Unit = if (cw.nonEmpty) {
+      val kk = cw.length / 8
+      val rows = cw.zipWithIndex.map { case (v, mj) =>
+        s"(${mj / kk}, ${mj % kk + 1}, ${lit(v)})"
+      }.mkString(",\n  ")
+      pqSql = Some(EmbCte +
+        s""", cb2 AS (
+           |  SELECT m, j, cw, list_dot_product(cw, cw) AS cwn2
+           |  FROM (VALUES
+           |  $rows) t(m, j, cw)),
+           |""".stripMargin + PqServeSql)
+    }
+
+    def entries: Map[String, String] =
+      ivfSql.map("sim_ivf_kmeans" -> _).toMap ++
+        pqSql.map("sim_pq_kmeans" -> _).toMap
+  }
 
   /** Shared DuckDB prelude: whitespace tokens per document. */
   private val LangIdSql =
@@ -3542,6 +3546,74 @@ object SparkEntry {
       |  FROM embeddings
       |)
       |""".stripMargin
+
+  /** IVF assignment/probe/score/rank over a `cent(centroid_id, cv, cn)`
+    * CTE — shared by sim_ivf (stand-in centroids) and sim_ivf_kmeans
+    * (trained centroids as an inline VALUES table). */
+  private val IvfServeSql =
+    """ac AS (SELECT nv.vec_id, cent.centroid_id,
+      |         round(list_dot_product(nv.v, cent.cv)/(nv.nrm*cent.cn), 6) AS cc
+      |       FROM nv CROSS JOIN cent),
+      |assign AS (SELECT vec_id, centroid_id FROM (
+      |             SELECT vec_id, centroid_id,
+      |               row_number() OVER (PARTITION BY vec_id
+      |                                  ORDER BY cc DESC, centroid_id) AS rn
+      |             FROM ac) WHERE rn = 1),
+      |probes AS (SELECT query_id, centroid_id FROM (
+      |             SELECT vec_id AS query_id, centroid_id,
+      |               row_number() OVER (PARTITION BY vec_id
+      |                                  ORDER BY cc DESC, centroid_id) AS rn
+      |             FROM ac WHERE vec_id < 10) WHERE rn <= 4),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT p.query_id, c.vec_id AS neighbor_id,
+      |         round(list_dot_product(q.qv, c.v)/(q.qn*c.nrm), 6) AS cosine
+      |  FROM nv c JOIN assign a ON c.vec_id = a.vec_id
+      |  JOIN probes p ON a.centroid_id = p.centroid_id
+      |  JOIN q ON q.query_id = p.query_id
+      |  WHERE p.query_id <> c.vec_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
+  /** PQ encode/LUT/ADC/rank over a `cb2(m, j, cw, cwn2)` codebook CTE —
+    * shared by sim_pq (stand-in codebooks) and sim_pq_kmeans (trained
+    * codebooks as an inline VALUES table). */
+  private val PqServeSql =
+    """sc AS (SELECT nv.vec_id, c.m, c.j,
+      |         round(list_dot_product(nv.v[c.m*8+1 : c.m*8+8], c.cw)
+      |               - 0.5*c.cwn2, 6) AS s
+      |       FROM nv CROSS JOIN cb2 c),
+      |codes AS (SELECT vec_id, m, j AS code, cwn2 FROM (
+      |            SELECT s.vec_id, s.m, s.j, c2.cwn2,
+      |              row_number() OVER (PARTITION BY s.vec_id, s.m
+      |                                 ORDER BY s.s DESC, s.j) AS rn
+      |            FROM sc s JOIN cb2 c2 ON s.m = c2.m AND s.j = c2.j)
+      |          WHERE rn = 1),
+      |na AS (SELECT vec_id,
+      |         sqrt(list_reduce(list(cwn2 ORDER BY m), (a, b) -> a + b)) AS na
+      |       FROM codes GROUP BY vec_id),
+      |lut AS (SELECT q.vec_id AS query_id, c.m, c.j,
+      |          list_dot_product(q.v[c.m*8+1 : c.m*8+8], c.cw) AS pd
+      |        FROM nv q CROSS JOIN cb2 c WHERE q.vec_id < 10),
+      |ad AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+      |         list_reduce(list(l.pd ORDER BY l.m), (a, b) -> a + b) AS adot
+      |       FROM codes cd JOIN lut l ON l.m = cd.m AND l.j = cd.code
+      |       GROUP BY l.query_id, cd.vec_id),
+      |scored AS (SELECT ad.query_id, ad.neighbor_id,
+      |             round(ad.adot / (qn.nrm * na.na), 6) AS cosine
+      |           FROM ad JOIN nv qn ON qn.vec_id = ad.query_id
+      |                JOIN na ON na.vec_id = ad.neighbor_id
+      |           WHERE ad.query_id <> ad.neighbor_id)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
 
   /** CMS accuracy audit — the contract both `tx_cms` and its streaming
     * twin `st_cms` fulfill: each cell re-derived relationally as the

@@ -175,24 +175,9 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 10,
               nCentroids: Int = 16, nProbe: Int = 4,
               nIter: Int = 0): DataFrame = {
-    if (nIter > 0) {
-      val cents = trainCentroids(embeddings, nCentroids, nIter)
-      return localCorpus(embeddings) match {
-        case Some(c) => shipTopK(embeddings.sparkSession,
-          LocalSimilarity.ivfTopKWithCentroids(c, cents, k, nQueries, nProbe))
-        case None =>
-          val spark = embeddings.sparkSession
-          import spark.implicits._
-          // tiny (nCentroids rows): a LocalRelation is fine, it is
-          // broadcast into every consumer anyway
-          val centDf = cents.zipWithIndex
-            .map { case (v, i) => (i.toLong, v) }.toSeq
-            .toDF("centroid_id", "cv")
-            .select(col("centroid_id"), col("cv"), l2norm(col("cv")).as("cn"))
-          ivfTopKDistributed(withNorm(embeddings), broadcast(centDf),
-            k, nQueries, nProbe)
-      }
-    }
+    if (nIter > 0)
+      return ivfTopKWithTrained(embeddings,
+        trainCentroids(embeddings, nCentroids, nIter), k, nQueries, nProbe)
     localCorpus(embeddings) match {
       case Some(c) => shipTopK(embeddings.sparkSession,
         LocalSimilarity.ivfTopK(c, k, nQueries, nCentroids, nProbe))
@@ -205,6 +190,30 @@ object Similarity {
         ivfTopKDistributed(n, cent, k, nQueries, nProbe)
     }
   }
+
+  /** The IVF pipeline against an explicit trained centroid set (what
+    * [[ivfTopK]] with `nIter > 0` dispatches to). Public so a caller
+    * can train once ([[trainCentroids]] is deterministic), keep the
+    * centroids — e.g. to hand them to an external oracle as a side
+    * table — and serve against them. */
+  def ivfTopKWithTrained(embeddings: DataFrame, cents: Array[Array[Double]],
+                         k: Int = 5, nQueries: Int = 10,
+                         nProbe: Int = 4): DataFrame =
+    localCorpus(embeddings) match {
+      case Some(c) => shipTopK(embeddings.sparkSession,
+        LocalSimilarity.ivfTopKWithCentroids(c, cents, k, nQueries, nProbe))
+      case None =>
+        val spark = embeddings.sparkSession
+        import spark.implicits._
+        // tiny (nCentroids rows): a LocalRelation is fine, it is
+        // broadcast into every consumer anyway
+        val centDf = cents.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toSeq
+          .toDF("centroid_id", "cv")
+          .select(col("centroid_id"), col("cv"), l2norm(col("cv")).as("cn"))
+        ivfTopKDistributed(withNorm(embeddings), broadcast(centDf),
+          k, nQueries, nProbe)
+    }
 
   /** ANN recall evaluation — the metric every approximate index is
     * judged by before it replaces an exact scan: per query, how many of
@@ -565,8 +574,17 @@ object Similarity {
     * floor pinned in specs (the `sim_ivf_kmeans` precedent). */
   def pqTopKTrained(embeddings: DataFrame, nSub: Int = 8, kCodes: Int = 16,
                     k: Int = 5, nQueries: Int = 10, nIter: Int = 3,
-                    sampleSize: Int = 4096): DataFrame = {
-    val cw = trainPqCodebooks(embeddings, nSub, kCodes, nIter, sampleSize)
+                    sampleSize: Int = 4096): DataFrame =
+    pqTopKWithTrainedCodebooks(embeddings, nSub,
+      trainPqCodebooks(embeddings, nSub, kCodes, nIter, sampleSize),
+      k, nQueries)
+
+  /** The ADC pipeline against explicit trained codebooks (what
+    * [[pqTopKTrained]] dispatches to) — public for the same
+    * train-once / external-oracle reason as [[ivfTopKWithTrained]]. */
+  def pqTopKWithTrainedCodebooks(embeddings: DataFrame, nSub: Int,
+                                 cw: Array[Array[Double]], k: Int = 5,
+                                 nQueries: Int = 10): DataFrame =
     localCorpus(embeddings) match {
       case Some(c) => shipTopK(embeddings.sparkSession,
         LocalSimilarity.pqTopKWithCodebooks(c, nSub, cw, k, nQueries))
@@ -574,7 +592,6 @@ object Similarity {
         pqTopKDistributed(withNorm(embeddings), nSub,
           cw.map(_.toSeq).toSeq, k, nQueries)
     }
-  }
 
   /** Deterministic sampled per-subspace L2 k-means — flat m-major
     * codebooks (size nSub·kCodes). The sample is the first
