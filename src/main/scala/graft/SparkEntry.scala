@@ -282,14 +282,18 @@ object SparkEntry {
     // co-occurrence projection supplies the workload). Degree-ordered
     // orientation bounds the wedge fan-out on hubs; in-kernel merge
     // intersection under the BFS gate.
-    "gr_triangles" -> ((s, dir) =>
-      graft.bfs.Triangles.runCoPurchase(s, orderPartPairs(s, dir))),
+    "gr_triangles" -> ((s, dir) => coPurchaseGraph(s, dir) match {
+      case Left(csr) => graft.bfs.Triangles.countCsrDf(s, csr)
+      case Right(t) => graft.bfs.Triangles.countFromTables(s, t)
+    }),
 
     // Per-vertex local clustering coefficients on the co-purchase
     // graph: top-20 hubs by (degree desc, id), each closed wedge
     // crediting all three corners; same gate dispatch as gr_triangles.
-    "gr_localcc" -> ((s, dir) =>
-      graft.bfs.Triangles.localCcCoPurchase(s, orderPartPairs(s, dir), 20)),
+    "gr_localcc" -> ((s, dir) => coPurchaseGraph(s, dir) match {
+      case Left(csr) => graft.bfs.Triangles.localCcTopCsr(s, csr, 20)
+      case Right(t) => graft.bfs.Triangles.localCcFromTables(s, t, 20)
+    }),
 
     // Fixed-point PageRank, 10 synchronous iterations on the cleaned
     // graph. Integer (10^12-scaled) arithmetic makes the result exact
@@ -324,8 +328,10 @@ object SparkEntry {
     // sparsification primitive): per-edge common counts ride the
     // degree-ordered oriented triangle machinery — O(m^1.5) wedge mass,
     // hub-skew-proof, never an unoriented Σdeg² expansion.
-    "gr_jaccard" -> ((s, dir) =>
-      graft.bfs.Triangles.jaccardCoPurchase(s, orderPartPairs(s, dir), 20)),
+    "gr_jaccard" -> ((s, dir) => coPurchaseGraph(s, dir) match {
+      case Left(csr) => graft.bfs.Triangles.jaccardTopCsr(s, csr, 20)
+      case Right(t) => graft.bfs.Triangles.jaccardFromTables(t, 20)
+    }),
 
     // Per-community conductance over the LPA partition: cut / min(vol,
     // 2m − vol) — exact integer cut/vol from the same two label joins
@@ -1265,6 +1271,33 @@ object SparkEntry {
     s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey").as("src"),
         col("l_partkey").cast("long").as("dst"))
+
+  /** Shared co-purchase graph for the triangle family (gr_triangles /
+    * gr_localcc / gr_jaccard): the gate dispatch, the pair expansion
+    * and — on the distributed side — the degree joins, the O(m^1.5)
+    * wedge join and the triangle enumeration all run ONCE per sfDir
+    * instead of once per family member (measured: the repeated wedge
+    * join was the entire forced-distributed cost of members two and
+    * three at sf0.1). Keyed on the gate value so a mid-session gate
+    * flip can never serve the wrong side's structure. */
+  private val coPurchaseCache =
+    new SessionCache[Either[graft.bfs.LocalCsr,
+      graft.bfs.Triangles.TriangleTables]]
+  private def coPurchaseGraph(s: SparkSession, dir: String)
+      : Either[graft.bfs.LocalCsr, graft.bfs.Triangles.TriangleTables] = {
+    val gate = s.conf.get("spark.graft.localBfsMaxEdges", "default")
+    coPurchaseCache.get(s, s"$dir/copurchase/gate=$gate") {
+      val gm = orderPartPairs(s, dir)
+      graft.bfs.Triangles.coPurchasePairFlat(s, gm) match {
+        case Some(flat) =>
+          Left(graft.bfs.LocalCsr.buildFromRawPairs(flat))
+        case None =>
+          Right(graft.bfs.Triangles.triangleTables(
+            etl.EdgeOps.cleanEdges(
+              graft.bfs.Triangles.coPurchaseSelfJoin(gm))).persistAll())
+      }
+    }
+  }
 
   private def lineitemSub(s: SparkSession, dir: String): DataFrame =
     cachedTable(s, s"$dir/lineitem_sub")(

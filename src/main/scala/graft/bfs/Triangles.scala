@@ -31,15 +31,32 @@ import org.apache.spark.sql.functions._
  */
 object Triangles {
 
-  /** One-row (n_wedges, n_triangles) over a cleaned symmetric loop-free
-    * edge DataFrame (both directions present). Eager: the oriented edge
-    * set feeds three plan positions (both wedge legs + the closing-edge
-    * probe), so it is persisted once and dropped after the single-row
-    * aggregate — re-deriving it would re-run the degree join's shuffles
-    * per consumer (exchange reuse is a runtime optimization, not a
-    * guarantee). */
-  def countDistributed(clean: DataFrame): DataFrame = {
-    val spark = clean.sparkSession
+  /** The distributed triangle-family machinery over one cleaned graph:
+    * the degree table, the degree-ordered oriented edge set (a, b, bd),
+    * and the enumerated triangle rows (a, b, c) — count, local-cc and
+    * edge-Jaccard are all cheap reductions of `tri`, so a caller
+    * serving the whole family builds (and persists) these ONCE instead
+    * of re-running the degree joins and the O(m^1.5) wedge join per
+    * query (at sf0.1 the repeated wedge join was the entire
+    * forced-distributed cost of the second and third family member).
+    * All three frames are lazy; persistence is the caller's call. */
+  final case class TriangleTables(deg: DataFrame, ori: DataFrame,
+                                  tri: DataFrame) {
+    def persistAll(): this.type = {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      deg.persist(lvl); ori.persist(lvl); tri.persist(lvl); this
+    }
+    def unpersistAll(): Unit = {
+      deg.unpersist(blocking = false); ori.unpersist(blocking = false)
+      tri.unpersist(blocking = false); ()
+    }
+  }
+
+  /** Build the family tables from a cleaned symmetric loop-free edge
+    * DataFrame (both directions present). `tri` enumerates each
+    * triangle with ranks x < y < z exactly once as (a=x, b=y, c=z):
+    * the wedge at apex x closed by the oriented edge y -> z. */
+  def triangleTables(clean: DataFrame): TriangleTables = {
     val deg = clean.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     val ori = clean
       .join(deg.select(col("v").as("src"), col("d").as("sd")), "src")
@@ -47,24 +64,42 @@ object Triangles {
       .where(col("sd") < col("dd") ||
         (col("sd") === col("dd") && col("src") < col("dst")))
       .select(col("src").as("a"), col("dst").as("b"), col("dd").as("bd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // wedge (a; b, c) with rank(b) < rank(c): each triangle x<y<z
-      // (rank order) appears exactly once, as the wedge at apex x
-      // closed by the oriented edge y -> z
-      val wedges = ori.as("e1")
-        .join(ori.select(col("a"), col("b").as("c"), col("bd").as("cd")).as("e2"), "a")
-        .where(col("bd") < col("cd") ||
-          (col("bd") === col("cd") && col("b") < col("c")))
-        .select(col("b"), col("c"))
-      val row = wedges
-        .join(ori.select(col("a").as("b"), col("b").as("c"), lit(1).as("m")),
-          Seq("b", "c"), "left")
-        .agg(count(lit(1)).as("n_wedges"), count(col("m")).as("n_triangles"))
-        .head()
-      import spark.implicits._
-      Seq((row.getLong(0), row.getLong(1))).toDF("n_wedges", "n_triangles")
-    } finally { ori.unpersist(blocking = false); () }
+    val tri = ori.as("e1")
+      .join(ori.select(col("a"), col("b").as("c"), col("bd").as("cd"))
+        .as("e2"), "a")
+      .where(col("bd") < col("cd") ||
+        (col("bd") === col("cd") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+      .join(ori.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"), "left_semi")
+    TriangleTables(deg, ori, tri)
+  }
+
+  /** One-row (n_wedges, n_triangles) from the shared tables. The wedge
+    * count is the closed form Σ_a od(a)·(od(a)−1)/2 over the oriented
+    * out-degrees — exactly the wedge join's row count (each apex
+    * contributes its out-pairs), derived WITHOUT materializing the
+    * wedge rows; triangles are the size of the enumerated `tri`. */
+  def countFromTables(spark: SparkSession, t: TriangleTables): DataFrame = {
+    val w = t.ori.groupBy("a").agg(count(lit(1)).as("od"))
+      .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("w"))
+      .head().getLong(0)
+    val nTri = t.tri.count()
+    import spark.implicits._
+    Seq((w, nTri)).toDF("n_wedges", "n_triangles")
+  }
+
+  /** One-row (n_wedges, n_triangles) over a cleaned symmetric loop-free
+    * edge DataFrame (both directions present). Standalone wrapper: the
+    * oriented edge set feeds three plan positions, so it is persisted
+    * for the call and dropped after the aggregate — callers serving the
+    * whole family should build [[triangleTables]] once instead. */
+  def countDistributed(clean: DataFrame): DataFrame = {
+    val spark = clean.sparkSession
+    val t = triangleTables(clean)
+    t.ori.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try countFromTables(spark, t)
+    finally { t.ori.unpersist(blocking = false); () }
   }
 
   /** In-kernel count on a symmetric CSR (sorted ids, sorted rows). The
@@ -135,6 +170,14 @@ object Triangles {
       r += 1
     }
     (rankOf, denseOf, oriStarts, ori)
+  }
+
+  /** [[countCsr]] rendered as the one-row (n_wedges, n_triangles)
+    * DataFrame contract. */
+  def countCsrDf(spark: SparkSession, csr: LocalCsr): DataFrame = {
+    val (w, t) = countCsr(csr)
+    import spark.implicits._
+    Seq((w, t)).toDF("n_wedges", "n_triangles")
   }
 
   def countCsr(csr: LocalCsr): (Long, Long) = {
@@ -219,46 +262,36 @@ object Triangles {
     * the rounded score. Only edges in ≥ 1 triangle appear (a zero
     * common count carries no ranking signal). */
   def jaccardTop(clean: DataFrame, k: Int): DataFrame = {
-    val deg = clean.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
-    val ori = clean
-      .join(deg.select(col("v").as("src"), col("d").as("sd")), "src")
-      .join(deg.select(col("v").as("dst"), col("d").as("dd")), "dst")
-      .where(col("sd") < col("dd") ||
-        (col("sd") === col("dd") && col("src") < col("dst")))
-      .select(col("src").as("a"), col("dst").as("b"), col("dd").as("bd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val wedges = ori.as("e1")
-        .join(ori.select(col("a"), col("b").as("c"), col("bd").as("cd"))
-          .as("e2"), "a")
-        .where(col("bd") < col("cd") ||
-          (col("bd") === col("cd") && col("b") < col("c")))
-        .select(col("a"), col("b"), col("c"))
-      val tri = wedges.join(
-        ori.select(col("a").as("b"), col("b").as("c")),
-        Seq("b", "c"), "left_semi")
-      val credits = tri.select(explode(array(
-          struct(least(col("a"), col("b")).as("va"),
-            greatest(col("a"), col("b")).as("vb")),
-          struct(least(col("a"), col("c")).as("va"),
-            greatest(col("a"), col("c")).as("vb")),
-          struct(least(col("b"), col("c")).as("va"),
-            greatest(col("b"), col("c")).as("vb")))).as("e"))
-        .select(col("e.va").as("va"), col("e.vb").as("vb"))
-      val common = credits.groupBy("va", "vb")
-        .agg(count(lit(1)).as("common"))
-      val out = common
-        .join(deg.select(col("v").as("va"), col("d").as("deg_a")), "va")
-        .join(deg.select(col("v").as("vb"), col("d").as("deg_b")), "vb")
-        .select(col("va").as("vertex_a"), col("vb").as("vertex_b"),
-          col("common"), col("deg_a"), col("deg_b"),
-          round(col("common").cast("double") /
-            (col("deg_a") + col("deg_b") - lit(2) - col("common"))
-              .cast("double"), 6).as("jaccard"))
-        .orderBy(col("jaccard").desc, col("vertex_a"), col("vertex_b"))
-        .limit(k)
-      out.localCheckpoint(true)
-    } finally { ori.unpersist(blocking = false); () }
+    val t = triangleTables(clean)
+    t.ori.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try jaccardFromTables(t, k)
+    finally { t.ori.unpersist(blocking = false); () }
+  }
+
+  /** Edge-Jaccard top-k from the shared tables (see [[jaccardTop]] for
+    * the contract). Only `tri` and `deg` are consumed. */
+  def jaccardFromTables(t: TriangleTables, k: Int): DataFrame = {
+    val credits = t.tri.select(explode(array(
+        struct(least(col("a"), col("b")).as("va"),
+          greatest(col("a"), col("b")).as("vb")),
+        struct(least(col("a"), col("c")).as("va"),
+          greatest(col("a"), col("c")).as("vb")),
+        struct(least(col("b"), col("c")).as("va"),
+          greatest(col("b"), col("c")).as("vb")))).as("e"))
+      .select(col("e.va").as("va"), col("e.vb").as("vb"))
+    val common = credits.groupBy("va", "vb")
+      .agg(count(lit(1)).as("common"))
+    val out = common
+      .join(t.deg.select(col("v").as("va"), col("d").as("deg_a")), "va")
+      .join(t.deg.select(col("v").as("vb"), col("d").as("deg_b")), "vb")
+      .select(col("va").as("vertex_a"), col("vb").as("vertex_b"),
+        col("common"), col("deg_a"), col("deg_b"),
+        round(col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - lit(2) - col("common"))
+            .cast("double"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("vertex_a"), col("vertex_b"))
+      .limit(k)
+    out.localCheckpoint(true)
   }
 
   /** Distributed co-occurrence pair expansion: the per-group self-join.
@@ -276,8 +309,8 @@ object Triangles {
     * gate probes the INPUT row count (one cheap scan-count), not the
     * pair count; pair blow-up beyond the gate is caught by the
     * pack-range / builder-size recheck. */
-  private[bfs] def coPurchasePairFlat(spark: SparkSession,
-                                      gm: DataFrame): Option[Array[Long]] = {
+  private[graft] def coPurchasePairFlat(spark: SparkSession,
+                                        gm: DataFrame): Option[Array[Long]] = {
     val gate = spark.conf.get("spark.graft.localBfsMaxEdges",
       (64L << 20).toString).toLong
     if (gate <= 0 || gm.limit((math.min(gate, Int.MaxValue - 1L) + 1).toInt)
@@ -396,40 +429,31 @@ object Triangles {
     * the k result rows come back through TakeOrdered — per-partition
     * bounded heaps, never a global sort. */
   def localCcTopDistributed(clean: DataFrame, k: Int): DataFrame = {
-    val spark = clean.sparkSession
-    val deg = clean.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
-    val ori = clean
-      .join(deg.select(col("v").as("src"), col("d").as("sd")), "src")
-      .join(deg.select(col("v").as("dst"), col("d").as("dd")), "dst")
-      .where(col("sd") < col("dd") ||
-        (col("sd") === col("dd") && col("src") < col("dst")))
-      .select(col("src").as("a"), col("dst").as("b"), col("dd").as("bd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val tri = ori.as("e1")
-        .join(ori.select(col("a"), col("b").as("c"), col("bd").as("cd"))
-          .as("e2"), "a")
-        .where(col("bd") < col("cd") ||
-          (col("bd") === col("cd") && col("b") < col("c")))
-        .select(col("a"), col("b"), col("c"))
-        .join(ori.select(col("a").as("b"), col("b").as("c")),
-          Seq("b", "c"), "left_semi")
-      val tv = tri
-        .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("n_tri"))
-      val out = deg.join(tv, Seq("v"), "left")
-        .select(col("v"), col("d").as("degree"),
-          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-        .withColumn("local_cc", round(
-          when(col("degree") >= 2,
-            lit(2.0) * col("n_tri") / (col("degree") * (col("degree") - 1)))
-            .otherwise(0.0), 6))
-        .orderBy(col("degree").desc, col("v")).limit(k)
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      import spark.implicits._
-      out.toDF("v", "degree", "n_tri", "local_cc")
-    } finally { ori.unpersist(blocking = false); () }
+    val t = triangleTables(clean)
+    t.ori.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try localCcFromTables(clean.sparkSession, t, k)
+    finally { t.ori.unpersist(blocking = false); () }
+  }
+
+  /** Local-cc top-k from the shared tables (see [[localCcTopDistributed]]
+    * for the contract). Only `tri` and `deg` are consumed. */
+  def localCcFromTables(spark: SparkSession, t: TriangleTables,
+                        k: Int): DataFrame = {
+    val tv = t.tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    val out = t.deg.join(tv, Seq("v"), "left")
+      .select(col("v"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("local_cc", round(
+        when(col("degree") >= 2,
+          lit(2.0) * col("n_tri") / (col("degree") * (col("degree") - 1)))
+          .otherwise(0.0), 6))
+      .orderBy(col("degree").desc, col("v")).limit(k)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    import spark.implicits._
+    out.toDF("v", "degree", "n_tri", "local_cc")
   }
 
   /** Kernel twin of [[jaccardTop]]: the same orientation sweep, but
