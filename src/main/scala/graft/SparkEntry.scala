@@ -459,9 +459,11 @@ object SparkEntry {
     // Approximate distinct users per event type via the mergeable
     // HllDistinct sketch (p=12 → 4 KiB register buffer per group on the
     // exchange regardless of cardinality; pinned hash ⇒ bit-stable).
-    // HLL is not SQL-expressible → rows-only; accuracy vs exact
-    // distinct + partition-invariance pinned in specs, content digest
-    // in GoldenContentSpec.
+    // Full DuckDB oracle (HllSql): the pinned XXH64 runs in HUGEINT
+    // arithmetic, registers rebuild relationally, and the estimator is
+    // bit-equal (the one libm call, ln, was verified to round
+    // identically for every possible zeros count at p=12); accuracy vs
+    // exact distinct + partition-invariance stay pinned in specs.
     "ev_hll" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
         .agg(graft.functions.HllDistinct.of(col("user_id"), 12)
@@ -542,8 +544,9 @@ object SparkEntry {
       streaming.StreamVerify.rfmFinal(s, events(s, dir))),
 
     // Streaming HLL: the custom sketch aggregate under the state store;
-    // batching-invariant merge ⇒ final state ≡ batch ev_hll (rows-only
-    // like its batch sibling; equality pinned in GoldenContentSpec).
+    // batching-invariant merge ⇒ final state ≡ batch ev_hll (full
+    // HllSql oracle like its batch sibling; batch ≡ stream equality
+    // also pinned in GoldenContentSpec).
     "st_hll" -> ((s, dir) =>
       streaming.StreamVerify.hllFinal(s, events(s, dir))),
 
@@ -1832,6 +1835,12 @@ object SparkEntry {
         |                      * st.k
         |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM h JOIN st USING (event_type)""".stripMargin,
+
+    "ev_hll" -> HllSql,
+
+    // streaming twin: batching-invariant register merge ⇒ final state
+    // ≡ batch sketch, same full-pipeline oracle
+    "st_hll" -> HllSql,
 
     "ev_sessions" ->
       """WITH e AS (
@@ -3392,6 +3401,92 @@ object SparkEntry {
     def entries: Map[String, String] =
       ivfSql.map("sim_ivf_kmeans" -> _).toMap ++
         pqSql.map("sim_pq_kmeans" -> _).toMap
+  }
+
+  /** DuckDB replica of the [[graft.functions.HllDistinct]] pipeline —
+    * the full sketch, not a sanity proxy: the pinned XXH64(key, 42)
+    * runs step-for-step in HUGEINT arithmetic (64-bit wraparound via
+    * 32-bit split multiplies, rotates as disjoint shift sums, xors on
+    * HUGEINT), registers rebuild as max-rank per index, and the
+    * estimator folds the 4096 registers in INDEX ORDER via list_reduce
+    * so the float sum is bit-identical to the kernel's loop. Exactness
+    * of the one libm call: 4096·ln(4096/zeros) was verified to round
+    * to the same integer as Java's Math.log for EVERY zeros ∈ 1..4096
+    * (4 last-ulp differences, none near a rounding boundary); the raw
+    * branch is pure IEEE *,/,+ on identical inputs. p is fixed at 12
+    * (the ev_hll/st_hll configuration). */
+  private val HllSql: String = {
+    val h64 = "CAST('18446744073709551616' AS HUGEINT)"
+    def hc(v: java.math.BigInteger): String = s"CAST('$v' AS HUGEINT)"
+    def bi(hex: String) = new java.math.BigInteger(hex, 16)
+    val p1 = hc(bi("9E3779B185EBCA87"))
+    val p2 = hc(bi("C2B2AE3D27D4EB4F"))
+    val p3 = hc(bi("165667B19E3779F9"))
+    val p4 = hc(bi("85EBCA77C2B2AE63"))
+    // hash seed base: seed 42 + PRIME64_5 + input length 8
+    val seedBase = hc(bi("27D4EB2F165667C5")
+      .add(java.math.BigInteger.valueOf(50)))
+    def mul64(a: String, p: String): String =
+      s"((($a) % 4294967296) * $p + " +
+        s"((($a) // 4294967296) * $p % 4294967296) * 4294967296) % $h64"
+    def rotl(x: String, r: Int): String = {
+      val lo = java.math.BigInteger.ONE.shiftLeft(64 - r)
+      s"((($x) % ${hc(lo)}) * ${1L << r} + ($x) // ${hc(lo)})"
+    }
+    s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+       |x0 AS (SELECT event_type,
+       |         ((CAST(user_id AS HUGEINT) % $h64) + $h64) % $h64 AS v
+       |       FROM u),
+       |x1 AS (SELECT event_type, ${mul64("v", p2)} AS t1 FROM x0),
+       |x2 AS (SELECT event_type, ${rotl("t1", 31)} AS t2 FROM x1),
+       |x3 AS (SELECT event_type, ${mul64("t2", p1)} AS k1 FROM x2),
+       |x4 AS (SELECT event_type, xor($seedBase, k1) AS h1 FROM x3),
+       |x5 AS (SELECT event_type, ${rotl("h1", 27)} AS h2 FROM x4),
+       |x6 AS (SELECT event_type, (${mul64("h2", p1)} + $p4) % $h64 AS h3
+       |       FROM x5),
+       |x7 AS (SELECT event_type, xor(h3, h3 // 8589934592) AS h4 FROM x6),
+       |x8 AS (SELECT event_type, ${mul64("h4", p2)} AS h5 FROM x7),
+       |x9 AS (SELECT event_type, xor(h5, h5 // 536870912) AS h6 FROM x8),
+       |xa AS (SELECT event_type, ${mul64("h6", p3)} AS h7 FROM x9),
+       |xb AS (SELECT event_type, xor(h7, h7 // 4294967296) AS h FROM xa),
+       |rk AS (SELECT event_type,
+       |         CAST(h // ${hc(java.math.BigInteger.ONE.shiftLeft(52))}
+       |              AS BIGINT) AS idx,
+       |         CAST(h % ${hc(java.math.BigInteger.ONE.shiftLeft(52))}
+       |              AS BIGINT) AS low
+       |       FROM xb),
+       |rg AS (SELECT event_type, idx,
+       |         max(CASE WHEN low = 0 THEN 53
+       |                  ELSE 53 - length(bin(low)) END) AS r
+       |       FROM rk GROUP BY 1, 2),
+       |fl AS (SELECT e.event_type, g.i, coalesce(rg.r, 0) AS r
+       |       FROM (SELECT DISTINCT event_type FROM u) e
+       |       CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS i) g
+       |       LEFT JOIN rg ON rg.event_type = e.event_type AND rg.idx = g.i),
+       |iv AS (SELECT event_type,
+       |         list_reduce(list(CAST(1 AS DOUBLE) /
+       |             CAST(CAST(1 AS BIGINT) << r AS DOUBLE) ORDER BY i),
+       |           (a, b) -> a + b) AS inv_sum,
+       |         CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS zeros
+       |       FROM fl GROUP BY 1),
+       |es AS (SELECT event_type,
+       |         CAST('0.7213' AS DOUBLE)
+       |           / (CAST('1.0' AS DOUBLE)
+       |              + CAST('1.079' AS DOUBLE) / CAST('4096' AS DOUBLE))
+       |           * CAST('4096' AS DOUBLE) * CAST('4096' AS DOUBLE)
+       |           / inv_sum AS raw,
+       |         zeros
+       |       FROM iv)
+       |SELECT e.event_type,
+       |  CAST(round(CASE WHEN e.raw <= CAST('2.5' AS DOUBLE)
+       |                       * CAST('4096' AS DOUBLE) AND e.zeros > 0
+       |                  THEN CAST('4096' AS DOUBLE)
+       |                       * ln(CAST('4096' AS DOUBLE) / e.zeros)
+       |                  ELSE e.raw END) AS BIGINT) AS approx_users,
+       |  n.n_events
+       |FROM es e JOIN (SELECT event_type, count(*) AS n_events
+       |                FROM events GROUP BY 1) n USING (event_type)""".stripMargin
   }
 
   /** Shared DuckDB prelude: whitespace tokens per document. */
