@@ -779,9 +779,10 @@ object SparkEntry {
     // top-k vocab build + narrow membership probe.
     "tx_oov" -> ((s, dir) => ops.TextOps.oovRate(docs(s, dir))),
 
-    // BPE merge-rule training (10 merges) — iterative argmax is not
-    // SQL-expressible → rows-only check; content digest + kernel ≡
-    // distributed equality pinned in specs.
+    // BPE merge-rule training (10 merges) — full DuckDB oracle: the
+    // greedy loop unrolls into one CTE chain per round (BpeSql), the
+    // merge rewrite riding a separator-encoded replace; content digest
+    // + kernel ≡ distributed equality stay pinned in specs.
     "tx_bpe" -> ((s, dir) => ops.Bpe.learnMerges(docs(s, dir), 10)),
 
     // Winnowing overlap pairs (MOSS as a dedup stage): shared selected
@@ -3098,6 +3099,8 @@ object SparkEntry {
     // final update-mode state ≡ the batch profile
     "st_rfm" -> EvRfmSql,
 
+    "tx_bpe" -> BpeSql,
+
     "tx_tfidf" -> (TokCte.stripSuffix("\n") +
       """,
         |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
@@ -3502,6 +3505,49 @@ object SparkEntry {
        |  n.n_events
        |FROM es e JOIN (SELECT event_type, count(*) AS n_events
        |                FROM events GROUP BY 1) n USING (event_type)""".stripMargin
+  }
+
+  /** DuckDB replica of the 10-round BPE merge training — the iterative
+    * greedy loop unrolled into one CTE chain per round. State encoding:
+    * each word's symbol list rides as a U+001F-wrapped string
+    * (`␟sym␟␟sym␟` — every symbol carries its own wrappers), which
+    * makes the greedy left-to-right merge-with-resume-at-i+2 EXACTLY
+    * one sequential `replace('␟l␟␟r␟' → '␟lr␟')` (non-overlapping,
+    * resumes after the insertion, and neighbors keep their wrappers so
+    * adjacent merges still fire). Pair counting splits the encoding
+    * back to a list and fans out adjacent pairs via a lateral
+    * generate_series; each round's argmax is (n DESC, l, r) LIMIT 1.
+    * Assumes tokens never contain U+001F (the corpora here are plain
+    * text; a production corpus would pre-filter control chars). */
+  private val BpeSql: String = {
+    val s = "\u001f"
+    val rounds = 10
+    val head =
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                             t -> t <> '') AS tk
+         |  FROM documents),
+         |wf AS (SELECT word, count(*) AS freq
+         |       FROM (SELECT unnest(tk) AS word FROM toks) GROUP BY 1),
+         |w0 AS (SELECT '$s' || array_to_string(string_split(word, ''), '$s$s')
+         |              || '$s' AS enc, freq FROM wf)""".stripMargin
+    val steps = (0 until rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT ss[i] AS l, ss[i+1] AS r2, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT string_split(trim(enc, '$s'), '$s$s') AS ss, freq
+         |        FROM w$r),
+         |       unnest(generate_series(1, len(ss) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT l, r2, n FROM p$r ORDER BY n DESC, l, r2 LIMIT 1),
+         |w${r + 1} AS (SELECT replace(w.enc, '$s' || b.l || '$s$s' || b.r2 || '$s',
+         |                       '$s' || b.l || b.r2 || '$s') AS enc, w.freq
+         |           FROM w$r w, b$r b)""".stripMargin
+    }
+    val sel = (0 until rounds).map { r =>
+      s"""SELECT CAST(${r + 1} AS BIGINT) AS rank, l AS "left",
+         |  r2 AS "right", n FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    head + ",\n" + steps.mkString(",\n") + "\nSELECT * FROM (\n" + sel + ")"
   }
 
   /** Shared DuckDB prelude: whitespace tokens per document. */

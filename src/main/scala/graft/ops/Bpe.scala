@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
  * frequencies; each round selects by (count desc, left asc, right asc);
  * the merge rewrites every word greedily left-to-right (after a merge
  * at position i the scan resumes at i+2). Kernel ≡ distributed is
- * pinned by LocalBpeSpec, content by a GoldenContentSpec digest — the
- * iterative argmax is not reasonably SQL-expressible, so the driver
- * records a rows-only check (the `sim_ivf_kmeans` precedent).
+ * pinned by LocalBpeSpec, content by a GoldenContentSpec digest, and
+ * the driver runs a FULL DuckDB oracle: the fixed-round loop unrolls
+ * into one CTE chain per round, with the greedy rewrite expressed as a
+ * sequential `replace` over a separator-encoded symbol string
+ * (SparkEntry.BpeSql).
  *
  * Scale shape (distributed path): the corpus collapses to the
  * |word-types|-sized frequency table FIRST (one explode + partial-agg'd
