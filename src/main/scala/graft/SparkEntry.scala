@@ -172,8 +172,8 @@ object SparkEntry {
     * added). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     scala.collection.immutable.ListMap(
-    // Q1 — deterministic Kronecker generation (scale 10); structural
-    // invariants are unit-tested, MRG is not SQL-expressible → rows check.
+    // Q1 — deterministic Kronecker generation (scale 10); DuckDB
+    // re-derives the full MRG + descent + scramble (GenOracleSql.q1).
     "q1_generate" -> ((s, _) => graft.gen.Kronecker.generate(s, 10)),
 
     // Q2 — clean edges: drop loops, symmetrize, dedup.
@@ -195,8 +195,9 @@ object SparkEntry {
     "q5_graph_counts" -> ((s, dir) =>
       withCsr(s, dir)(_.graphCountsDf(s))(EdgeOps.graphCounts(clean(s, dir)))),
 
-    // Q6 — deterministic BFS-root sample over the derived graph (MRG-driven,
-    // not SQL-expressible → rows check). nGlobalVerts = max vertex id + 1.
+    // Q6 — deterministic BFS-root sample over the derived graph
+    // (MRG-driven; GenOracleSql.q6 replays the rejection scan in SQL).
+    // nGlobalVerts = max vertex id + 1.
     "q6_roots" -> ((s, dir) => {
       import s.implicits._
       val maxV = maxVertexOf(s, dir)
@@ -342,14 +343,14 @@ object SparkEntry {
         graft.bfs.LabelPropagation.conductanceTop(clean(s, dir),
           lpaLabels(s, dir), 20))),
 
-    // S4 — deterministic initial-edge backbones (MRG scramble → rows check).
+    // S4 — deterministic initial-edge backbones (scramble replayed in SQL).
     "s4_tree_edges" -> ((s, _) => graft.gen.Kronecker.binaryTreeEdges(s, 10)),
     "s4_ham_edges" -> ((s, _) => graft.gen.Kronecker.hamiltonianCycleEdges(s, 10)),
 
-    // S5 — uniform random generator (MRG → rows check).
+    // S5 — uniform random generator (MRG stream replayed in SQL).
     "s5_uniform" -> ((s, _) => graft.gen.Kronecker.generateUniform(s, 10)),
 
-    // S7 — weighted Kronecker generation (MRG weight stream → rows check).
+    // S7 — weighted Kronecker generation (weight stream replayed in SQL).
     "s7_weighted" -> ((s, _) => graft.gen.Kronecker.generateWeighted(s, 10)),
 
     // Event-stream analytics (batch form of the streaming transforms).
@@ -784,6 +785,11 @@ object SparkEntry {
     // merge rewrite riding a separator-encoded replace; content digest
     // + kernel ≡ distributed equality stay pinned in specs.
     "tx_bpe" -> ((s, dir) => ops.Bpe.learnMerges(docs(s, dir), 10)),
+
+    // BPE ENCODE — train→apply: per-doc token accounting under the
+    // learned merges (broadcast merge table, narrow memoized encode,
+    // one doc-keyed aggregation).
+    "tx_bpe_encode" -> ((s, dir) => ops.Bpe.encode(docs(s, dir), 10)),
 
     // Winnowing overlap pairs (MOSS as a dedup stage): shared selected
     // fingerprints ≥ 2 with a hot-fingerprint guard — inverted
@@ -1540,6 +1546,20 @@ object SparkEntry {
       |ORDER BY d.d DESC, d.v LIMIT 20""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // The MRG generator family: DuckDB re-derives the PRNG, descent, and
+    // scramble from the published constants (GenOracleSql).
+    "q1_generate" -> GenOracleSql.q1,
+
+    "s4_tree_edges" -> GenOracleSql.s4Tree,
+
+    "s4_ham_edges" -> GenOracleSql.s4Ham,
+
+    "s5_uniform" -> GenOracleSql.s5,
+
+    "s7_weighted" -> GenOracleSql.s7,
+
+    "q6_roots" -> GenOracleSql.q6,
+
     "gr_triangles" -> TriangleSql,
 
     "gr_localcc" -> LocalCcSql,
@@ -3101,6 +3121,8 @@ object SparkEntry {
 
     "tx_bpe" -> BpeSql,
 
+    "tx_bpe_encode" -> BpeEncodeSql,
+
     "tx_tfidf" -> (TokCte.stripSuffix("\n") +
       """,
         |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
@@ -3519,9 +3541,12 @@ object SparkEntry {
     * generate_series; each round's argmax is (n DESC, l, r) LIMIT 1.
     * Assumes tokens never contain U+001F (the corpora here are plain
     * text; a production corpus would pre-filter control chars). */
-  private val BpeSql: String = {
+  /** Shared training-chain CTEs for the BPE oracles (BpeSql /
+    * BpeEncodeSql): w{r}(word, enc, freq) after r merge rounds — the
+    * word column rides along so the encode oracle can join documents
+    * back to their final encodings. */
+  private def bpeChain(rounds: Int): String = {
     val s = "\u001f"
-    val rounds = 10
     val head =
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -3529,7 +3554,7 @@ object SparkEntry {
          |  FROM documents),
          |wf AS (SELECT word, count(*) AS freq
          |       FROM (SELECT unnest(tk) AS word FROM toks) GROUP BY 1),
-         |w0 AS (SELECT '$s' || array_to_string(string_split(word, ''), '$s$s')
+         |w0 AS (SELECT word, '$s' || array_to_string(string_split(word, ''), '$s$s')
          |              || '$s' AS enc, freq FROM wf)""".stripMargin
     val steps = (0 until rounds).map { r =>
       s"""p$r AS (
@@ -3539,15 +3564,37 @@ object SparkEntry {
          |       unnest(generate_series(1, len(ss) - 1)) AS u(i)
          |  GROUP BY 1, 2),
          |b$r AS (SELECT l, r2, n FROM p$r ORDER BY n DESC, l, r2 LIMIT 1),
-         |w${r + 1} AS (SELECT replace(w.enc, '$s' || b.l || '$s$s' || b.r2 || '$s',
+         |w${r + 1} AS (SELECT w.word, replace(w.enc, '$s' || b.l || '$s$s' || b.r2 || '$s',
          |                       '$s' || b.l || b.r2 || '$s') AS enc, w.freq
          |           FROM w$r w, b$r b)""".stripMargin
     }
+    head + ",\n" + steps.mkString(",\n")
+  }
+
+  private val BpeSql: String = {
+    val rounds = 10
     val sel = (0 until rounds).map { r =>
       s"""SELECT CAST(${r + 1} AS BIGINT) AS rank, l AS "left",
          |  r2 AS "right", n FROM b$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    head + ",\n" + steps.mkString(",\n") + "\nSELECT * FROM (\n" + sel + ")"
+    bpeChain(rounds) + "\nSELECT * FROM (\n" + sel + ")"
+  }
+
+  /** Encode oracle: every document's words joined to their final
+    * (round-10) encodings; token count = symbols remaining in the
+    * separator encoding, pre-merge count = code points (`length`). */
+  private val BpeEncodeSql: String = {
+    val s = "\u001f"
+    bpeChain(10) +
+      s""",
+         |dw AS (SELECT doc_id, unnest(tk) AS word FROM toks),
+         |wtok AS (SELECT word, length(word) AS n_syms,
+         |                len(string_split(trim(enc, '$s'), '$s$s')) AS n_toks
+         |         FROM w10)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(w.n_syms) AS BIGINT) AS n_syms,
+         |       CAST(sum(w.n_toks) AS BIGINT) AS n_tokens
+         |FROM dw JOIN wtok w USING (word) GROUP BY doc_id""".stripMargin
   }
 
   /** Shared DuckDB prelude: whitespace tokens per document. */

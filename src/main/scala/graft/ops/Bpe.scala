@@ -129,6 +129,49 @@ object Bpe {
       "n" -> out.map(_._4).toArray)
   }
 
+  /** Train → APPLY: per-document token accounting after encoding with
+    * the learned merge table — the second half of the tokenizer-prep
+    * story (what the pipeline charges against a token budget).
+    * Emits (doc_id, n_words, n_syms, n_tokens): pre-merge symbol count
+    * (code points of the words) vs post-merge BPE token count.
+    *
+    * Scale shape: the merge table is ≤ nMerges rows (a constant) —
+    * collected once and broadcast. Encoding is a NARROW mapPartitions
+    * over the exploded words with a bounded per-partition word-type
+    * memo (word types repeat heavily — Zipf — so the memo turns most
+    * rows into a hash probe), followed by ONE doc-keyed partial-agg'd
+    * groupBy. No corpus-sized shuffle beyond that aggregation. */
+  def encode(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = learnMerges(docs, nMerges)
+      .orderBy("rank").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bc = spark.sparkContext.broadcast(merges)
+    TextOps.tokenized(docs)
+      .select(col("doc_id"), explode(col("tk")).as("word"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = new java.util.HashMap[String, (Long, Long)]()
+        it.map { case (id, w) =>
+          var v = memo.get(w)
+          if (v == null) {
+            var syms = splitSymbols(w)
+            val n0 = syms.length.toLong
+            ms.foreach { case (l, r) => syms = mergePair(syms, l, r) }
+            v = (n0, syms.length.toLong)
+            if (memo.size < 65536) memo.put(w, v)
+          }
+          (id, v._1, v._2)
+        }
+      }.toDF("doc_id", "n_syms", "n_toks")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_syms").as("n_syms"),
+        sum("n_toks").as("n_tokens"))
+  }
+
   /** Initial symbol sequence: one symbol per Unicode code point. */
   private[ops] def splitSymbols(w: String): Seq[String] = {
     val b = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -4,15 +4,17 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
- * Golden CONTENT pins for the driver queries the oracle can only
- * row-count (`no_oracle`: the MRG generators and the MRG-driven root
- * sample are not SQL-expressible). A wrong-but-right-cardinality
+ * Golden CONTENT pins for driver queries whose oracles arrived late or
+ * whose failure mode is subtle. Every query here now ALSO carries a
+ * full DuckDB oracle (the generator family via GenOracleSql, which
+ * re-derives the MRG + descent + scramble in SQL) — these digests stay
+ * as an in-build second witness: a wrong-but-right-cardinality
  * regression in the MRG stream, the Kronecker descent, or the scramble
- * would pass the driver's rows-only check — these constants fail the
- * build instead. The reference pins the same surface with golden
- * numbers (mpi/utils.hpp:3663-3708); values here were computed once
- * from the MRG implementation whose bit-exactness is itself pinned by
- * MrgSpec and the pf_nedge goldens (Graph500GoldenSpec).
+ * fails the build locally without a driver round-trip. The reference
+ * pins the same surface with golden numbers (mpi/utils.hpp:3663-3708);
+ * values here were computed once from the MRG implementation whose
+ * bit-exactness is itself pinned by MrgSpec and the pf_nedge goldens
+ * (Graph500GoldenSpec).
  */
 class GoldenContentSpec extends SparkSpec {
 

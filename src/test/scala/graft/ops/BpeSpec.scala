@@ -38,6 +38,29 @@ class BpeSpec extends SparkSpec {
     }.toDF("doc_id", "text")
   }
 
+  test("encode: hand-checked token accounting under learned merges") {
+    val s = spark; import s.implicits._
+    // merges on this corpus: (a,a) then (a,b) then (aa,ab) — see the
+    // learnLocal test; encoding "aaab" → [aa, ab] → [aaab] = 1 token,
+    // "ab" → [ab] = 1 token (rank-2 merge).
+    val d = Seq((1L, "aaab aaab aaab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = Bpe.encode(d, 5).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: 4 words, 4+4+4+2 = 14 code points → 1+1+1+1 = 4 tokens
+    // doc 2: 1 word, 2 code points → 1 token
+    assert(got.toSeq === Seq((1L, 4L, 14L, 4L), (2L, 1L, 2L, 1L)))
+  }
+
+  test("encode: multi-code-point symbols count once; totals bound tokens") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, "é世é é世é zz"), (2L, "zz é世é")).toDF("doc_id", "text")
+    val got = Bpe.encode(d, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // n_syms counts code points (é世é = 3), and with 3 merge rounds
+    // é世é collapses to one token, zz to one.
+    assert(got.toSeq === Seq((1L, 3L, 8L, 3L), (2L, 2L, 5L, 2L)))
+  }
+
   test("learnMerges: kernel ≡ distributed (3 seeds)") {
     for (seed <- 1L to 3L) {
       val d = fuzzDocs(seed)
