@@ -14,7 +14,13 @@ object Gates {
     "localAnnMaxVecs",
     "localEventsMaxRows",
     "localMixMaxRows",
-    "localBpeMaxTypes")
+    "localBpeMaxTypes",
+    // Not a driver-kernel gate but the embedding family's strategy
+    // switch (exact broadcast block vs hyperplane-LSH): 0 forces the
+    // LSH plans — the corpus-scale path — and SparkEntry.oracleSql
+    // swaps in the LSH-replay oracles (LshOracleSql) for the four
+    // affected queries, keyed on this same conf.
+    "embeddingBlockMaxVecs")
 
   /** Zero every hybrid gate on `spark` — the force-distributed switch. */
   def forceDistributed(spark: org.apache.spark.sql.SparkSession): Unit =

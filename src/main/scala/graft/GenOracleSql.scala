@@ -260,8 +260,12 @@ private[graft] object GenOracleSql {
         |verts AS (SELECT DISTINCT src AS vertex FROM clean),
         |nv AS (SELECT max(greatest(src, dst)) + 1 AS n FROM clean)""".stripMargin
     val us = (0 until 4).map(k => combo(DK(k).toSeq, Vars))
-    val d = s"((${us(0)})*4.65661287524579692e-10 + (${us(1)})*2.168404346990492787e-19" +
-      s"\n    + (${us(2)})*4.65661287524579692e-10 + (${us(3)})*2.168404346990492787e-19)"
+    // Parenthesized to the kernel's pairing — two nextDouble() values
+    // summed as (d0 + d1), NOT a flat left-associative 4-term sum: the
+    // different rounding sequence can drift 1 ulp and flip
+    // trunc((d0+d1)*n) at an integer boundary.
+    val d = s"(((${us(0)})*4.65661287524579692e-10 + (${us(1)})*2.168404346990492787e-19)" +
+      s"\n    + ((${us(2)})*4.65661287524579692e-10 + (${us(3)})*2.168404346990492787e-19))"
     "WITH RECURSIVE\n" + Seq(
       graph,
       vecCte("cs", matPow(A, 4), RBase),

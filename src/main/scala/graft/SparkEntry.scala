@@ -191,6 +191,16 @@ object SparkEntry {
     "q4_reorder_identity" -> ((s, dir) =>
       withCsr(s, dir)(_.reorderDf(s, 0))(EdgeOps.reorderMap(clean(s, dir), 0))),
 
+    // Q4 — isolated-last reorder map (mode 1) over the FULL vertex
+    // universe 0..max_used (reference parameters.h:38-41 /
+    // ZeroOrElseComparator) — the one mode whose sort domain includes
+    // the isolated ids, so they genuinely take the dense suffix.
+    "q4_reorder_isolated" -> ((s, dir) => {
+      val n = maxVertexOf(s, dir) + 1
+      withCsr(s, dir)(_.reorderIsolatedLastDf(s, n))(
+        EdgeOps.reorderMapIsolatedLast(clean(s, dir), n))
+    }),
+
     // Q5 — graph summary counts.
     "q5_graph_counts" -> ((s, dir) =>
       withCsr(s, dir)(_.graphCountsDf(s))(EdgeOps.graphCounts(clean(s, dir)))),
@@ -717,7 +727,7 @@ object SparkEntry {
     // sim_ivf oracle with a VALUES centroid CTE).
     "sim_ivf_kmeans" -> ((s, dir) => {
       val cents = ops.Similarity.trainCentroids(emb(s, dir), 16, 3)
-      TrainedOracles.recordIvf(cents)
+      TrainedOracles.recordIvf(dir, cents)
       ops.Similarity.ivfTopKWithTrained(emb(s, dir), cents, 5, 10, 4)
     }),
 
@@ -731,7 +741,7 @@ object SparkEntry {
     // as a VALUES CTE, so encode/LUT/ADC/rank are fully checked.
     "sim_pq_kmeans" -> ((s, dir) => {
       val cw = ops.Similarity.trainPqCodebooks(emb(s, dir), 8, 16, 3)
-      TrainedOracles.recordPq(cw)
+      TrainedOracles.recordPq(dir, cw)
       ops.Similarity.pqTopKWithTrainedCodebooks(emb(s, dir), 8, cw, 5, 10)
     }),
 
@@ -1394,8 +1404,10 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for q1/q6 (MRG PRNG not expressible
-    * in SQL → driver records a rows-only check). */
+    * the same parquet tables — ALL queries carry a full oracle, including
+    * q1/q6 (the MRG PRNG replays in SQL via GenOracleSql's matrix-power
+    * CTEs) and the trained-ANN/BPE/HLL families (VALUES side tables /
+    * unrolled CTE rounds / HUGEINT hash replay). */
   /** Unrolled fixed-iteration PageRank (no recursive aggregation in
     * standard SQL → one CTE per iteration; integer `//` mirrors Spark's
     * `div` exactly on the non-negative ranks). */
@@ -1703,6 +1715,18 @@ object SparkEntry {
         |SELECT vertex,
         |       CAST(row_number() OVER (ORDER BY vertex) - 1 AS BIGINT) AS new_id
         |FROM deg""".stripMargin),
+
+    // Full-universe mode 1: universe = 0..max_used; a LEFT JOIN miss
+    // against the non-isolated set IS the isolated predicate, and
+    // (FALSE < TRUE, vertex) replays the ZeroOrElseComparator.
+    "q4_reorder_isolated" -> (GraphCte +
+      """, noniso AS (SELECT DISTINCT src AS vertex FROM clean),
+        |u AS (SELECT unnest(generate_series(0,
+        |         (SELECT max(greatest(src, dst)) FROM clean))) AS vertex)
+        |SELECT u.vertex,
+        |       CAST(row_number() OVER (ORDER BY (d.vertex IS NULL), u.vertex)
+        |            - 1 AS BIGINT) AS new_id
+        |FROM u LEFT JOIN noniso d USING (vertex)""".stripMargin),
 
     "q7_packed_pred" -> (GraphCte +
       """SELECT vertex,
@@ -3390,7 +3414,7 @@ object SparkEntry {
          |$fcols
          |FROM m""".stripMargin
     }
-  ) ++ TrainedOracles.entries
+  ) ++ TrainedOracles.entries ++ LshOracleSql.overrides
 
   /** Oracles for the trained-k-means ANN queries. The TRAINING loop is
     * deterministic but not SQL-expressible; the trained parameters are
@@ -3408,39 +3432,53 @@ object SparkEntry {
     * to the identical IEEE double — and the lists are CAST to DOUBLE[]
     * so bare literals never land as DECIMAL. */
   private object TrainedOracles {
-    @volatile private var ivfSql: Option[String] = None
-    @volatile private var pqSql: Option[String] = None
+    // Keyed by dataset dir: trained centroids/codebooks depend on the
+    // corpus, so a JVM that runs Verify over several sfDirs must not let
+    // the last dir's parameters overwrite earlier ones. entries emits
+    // the oracle only when exactly ONE dir has been recorded — a
+    // multi-dir run drops to the driver's rows-only check instead of
+    // shipping a wrong-corpus oracle.
+    private val ivfSql =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private val pqSql =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
 
     private def lit(v: Array[Double]): String =
       v.mkString("CAST([", ", ", "] AS DOUBLE[])")
 
-    def recordIvf(cents: Array[Array[Double]]): Unit = if (cents.nonEmpty) {
-      val rows = cents.zipWithIndex
-        .map { case (v, i) => s"($i, ${lit(v)})" }.mkString(",\n  ")
-      ivfSql = Some(EmbCte +
-        s""", cent AS (
-           |  SELECT centroid_id, cv, sqrt(list_dot_product(cv, cv)) AS cn
-           |  FROM (VALUES
-           |  $rows) t(centroid_id, cv)),
-           |""".stripMargin + IvfServeSql)
-    }
+    def recordIvf(dir: String, cents: Array[Array[Double]]): Unit =
+      if (cents.nonEmpty) {
+        val rows = cents.zipWithIndex
+          .map { case (v, i) => s"($i, ${lit(v)})" }.mkString(",\n  ")
+        ivfSql.put(dir, EmbCte +
+          s""", cent AS (
+             |  SELECT centroid_id, cv, sqrt(list_dot_product(cv, cv)) AS cn
+             |  FROM (VALUES
+             |  $rows) t(centroid_id, cv)),
+             |""".stripMargin + IvfServeSql)
+      }
 
-    def recordPq(cw: Array[Array[Double]]): Unit = if (cw.nonEmpty) {
-      val kk = cw.length / 8
-      val rows = cw.zipWithIndex.map { case (v, mj) =>
-        s"(${mj / kk}, ${mj % kk + 1}, ${lit(v)})"
-      }.mkString(",\n  ")
-      pqSql = Some(EmbCte +
-        s""", cb2 AS (
-           |  SELECT m, j, cw, list_dot_product(cw, cw) AS cwn2
-           |  FROM (VALUES
-           |  $rows) t(m, j, cw)),
-           |""".stripMargin + PqServeSql)
-    }
+    def recordPq(dir: String, cw: Array[Array[Double]]): Unit =
+      if (cw.nonEmpty) {
+        val kk = cw.length / 8
+        val rows = cw.zipWithIndex.map { case (v, mj) =>
+          s"(${mj / kk}, ${mj % kk + 1}, ${lit(v)})"
+        }.mkString(",\n  ")
+        pqSql.put(dir, EmbCte +
+          s""", cb2 AS (
+             |  SELECT m, j, cw, list_dot_product(cw, cw) AS cwn2
+             |  FROM (VALUES
+             |  $rows) t(m, j, cw)),
+             |""".stripMargin + PqServeSql)
+      }
+
+    private def sole(m: java.util.concurrent.ConcurrentHashMap[String, String])
+    : Option[String] =
+      if (m.size == 1) Some(m.values.iterator.next()) else None
 
     def entries: Map[String, String] =
-      ivfSql.map("sim_ivf_kmeans" -> _).toMap ++
-        pqSql.map("sim_pq_kmeans" -> _).toMap
+      sole(ivfSql).map("sim_ivf_kmeans" -> _).toMap ++
+        sole(pqSql).map("sim_pq_kmeans" -> _).toMap
   }
 
   /** DuckDB replica of the [[graft.functions.HllDistinct]] pipeline —
@@ -3564,9 +3602,10 @@ object SparkEntry {
          |       unnest(generate_series(1, len(ss) - 1)) AS u(i)
          |  GROUP BY 1, 2),
          |b$r AS (SELECT l, r2, n FROM p$r ORDER BY n DESC, l, r2 LIMIT 1),
-         |w${r + 1} AS (SELECT w.word, replace(w.enc, '$s' || b.l || '$s$s' || b.r2 || '$s',
-         |                       '$s' || b.l || b.r2 || '$s') AS enc, w.freq
-         |           FROM w$r w, b$r b)""".stripMargin
+         |w${r + 1} AS (SELECT w.word,
+         |             coalesce(replace(w.enc, '$s' || b.l || '$s$s' || b.r2 || '$s',
+         |                       '$s' || b.l || b.r2 || '$s'), w.enc) AS enc, w.freq
+         |           FROM w$r w LEFT JOIN b$r b ON TRUE)""".stripMargin
     }
     head + ",\n" + steps.mkString(",\n")
   }
@@ -3773,8 +3812,9 @@ object SparkEntry {
       |         FROM bits GROUP BY doc_id)
       |""".stripMargin
 
-  /** Normalized double vectors (mirrors Similarity.withNorm). */
-  private val EmbCte =
+  /** Normalized double vectors (mirrors Similarity.withNorm). Shared
+    * with [[LshOracleSql]] (the forced-distributed LSH-replay oracles). */
+  private[graft] val EmbCte =
     """WITH nv AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

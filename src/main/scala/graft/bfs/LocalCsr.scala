@@ -100,6 +100,28 @@ final class LocalCsr(val ids: Array[Long], val rowStarts: Array[Int],
         .select(idOf(col("id")).as("vertex"), col("id").as("new_id"))
   }
 
+  /** (vertex, new_id) over the FULL universe 0..nVertices-1, isolated
+    * last ≡ EdgeOps.reorderMapIsolatedLast. The permutation is closed
+    * form from the sorted CSR id array — members map to their dense
+    * index, gaps to nVerts + (id − members-below-id) — so the kernel
+    * needs no sort at all, just a binary search per row. */
+  def reorderIsolatedLastDf(spark: org.apache.spark.sql.SparkSession,
+                            nVertices: Long): DataFrame = {
+    val bcIds = spark.sparkContext.broadcast(ids)
+    import org.apache.spark.sql.functions.{col, udf}
+    val newOf = udf { (v: Long) =>
+      val a = bcIds.value
+      val idx = java.util.Arrays.binarySearch(a, v)
+      if (idx >= 0) idx.toLong
+      else {
+        val below = -idx - 1 // members with id < v
+        a.length.toLong + (v - below)
+      }
+    }
+    spark.range(nVertices)
+      .select(col("id").as("vertex"), newOf(col("id")).as("new_id"))
+  }
+
   /** Single-row graph summary ≡ EdgeOps.graphCounts. */
   def graphCountsDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._

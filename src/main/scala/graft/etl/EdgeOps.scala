@@ -149,6 +149,32 @@ object EdgeOps {
       .toDF("vertex", "new_id")
   }
 
+  /** Mode-1 isolated-last reorder over the FULL vertex universe
+    * 0..nVertices-1 — the reference's actual sort domain
+    * (ZeroOrElseComparator, graph_constructor.hpp:288-352, mode per
+    * mpi/parameters.h:38-41: all 2^SCALE ids, most isolated at low
+    * scale). [[reorderMap]] mode 1's domain is the non-isolated vertex
+    * set (making it ≡ mode 0 there); here the isolated ids genuinely
+    * take the dense suffix: non-isolated first in id order, then
+    * isolated in id order.
+    *
+    * Scale shape: the universe is a narrow `range()` scan (nothing
+    * materialized), degrees attach via one left equi-join, and dense
+    * ids come from the same range-partitioned sort + zipWithIndex as
+    * [[reorderMap]] — never a partition-less window. */
+  def reorderMapIsolatedLast(clean: DataFrame, nVertices: Long): DataFrame = {
+    val spark = clean.sparkSession
+    import spark.implicits._
+    val deg = degrees(clean)
+    val sorted = spark.range(nVertices).toDF("vertex")
+      .join(deg, Seq("vertex"), "left_outer")
+      .orderBy(col("degree").isNull.asc, col("vertex").asc)
+      .select(col("vertex")).as[Long]
+    spark.createDataset(
+        sorted.rdd.zipWithIndex.map { case (v, i) => (v, i) })
+      .toDF("vertex", "new_id")
+  }
+
   /** Graph summary: non-isolated vertex count, max used vertex, undirected
     * edge count (reference A2/A6 + construction totals:
     * graph_constructor.hpp:1436-1464, benchmark_helper.hpp:510-528). */

@@ -25,8 +25,10 @@ import org.apache.spark.sql.types._
  * estimate is the classic bias-corrected harmonic mean with the
  * small-range linear-counting correction, rounded half-up to a LONG.
  * Every step is integer/IEEE-deterministic, so the estimate digests
- * stably (HLL itself is not SQL-expressible → rows-only driver check,
- * accuracy pinned vs exact distinct in specs).
+ * stably — and the driver runs a FULL DuckDB oracle: the pinned XXH64
+ * replays step-for-step in HUGEINT arithmetic and the estimator folds
+ * registers in index order (SparkEntry.HllSql); accuracy is pinned vs
+ * exact distinct in specs.
  *
  * Registered as SQL `hll_distinct(key, p)` by [[GraftExtensions]];
  * Column API [[HllDistinct.of]].

@@ -78,8 +78,10 @@ object Bpe {
         var best: (String, String) = null
         var bestN = -1L
         counts.forEach { (p, n) =>
-          if (n(0) > bestN || (n(0) == bestN &&
-              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          if (n(0) > bestN || (n(0) == bestN && {
+            val byL = cpCompare(p._1, best._1)
+            byL < 0 || (byL == 0 && cpCompare(p._2, best._2) < 0)
+          })) {
             best = p; bestN = n(0)
           }
         }
@@ -170,6 +172,25 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"),
         sum("n_syms").as("n_syms"),
         sum("n_toks").as("n_tokens"))
+  }
+
+  /** Code-point lexicographic order — ≡ UTF-8 byte order ≡ Spark's
+    * UTF8String binary comparison ≡ DuckDB's collation, so all three
+    * argmax tie-breaks (driver kernel, distributed orderBy, oracle SQL)
+    * agree. Java's String.compareTo is UTF-16 code-UNIT order, which
+    * sorts supplementary-plane symbols below U+E000–U+FFFF and would
+    * let the kernel diverge from the other two on such ties. */
+  private[ops] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
   }
 
   /** Initial symbol sequence: one symbol per Unicode code point. */

@@ -570,8 +570,11 @@ object Similarity {
     * empty cells keep their centroid — no RNG anywhere, the
     * [[trainCentroids]] determinism contract). Output contract is
     * identical to [[pqTopK]]; the training argmin is not
-    * SQL-expressible → rows-only driver check, content digest + recall
-    * floor pinned in specs (the `sim_ivf_kmeans` precedent). */
+    * SQL-expressible, but the trained codebooks are a deterministic
+    * value — the query records them and the encode/LUT/ADC/rank
+    * pipeline gets a FULL DuckDB oracle with the codebooks as a VALUES
+    * side table (the `sim_ivf_kmeans` convention); content digest +
+    * recall floor additionally pinned in specs. */
   def pqTopKTrained(embeddings: DataFrame, nSub: Int = 8, kCodes: Int = 16,
                     k: Int = 5, nQueries: Int = 10, nIter: Int = 3,
                     sampleSize: Int = 4096): DataFrame =

@@ -119,6 +119,61 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("FD embedding plans run the band-key equi-join, not a corpus " +
+    "collect or all-pairs join") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val e = (0 until 50).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    Gates.forceDistributed(spark)
+    try {
+      // embeddingDedup LSH branch: band-key join present, no cartesian,
+      // no broadcast nested loop (= no all-pairs), no local ship of a
+      // collected corpus
+      val dd = ops.Dedup.embeddingDedup(e, 0.3)
+      dd.count()
+      val ddPlan = finalPlan(dd)
+      assert(ddPlan.contains("bk"), ddPlan)
+      assert(!ddPlan.contains("CartesianProduct"), ddPlan)
+      assert(!ddPlan.contains("BroadcastNestedLoopJoin"), ddPlan)
+
+      // knnGraph LSH branch: same shape
+      val knn = ops.Similarity.knnGraph(e, 3)
+      knn.count()
+      val knnPlan = finalPlan(knn)
+      assert(knnPlan.contains("bk"), knnPlan)
+      assert(!knnPlan.contains("CartesianProduct"), knnPlan)
+      assert(!knnPlan.contains("BroadcastNestedLoopJoin"), knnPlan)
+
+      // serving path (batch run of the stream-legal plan): the band-key
+      // join replaces the broadcast-block udf — a Generate (band-key
+      // explode) feeds a join keyed on bk; the block path has neither
+      val q = e.filter(col("vec_id") < 5)
+      val ann = ops.Similarity.topKForQueryStream(q, e, 3)
+      ann.count()
+      val annPlan = finalPlan(ann)
+      assert(annPlan.contains("bk"), annPlan)
+      assert(annPlan.contains("Generate"), annPlan)
+      assert(!annPlan.contains("CartesianProduct"), annPlan)
+      assert(!annPlan.contains("BroadcastNestedLoopJoin"), annPlan)
+    } finally Gates.all.foreach(g => spark.conf.unset(s"spark.graft.$g"))
+  }
+
+  test("oracleSql swaps in the LSH-replay oracles exactly when the " +
+    "session forces the LSH path (the conf the dispatch reads)") {
+    assert(SparkEntry.oracleSql("st_ann") !== LshOracleSql.stAnn)
+    assert(SparkEntry.oracleSql("sim_knn") !== LshOracleSql.simKnn)
+    spark.conf.set("spark.graft.embeddingBlockMaxVecs", "0")
+    try {
+      assert(SparkEntry.oracleSql("st_ann") === LshOracleSql.stAnn)
+      assert(SparkEntry.oracleSql("sim_knn") === LshOracleSql.simKnn)
+      assert(SparkEntry.oracleSql("dd_embedding") === LshOracleSql.ddEmbedding)
+      assert(SparkEntry.oracleSql("sim_semdedup") === LshOracleSql.simSemdedup)
+    } finally spark.conf.unset("spark.graft.embeddingBlockMaxVecs")
+    assert(SparkEntry.oracleSql("st_ann") !== LshOracleSql.stAnn)
+  }
+
   test("RangeJoinRewrite bands the naive interval join automatically") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)

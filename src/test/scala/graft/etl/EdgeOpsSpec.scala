@@ -75,6 +75,22 @@ class EdgeOpsSpec extends SparkSpec {
     assert(m2 === Map(1L -> 0, 2L -> 1, 3L -> 2, 8L -> 3, 9L -> 4))
   }
 
+  test("reorderMapIsolatedLast: full universe, isolated take the dense " +
+    "suffix; kernel twin identical") {
+    val clean = EdgeOps.cleanEdges(tiny)
+    // universe 0..9: non-isolated {1,2,3,8,9} first in id order, then
+    // isolated {0,4,5,6,7} in id order
+    val want = Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 8L -> 3L, 9L -> 4L,
+      0L -> 5L, 4L -> 6L, 5L -> 7L, 6L -> 8L, 7L -> 9L)
+    val dist = EdgeOps.reorderMapIsolatedLast(clean, 10L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === want)
+    val csr = graft.bfs.LocalCsr.build(clean)
+    val kern = csr.reorderIsolatedLastDf(spark, 10L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kern === want)
+  }
+
   test("twoHopReach: distinct 2-hop set, hub excluded, k bounds hubs") {
     val implicits = spark.implicits
     import implicits._

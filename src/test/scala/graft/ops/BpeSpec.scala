@@ -61,6 +61,27 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 3L, 8L, 3L), (2L, 2L, 5L, 2L)))
   }
 
+  test("tie-break is code-point order (supplementary-plane symbols), " +
+    "kernel ≡ distributed") {
+    // U+1F600 (😀, code point 128512) vs U+E000 (57344): UTF-16
+    // code-UNIT order sorts the surrogate pair 0xD83D.. BELOW 0xE000,
+    // but code-point order (≡ UTF-8 bytes ≡ Spark UTF8String ≡ DuckDB)
+    // sorts U+E000 first — the tie must go to U+E000 on both paths.
+    val s = spark; import s.implicits._
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    val d = Seq((1L, s"${emoji}x ${pua}x")).toDF("doc_id", "text")
+    spark.conf.unset("spark.graft.localBpeMaxTypes")
+    val local = Bpe.learnMerges(d, 1).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    spark.conf.set("spark.graft.localBpeMaxTypes", "0")
+    val dist = try Bpe.learnMerges(d, 1).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    finally spark.conf.unset("spark.graft.localBpeMaxTypes")
+    assert(local.toSeq === Seq((pua, "x")))
+    assert(dist.toSeq === local.toSeq)
+  }
+
   test("learnMerges: kernel ≡ distributed (3 seeds)") {
     for (seed <- 1L to 3L) {
       val d = fuzzDocs(seed)
