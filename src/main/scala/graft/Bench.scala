@@ -52,10 +52,10 @@ object Bench {
     }
 
     // One sequential (protocol-exact) Graph500 block as a JSON object.
-    def seqProtocol(roots: Int): String = {
+    def seqProtocol(roots: Int, atScale: Int = scale): String = {
       val t0 = System.nanoTime()
       try {
-        val s = bench.Graph500.run(spark, scale, roots)
+        val s = bench.Graph500.run(spark, atScale, roots)
         val wall = (System.nanoTime() - t0) / 1e9
         val bfsTotal = s.runs.map(_.bfs_time).sum
         val valTotal = s.runs.map(_.validate_time).sum
@@ -67,7 +67,7 @@ object Bench {
           val safe = if (v.isNaN || v.isInfinite) 0.0 else v
           s""""$f":$safe"""
         }.mkString("{", ",", "}")
-        s"""{"scale":$scale,"n_roots":$roots,"wall_sec":$wall,""" +
+        s"""{"scale":$atScale,"n_roots":$roots,"wall_sec":$wall,""" +
           s""""generation_sec":${s.generationTime},""" +
           s""""construction_sec":${s.constructionTime},""" +
           s""""bfs_total_sec":$bfsTotal,"validate_total_sec":$valTotal,""" +
@@ -216,6 +216,14 @@ object Bench {
     val spec64On = g500On &&
       sys.env.getOrElse("SPARK_GRAFT_SPEC64", "1") != "0"
     val g500spec = if (!spec64On) None else { gcSettle(); Some(seqProtocol(64)) }
+    // Second scale point for round-over-round comparison: the same
+    // 64-root spec block at SCALE 20 (4× the default's edge count),
+    // so the artifact carries spec64 at TWO scales every round.
+    val spec20Scale = sys.env.getOrElse("SPARK_GRAFT_SPEC64_SCALE2", "20").toInt
+    val spec20On = spec64On && spec20Scale > 0 && spec20Scale != scale
+    val g500spec20 = if (!spec20On) None else {
+      gcSettle(); Some(seqProtocol(64, spec20Scale))
+    }
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results)
@@ -229,7 +237,8 @@ object Bench {
       g500iso.map(j => s""","graph500_isolated":$j""").getOrElse("") +
       g500.map(j => s""","graph500":$j""").getOrElse("") +
       g500b.map(j => s""","graph500_batched":$j""").getOrElse("") +
-      g500spec.map(j => s""","graph500_spec64":$j""").getOrElse("")
+      g500spec.map(j => s""","graph500_spec64":$j""").getOrElse("") +
+      g500spec20.map(j => s""","graph500_spec64_s$spec20Scale":$j""").getOrElse("")
     val warmField = if (warmupOn) s""","warmup_sf":"$warmDir","warmup_sec":$warmupSec""" else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$coldField$streamField$warmField$g500Field}""")
     spark.stop()

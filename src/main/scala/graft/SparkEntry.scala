@@ -1208,18 +1208,22 @@ object SparkEntry {
     }),
 
     // Multimodal: decode metadata via batched mapPartitions — image-kind
-    // payloads are real BMP files parsed by the actual javax.imageio
-    // codec; audio/video use the stub header parse. The decoded metadata
-    // table (tiny: one row per media item) is memoized per dir — resize
-    // is a consumer of the decode stage, not a second decode run.
+    // payloads are real BMP/JPEG files parsed by the actual javax.imageio
+    // codec, audio is a real WAV parsed by javax.sound, video is a real
+    // AVI/MJPEG container whose avih/strf headers the decoder walks. The
+    // decoded metadata table (tiny: one row per media item) is memoized
+    // per dir — resize consumes the decode stage, not a second decode run.
     "mm_decode" -> ((s, dir) => decodedMedia(s, dir)),
 
     // Multimodal: resize metadata contract over the shared decode table.
     "mm_resize" -> ((s, dir) => ops.Multimodal.resize(decodedMedia(s, dir))),
 
-    // Multimodal: video frame sampling (every 4th 256-byte frame).
+    // Multimodal: video frame sampling — every 4th frame's (no, offset,
+    // len) read back from a REAL AVI movi chunk walk over the encoded
+    // container bytes.
     "mm_frames" -> ((s, dir) =>
-      ops.Multimodal.frameSample(ops.Multimodal.mediaFromDocuments(docs(s, dir)))),
+      ops.Multimodal.frameSample(s, ops.Multimodal.encodeVideo(
+        s, ops.Multimodal.mediaFromDocuments(docs(s, dir))))),
 
     // Multimodal: stub featurize (8 byte-chunk sums) via mapPartitions.
     "mm_features" -> ((s, dir) => {
@@ -1244,9 +1248,10 @@ object SparkEntry {
     * stage's output instead of re-running the codec. */
   private def decodedMedia(s: SparkSession, dir: String): DataFrame =
     cachedTable(s, s"$dir/mm_decoded")(
-      ops.Multimodal.decodeMeta(s, ops.Multimodal.encodeAudio(
-        s, ops.Multimodal.encodeImages(
-          s, ops.Multimodal.mediaFromDocuments(docs(s, dir))))))
+      ops.Multimodal.decodeMeta(s, ops.Multimodal.encodeVideo(
+        s, ops.Multimodal.encodeAudio(
+          s, ops.Multimodal.encodeImages(
+            s, ops.Multimodal.mediaFromDocuments(docs(s, dir)))))))
 
   /** MinHash+LSH verified pair set at the driver threshold, shared by
     * dd_minhash (its output) and dd_clusters (its input). Memoized but
@@ -3386,17 +3391,26 @@ object SparkEntry {
         |  CAST(floor((n_bytes + 1)/2.0) AS BIGINT) AS n_bytes
         |FROM dec""".stripMargin),
 
+    // Replays the AVI writer's deterministic layout: per-frame JPEG
+    // length L from the stream dims, first frame data at byte 232, each
+    // word-aligned '00dc' chunk 8 + L + (L % 2) bytes after the last.
     "mm_frames" ->
       """WITH v AS (SELECT doc_id AS media_id,
-        |             CAST(length(text) AS BIGINT) AS n_bytes,
+        |             16 + ord(substr(text, 1, 1)) % 64 AS w,
+        |             16 + CASE WHEN length(text) > 1
+        |                  THEN ord(substr(text, 2, 1)) % 64 ELSE 0 END AS h,
         |             CAST(ceil(length(text)/256.0) AS BIGINT) AS n_frames
-        |           FROM documents WHERE doc_id % 3 = 2),
-        |f AS (SELECT media_id, n_bytes,
+        |           FROM documents
+        |           WHERE doc_id % 3 = 2 AND length(text) > 0),
+        |l AS (SELECT media_id, n_frames,
+        |        330 + (6 * (((w + 7) // 8) * ((h + 7) // 8)) + 7) // 8 AS fl
+        |      FROM v),
+        |f AS (SELECT media_id, fl,
         |        unnest(generate_series(0, n_frames - 1, 4)) AS frame_no
-        |      FROM v)
-        |SELECT media_id, frame_no,
-        |  frame_no*256 AS frame_offset,
-        |  least(256, n_bytes - frame_no*256) AS frame_len
+        |      FROM l)
+        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  CAST(232 + frame_no * (8 + fl + fl % 2) AS BIGINT) AS frame_offset,
+        |  CAST(fl AS BIGINT) AS frame_len
         |FROM f""".stripMargin,
 
     "mm_features" -> {
@@ -4041,18 +4055,25 @@ object SparkEntry {
       |    16 + ord(substr(text, 1, 1)) % 64 AS w,
       |    16 + CASE WHEN length(text) > 1
       |         THEN ord(substr(text, 2, 1)) % 64 ELSE 0 END AS h,
-      |    1 + ord(substr(text, 1, 1)) % 2 AS ac
+      |    1 + ord(substr(text, 1, 1)) % 2 AS ac,
+      |    CAST(ceil(length(text)/256.0) AS BIGINT) AS nf,
+      |    330 + (6 * (((16 + ord(substr(text, 1, 1)) % 64 + 7) // 8)
+      |               * ((16 + CASE WHEN length(text) > 1
+      |                        THEN ord(substr(text, 2, 1)) % 64 ELSE 0 END
+      |                   + 7) // 8)) + 7) // 8 AS jl
       |  FROM documents
       |), dec AS (
       |  SELECT doc_id AS media_id,
       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
       |    CAST(CASE WHEN doc_id % 6 = 0 AND n > 0
-      |         THEN 330 + (6 * (((w + 7) // 8) * ((h + 7) // 8)) + 7) // 8
+      |         THEN jl
       |         WHEN doc_id % 3 = 0 AND n > 0
       |         THEN 54 + h * ((3 * w + 3) // 4 * 4)
       |         WHEN doc_id % 3 = 1 AND n > 0
       |         THEN 44 + n * ac * 2
+      |         WHEN doc_id % 3 = 2 AND n > 0
+      |         THEN 224 + nf * (8 + jl + jl % 2) + 8 + 16 * nf
       |         ELSE n END AS BIGINT) AS n_bytes,
       |    CAST(CASE WHEN doc_id % 3 = 1 AND n > 0 THEN n
       |         ELSE w END AS INT) AS width,
@@ -4061,6 +4082,7 @@ object SparkEntry {
       |    CAST(CASE WHEN doc_id % 6 = 0 AND n > 0 THEN 1
       |         WHEN doc_id % 3 = 0 AND n > 0 THEN 3
       |         WHEN doc_id % 3 = 1 AND n > 0 THEN ac
+      |         WHEN doc_id % 3 = 2 AND n > 0 THEN 3
       |         ELSE 1 + n % 3 END AS INT) AS channels
       |  FROM dims
       |)

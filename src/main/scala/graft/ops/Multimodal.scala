@@ -13,6 +13,9 @@ case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
 
 case class MediaFeature(media_id: Long, n_bytes: Long, feature: Array[Long])
 
+case class FrameRow(media_id: Long, frame_no: Long, frame_offset: Long,
+                    frame_len: Long)
+
 /**
  * Multimodal-column operators: decode / resize / frame-sample /
  * feature-extract over opaque `binary` payload columns.
@@ -26,9 +29,17 @@ case class MediaFeature(media_id: Long, n_bytes: Long, feature: Array[Long])
  * decode too); audio-kind payloads are encoded as actual 16-bit PCM
  * RIFF/WAVE files ([[encodeAudio]]) and parsed back through
  * `javax.sound.sampled` (a pure header parse — headless-safe). Video
- * decode remains a clearly-marked deterministic STUB (this container
- * has no video codecs): metadata and features are pure functions of the
- * payload bytes, so every stage stays oracle-checkable byte-for-byte.
+ * payloads are REAL AVI/MJPEG containers ([[encodeVideo]]): a canonical
+ * RIFF 'AVI ' file — hdrl LIST (avih main header, strl with 'vids'/MJPG
+ * strh + BITMAPINFOHEADER strf), movi LIST of '00dc' frame chunks each
+ * holding a real baseline JPEG, and a trailing idx1 index — and the
+ * decode/frame-sample stages parse the container structure back from
+ * the actual bytes (avih header walk for dims, movi chunk walk for
+ * frame offsets). Only the frame PIXEL content is synthetic (the
+ * deterministic uniform-gray JPEG — this container ships no camera);
+ * every byte offset and length the operators report is read from a
+ * real container parse, so every stage stays oracle-checkable
+ * byte-for-byte.
  *
  * Scale notes: decode/featurize are narrow per-partition maps (no
  * shuffle); frame sampling is a generator expression (`sequence` +
@@ -196,6 +207,119 @@ object Multimodal {
     * the real decode). */
   val WavSampleRate = 8000
 
+  // ---- minimal canonical AVI/MJPEG writer -------------------------
+
+  /** Nominal frame rate declared in the AVI headers. */
+  val AviFps = 25
+
+  /** Fixed byte offset of the first '00dc' frame chunk id: RIFF(12) +
+    * hdrl LIST hdr(12) + avih(8+56) + strl LIST hdr(12) + strh(8+56) +
+    * strf(8+40) + movi LIST hdr(12). */
+  val AviHeaderBytes = 224L
+
+  /** Byte offset of the first frame's DATA (first ckid + 8). */
+  val AviFrameDataOffset: Long = AviHeaderBytes + 8
+
+  /** Per-frame JPEG byte length for a (w, h) video — every frame of the
+    * uniform-gray MJPEG stream is the identical [[jpegSize]] bytes. */
+  def aviFrameLen(w: Int, h: Int): Long = jpegSize(w, h)
+
+  /** Total container size: fixed headers + nFrames word-aligned '00dc'
+    * chunks + the idx1 index (8-byte chunk header + 16 bytes/frame). */
+  def aviSize(w: Int, h: Int, nFrames: Long): Long = {
+    val l = aviFrameLen(w, h)
+    AviHeaderBytes + nFrames * (8 + l + (l & 1)) + 8 + 16 * nFrames
+  }
+
+  /** Re-encode video-kind payloads as REAL AVI/MJPEG containers (narrow
+    * per-partition map, no shuffle): one frame per [[FrameBytes]]-sized
+    * window of the source payload, stream dims from [[stubDims]] of the
+    * full payload, every frame the real baseline JPEG [[encodeJpeg]]
+    * emits for those dims. Hand-rolled canonical writer so the byte
+    * layout (and so every offset/length the decode side reports) is
+    * exact and engine-independent; the matching decode side walks the
+    * actual RIFF chunk structure. */
+  def encodeVideo(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(64).flatMap(_.map { m =>
+        if (m.kind == "video" && m.payload.nonEmpty)
+          m.copy(payload = encodeAvi(m.payload))
+        else m
+      })
+    }.toDF()
+  }
+
+  /** Canonical minimal AVI: RIFF('AVI ') → LIST hdrl [avih, LIST strl
+    * [strh 'vids'/'MJPG', strf BITMAPINFOHEADER biCompression='MJPG']]
+    * → LIST movi ['00dc' JPEG]×n → idx1. All sizes little-endian;
+    * odd-length frame chunks pad to word alignment per the RIFF spec. */
+  private def encodeAvi(src: Array[Byte]): Array[Byte] = {
+    val (w, h) = stubDims(src)
+    val nFrames = (src.length + FrameBytes - 1) / FrameBytes
+    val frame = encodeJpeg(src)                     // identical every frame
+    val l = frame.length
+    val pad = l & 1
+    val total = aviSize(w, h, nFrames.toLong).toInt
+    val out = new Array[Byte](total)
+    var p = 0
+    def putInt(v: Int): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >>> 8).toByte
+      out(p + 2) = (v >>> 16).toByte; out(p + 3) = (v >>> 24).toByte
+      p += 4
+    }
+    def putShort(v: Int): Unit = {
+      out(p) = v.toByte; out(p + 1) = (v >>> 8).toByte; p += 2
+    }
+    def putTag(s: String): Unit =
+      s.foreach { c => out(p) = c.toByte; p += 1 }
+    putTag("RIFF"); putInt(total - 8); putTag("AVI ")
+    putTag("LIST"); putInt(192); putTag("hdrl")
+    putTag("avih"); putInt(56)
+    putInt(1000000 / AviFps)                        // dwMicroSecPerFrame
+    putInt(0); putInt(0)                            // maxBytesPerSec, padding
+    putInt(0x10)                                    // dwFlags: HASINDEX
+    putInt(nFrames)                                 // dwTotalFrames
+    putInt(0); putInt(1)                            // initialFrames, streams
+    putInt(l)                                       // suggestedBufferSize
+    putInt(w); putInt(h)
+    putInt(0); putInt(0); putInt(0); putInt(0)      // dwReserved[4]
+    putTag("LIST"); putInt(116); putTag("strl")
+    putTag("strh"); putInt(56)
+    putTag("vids"); putTag("MJPG")                  // fccType, fccHandler
+    putInt(0); putShort(0); putShort(0)             // flags, prio, language
+    putInt(0)                                       // initialFrames
+    putInt(1); putInt(AviFps)                       // dwScale, dwRate
+    putInt(0)                                       // dwStart
+    putInt(nFrames)                                 // dwLength (frames)
+    putInt(l)                                       // suggestedBufferSize
+    putInt(0); putInt(0)                            // quality, sampleSize
+    putShort(0); putShort(0); putShort(w); putShort(h) // rcFrame
+    putTag("strf"); putInt(40)
+    putInt(40); putInt(w); putInt(h)                // biSize, biWidth, biHeight
+    putShort(1); putShort(24)                       // biPlanes, biBitCount
+    putTag("MJPG")                                  // biCompression
+    putInt(l)                                       // biSizeImage
+    putInt(0); putInt(0); putInt(0); putInt(0)      // ppm, clrUsed, clrImp
+    putTag("LIST"); putInt(4 + nFrames * (8 + l + pad)); putTag("movi")
+    var i = 0
+    while (i < nFrames) {
+      putTag("00dc"); putInt(l)
+      System.arraycopy(frame, 0, out, p, l); p += l
+      if (pad == 1) { out(p) = 0; p += 1 }
+      i += 1
+    }
+    putTag("idx1"); putInt(16 * nFrames)
+    i = 0
+    while (i < nFrames) {
+      putTag("00dc"); putInt(0x10)                  // AVIIF_KEYFRAME
+      putInt(4 + i * (8 + l + pad))                 // offset from 'movi' tag
+      putInt(l)
+      i += 1
+    }
+    out
+  }
+
   /** Re-encode audio-kind payloads as REAL 16-bit PCM RIFF/WAVE files
     * (narrow per-partition map, no shuffle): channel count from the
     * first payload byte's parity, one sample frame per source byte.
@@ -281,6 +405,83 @@ object Multimodal {
     b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
       b(11) == 'E'
+  private def isAvi(b: Array[Byte]): Boolean =
+    b.length > 24 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' &&
+      b(11) == ' '
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def tagAt(b: Array[Byte], off: Int, tag: String): Boolean =
+    off + 4 <= b.length && (0 until 4).forall(i => b(off + i) == tag(i).toByte)
+
+  /** Walk the top-level RIFF chunks of an AVI and return the byte
+    * offset of the LIST with the given list-type's DATA (just past the
+    * 4-byte list type) and its remaining size, or -1 if absent. */
+  private def findList(b: Array[Byte], listType: String): (Int, Int) = {
+    var p = 12
+    while (p + 12 <= b.length) {
+      val size = leInt(b, p + 4)
+      if (tagAt(b, p, "LIST") && tagAt(b, p + 8, listType))
+        return (p + 12, size - 4)
+      p += 8 + size + (size & 1)
+    }
+    (-1, 0)
+  }
+
+  /** Parse the avih main header + strf bitmap header out of a real AVI
+    * byte stream: (width, height, channels, totalFrames). A header
+    * walk, not fixed offsets — chunk sizes are read from the bytes. */
+  private def parseAviHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    val (hdrl, hdrlSize) = findList(b, "hdrl")
+    if (hdrl < 0) return None
+    var w = 0; var h = 0; var frames = 0; var channels = 3
+    var p = hdrl
+    val end = math.min(b.length, hdrl + hdrlSize)
+    while (p + 8 <= end) {
+      val size = leInt(b, p + 4)
+      if (tagAt(b, p, "avih") && size >= 40) {
+        frames = leInt(b, p + 8 + 16)               // dwTotalFrames
+        w = leInt(b, p + 8 + 32)                    // dwWidth
+        h = leInt(b, p + 8 + 36)                    // dwHeight
+        p += 8 + size + (size & 1)
+      } else if (tagAt(b, p, "LIST") && tagAt(b, p + 8, "strl")) {
+        // descend into the stream list for the strf bitmap header
+        var q = p + 12
+        val qEnd = math.min(end, p + 8 + size)
+        while (q + 8 <= qEnd) {
+          val qSize = leInt(b, q + 4)
+          if (tagAt(b, q, "strf") && qSize >= 16) {
+            val bitCount = (b(q + 8 + 14) & 0xff) | ((b(q + 8 + 15) & 0xff) << 8)
+            if (bitCount > 0) channels = bitCount / 8
+          }
+          q += 8 + qSize + (qSize & 1)
+        }
+        p += 8 + size + (size & 1)
+      } else p += 8 + size + (size & 1)
+    }
+    if (w > 0 && h > 0) Some((w, h, channels, frames)) else None
+  }
+
+  /** Walk the movi LIST's chunks and return every video frame's
+    * (data offset, data length) in stream order — the real byte
+    * positions a player would seek to. */
+  private def walkMoviFrames(b: Array[Byte]): Seq[(Long, Long)] = {
+    val (movi, moviSize) = findList(b, "movi")
+    if (movi < 0) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var p = movi
+    val end = math.min(b.length, movi + moviSize)
+    while (p + 8 <= end) {
+      val size = leInt(b, p + 4)
+      // ##dc (compressed) / ##db (uncompressed) video frame chunks
+      if (p + 4 <= end && b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b'))
+        out += ((p + 8L, size.toLong))
+      p += 8 + size + (size & 1)
+    }
+    out.toSeq
+  }
 
   /** Real codec decode for BMP/PNG/JPEG (`javax.imageio`) and RIFF/WAVE
     * (`javax.sound.sampled` — a header parse, no audio device needed)
@@ -309,6 +510,13 @@ object Multimodal {
           fmt.getSampleRate.toInt, fmt.getChannels)
       } catch { case scala.util.control.NonFatal(_) => () }
     }
+    if (isAvi(b)) {
+      parseAviHeader(b) match {
+        case Some((w, h, c, _)) =>
+          return DecodedMedia(m.media_id, m.kind, n, w, h, c)
+        case None => ()
+      }
+    }
     val (w, h) = stubDims(b)
     DecodedMedia(m.media_id, m.kind, n, w, h, 1 + (n % 3).toInt)
   }
@@ -323,21 +531,24 @@ object Multimodal {
       col("channels"),
       floor((col("n_bytes") + 1) / 2).cast("long").as("n_bytes"))
 
-  /** Frame sampling for video-kind payloads: frames are fixed
-    * [[FrameBytes]]-sized byte windows; emit every [[FrameStride]]-th
-    * frame's (frame_no, offset, length). Narrow generator — no shuffle. */
-  def frameSample(media: DataFrame): DataFrame = {
-    val nBytes = octet_length(col("payload")).cast("long")
-    val nFrames = ceil(nBytes / lit(FrameBytes.toDouble)).cast("long")
-    media.filter(col("kind") === "video")
-      .select(col("media_id"), nBytes.as("n_bytes"), nFrames.as("n_frames"))
-      .select(col("media_id"), col("n_bytes"),
-        explode(sequence(lit(0L), col("n_frames") - 1,
-          lit(FrameStride.toLong))).as("frame_no"))
-      .select(col("media_id"), col("frame_no"),
-        (col("frame_no") * FrameBytes).as("frame_offset"),
-        least(lit(FrameBytes.toLong),
-          col("n_bytes") - col("frame_no") * FrameBytes).as("frame_len"))
+  /** Frame sampling for video-kind payloads: walk the REAL AVI movi
+    * chunk list ([[walkMoviFrames]]) and emit every [[FrameStride]]-th
+    * frame's (frame_no, data offset, data length) — the byte positions
+    * a player would seek to, read from the container bytes, not a
+    * closed form. Batched narrow per-partition map, no shuffle; a
+    * non-AVI video payload contributes no frames (total map). */
+  def frameSample(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(64).flatMap(_.flatMap { m =>
+        if (m.kind == "video" && isAvi(m.payload))
+          walkMoviFrames(m.payload).zipWithIndex.collect {
+            case ((off, len), i) if i % FrameStride == 0 =>
+              FrameRow(m.media_id, i.toLong, off, len)
+          }
+        else Nil
+      })
+    }.toDF()
   }
 
   /** STUB featurize (batched, per-partition): [[FeatureChunks]] summed

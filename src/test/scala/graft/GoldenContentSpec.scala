@@ -51,24 +51,25 @@ class GoldenContentSpec extends SparkSpec {
   }
 
   test("sim_ivf_kmeans content digest (sf0.001)") {
-    // rows-only for the driver (k-means is not SQL-expressible) but fully
-    // deterministic: kernel ≡ distributed is pinned in
+    // full oracle since round 6 (trained centroids replay as VALUES CTEs
+    // in the driver SQL); kernel ≡ distributed is pinned in
     // LocalSimilaritySpec, and this digest pins the content itself —
     // centroid-training drift (sample, init, iteration count) fails here.
     assert(digest(query("sim_ivf_kmeans")) === (50L, 24916634366L))
   }
 
   test("sim_pq_kmeans content digest (sf0.001)") {
-    // rows-only for the driver (per-subspace k-means training is not
-    // SQL-expressible); codebook drift (sample, init, iterations) or
+    // full oracle since round 6 (trained codebooks replay as VALUES CTEs
+    // in the driver SQL); codebook drift (sample, init, iterations) or
     // ADC scoring drift fails here.
     assert(digest(query("sim_pq_kmeans")) === (50L, 25361379442L))
   }
 
   test("ev_hll content digest + accuracy vs exact (sf0.001)") {
-    // rows-only for the driver (HLL is not SQL-expressible); the digest
-    // pins register/hash/estimator drift, and each estimate must sit
-    // within 5% of the exact per-type distinct (p=12 ⇒ σ ≈ 1.6%)
+    // full oracle since round 6 (XXH64 replays in HUGEINT arithmetic in
+    // the driver SQL); the digest pins register/hash/estimator drift,
+    // and each estimate must sit within 5% of the exact per-type
+    // distinct (p=12 ⇒ σ ≈ 1.6%)
     assert(digest(query("ev_hll")) === (5L, 2541620046L))
     val est = query("ev_hll").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -93,10 +94,10 @@ class GoldenContentSpec extends SparkSpec {
   }
 
   test("tx_bpe content digest (sf0.001)") {
-    // rows-only for the driver (the iterative merge argmax is not
-    // SQL-expressible); kernel ≡ distributed is pinned in BpeSpec, and
-    // this digest pins the learned merge table itself — selection-order
-    // or tie-break drift fails here.
+    // full oracle since round 6 (the merge rounds replay as unrolled
+    // CTEs in the driver SQL); kernel ≡ distributed is pinned in
+    // BpeSpec, and this digest pins the learned merge table itself —
+    // selection-order or tie-break drift fails here.
     assert(digest(query("tx_bpe")) === (10L, 4569893822L))
   }
 

@@ -681,6 +681,7 @@ class OpsSpec extends SparkSpec {
     val s = spark; import s.implicits._
     val d = Seq((2L, "x" * 600)).toDF("doc_id", "text")  // kind=video
     val media = Multimodal.mediaFromDocuments(d)
+    // raw (un-encoded) payload falls back to the stub header parse
     val dec = Multimodal.decodeMeta(spark, media).head()
     assert(dec.getAs[String]("kind") === "video")
     assert(dec.getAs[Long]("n_bytes") === 600L)
@@ -688,12 +689,62 @@ class OpsSpec extends SparkSpec {
     assert(dec.getAs[Int]("channels") === 1)
     val rs = Multimodal.resize(Multimodal.decodeMeta(spark, media)).head()
     assert(rs.getAs[Long]("n_bytes") === 300L)
-    // 600 bytes => 3 frames (256,256,88); stride 4 samples frame 0 only
-    val fr = Multimodal.frameSample(media).collect()
-    assert(fr.length === 1 && fr(0).getLong(1) === 0L && fr(0).getLong(3) === 256L)
+    // 600 source bytes => 3 frames in the AVI; stride 4 samples frame 0
+    // only, and its offset/len come from the real movi chunk walk
+    val enc = Multimodal.encodeVideo(spark, media)
+    val fr = Multimodal.frameSample(spark, enc).collect()
+    val l = Multimodal.aviFrameLen(16 + ('x' % 64), 16 + ('x' % 64))
+    assert(fr.length === 1 && fr(0).getLong(1) === 0L)
+    assert(fr(0).getLong(2) === Multimodal.AviFrameDataOffset)
+    assert(fr(0).getLong(3) === l)
+    // a non-AVI video payload contributes no frames (total map)
+    assert(Multimodal.frameSample(spark, media).count() === 0L)
     val ft = Multimodal.featurize(spark, media).head()
     val f = ft.getAs[scala.collection.Seq[Long]]("feature")
     assert(f.length === 8 && f.sum === 600L * 'x'.toLong)
+  }
+
+  test("video decode walks a real AVI container (round-trip)") {
+    val s = spark; import s.implicits._
+    val text = "mn" + ("z" * 700)                   // 702 bytes → 3 frames
+    val d = Seq((2L, text)).toDF("doc_id", "text")  // kind=video
+    val enc = Multimodal.encodeVideo(
+      spark, Multimodal.mediaFromDocuments(d))
+    val payload = enc.select("payload").head().getAs[Array[Byte]](0)
+    val w = 16 + ('m' % 64)
+    val h = 16 + ('n' % 64)
+    // the deterministic closed-form byte layout the oracle predicts
+    assert(payload.length === Multimodal.aviSize(w, h, 3L))
+    // the container structure is real RIFF: tags at their spec offsets
+    assert(new String(payload.slice(0, 4)) === "RIFF")
+    assert(new String(payload.slice(8, 12)) === "AVI ")
+    assert(new String(payload.slice(224, 228)) === "00dc")
+    // decodeMeta walks avih/strf: dims + 24bpp MJPEG → 3 channels
+    val dec = Multimodal.decodeMeta(spark, enc).head()
+    assert(dec.getAs[Int]("width") === w)
+    assert(dec.getAs[Int]("height") === h)
+    assert(dec.getAs[Int]("channels") === 3)
+    assert(dec.getAs[Long]("n_bytes") === Multimodal.aviSize(w, h, 3L))
+    // every frame the movi walk reports is itself a real JPEG that the
+    // actual javax.imageio codec parses back to the stream dims
+    val l = Multimodal.aviFrameLen(w, h).toInt
+    val off = Multimodal.AviFrameDataOffset.toInt
+    val frame = payload.slice(off, off + l)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frame))
+    assert(img !== null)
+    assert(img.getWidth === w && img.getHeight === h)
+    // frame sampling: stride 4 over 3 frames = frame 0; idx1 agrees —
+    // the index entry's (offset-from-movi + movi data position) lands
+    // on the same chunk the walk found
+    val fr = Multimodal.frameSample(spark, enc).collect()
+    assert(fr.length === 1)
+    assert(fr(0).getLong(2) === off.toLong && fr(0).getLong(3) === l.toLong)
+    // image/audio kinds pass through encodeVideo untouched
+    val i2 = Multimodal.encodeVideo(
+      spark, Multimodal.mediaFromDocuments(
+        Seq((3L, text)).toDF("doc_id", "text"))).head()
+    assert(i2.getAs[Array[Byte]]("payload").length === text.length)
   }
 
   test("image decode is the real javax.imageio codec (BMP round-trip)") {
