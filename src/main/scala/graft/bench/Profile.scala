@@ -29,8 +29,28 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.getOrElse("SPARK_GRAFT_FORCE_DISTRIBUTED", "0") == "1")
       graft.Gates.forceDistributed(spark)
-    for (n <- names; i <- 1 to 3)
+    // job/stage/task counters: attributes an iterative loop's floor to
+    // scheduling (many tiny stages) vs compute (task time)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        }
+      })
+    for (n <- names; i <- 1 to 3) {
+      val (j0, s0, m0) = (jobs.get, stages.get, taskMs.get)
       t(s"$n#$i")(graft.SparkEntry.queries(n)(spark, sfDir).count())
+      println(s"    jobs=${jobs.get - j0} stages=${stages.get - s0} " +
+        s"taskTime=${(taskMs.get - m0) / 1e3}s")
+    }
     spark.stop()
   }
 
@@ -165,8 +185,160 @@ object Profile {
     spark.stop()
   }
 
+  /** `runMain graft.bench.Profile pagerank <sfDir>`: per-variant timing
+    * of the distributed PageRank loop — attributes the FD floor to AQE
+    * scheduling vs checkpoint cadence vs partition count. */
+  def profilePagerank(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Gates.forceDistributed(spark)
+    import org.apache.spark.sql.functions._
+    val clean = graft.etl.EdgeOps.cleanEdges(
+      graft.etl.EdgeOps.edgesFromLineitem(spark, sfDir))
+      .localCheckpoint(eager = true)
+    println(s"edges = ${clean.count()}")
+    for (i <- 1 to 2) {
+      t(s"#$i current")(
+        graft.bfs.PageRank.pagerank(spark, clean).count())
+    }
+    // per-iteration instrumented replica of the loop
+    val edges = clean.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val od = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nV = od.count()
+    val base = (graft.bfs.PageRank.Scale * 15L / 100L) / nV
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+          gcMs.addAndGet(s.stageInfo.taskMetrics.jvmGCTime)
+        }
+      })
+    def loop(label: String)(step: (org.apache.spark.sql.DataFrame, Int)
+        => org.apache.spark.sql.DataFrame): Unit = {
+      var ranks = od.select(col("v"), col("outdeg"),
+        lit(graft.bfs.PageRank.Scale / nV).as("r"))
+      t(label) {
+        for (it <- 1 to 10) {
+          val (m0, g0) = (taskMs.get, gcMs.get)
+          val i0 = System.nanoTime()
+          val contrib = edges
+            .join(ranks.select(col("v").as("src"),
+              expr("(r * 85) div (100 * outdeg)").as("c")), "src")
+            .groupBy(col("dst").as("v")).agg(sum(col("c")).as("s"))
+          ranks = step(od.join(contrib, "v")
+            .select(col("v"), col("outdeg"), (lit(base) + col("s")).as("r")), it)
+          println(f"    it$it ${(System.nanoTime() - i0) / 1e9}%.2fs " +
+            f"task=${(taskMs.get - m0) / 1e3}%.1fs gc=${(gcMs.get - g0) / 1e3}%.1fs")
+        }
+        ranks.localCheckpoint(eager = true).count()
+      }
+    }
+    def cleanup(): Unit = {
+      val keep = Set(edges.rdd.id, od.rdd.id)
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => keep(r.id)).foreach(_.unpersist(true))
+      System.gc(); Thread.sleep(300)
+    }
+    for (i <- 1 to 3) {
+      loop(s"#$i lazy-every")((df, _) =>
+        { val c = df.localCheckpoint(eager = false); c.count(); c })
+      cleanup()
+      loop(s"#$i eager-every3")((df, it) =>
+        if (it % 3 == 0 && it < 10) df.localCheckpoint(eager = true) else df)
+      cleanup()
+      loop(s"#$i lazy-every3")((df, it) =>
+        if (it % 3 == 0 && it < 10)
+          { val c = df.localCheckpoint(eager = false); c.count(); c }
+        else df)
+      cleanup()
+    }
+    spark.stop()
+  }
+
+  /** `runMain graft.bench.Profile annscale [nVecs] [dim] [nQueries] [k]`:
+    * scale-proof of the above-block-limit streaming-ANN serving path —
+    * a synthetic clustered corpus well past the broadcast-block limit is
+    * served through the hyperplane-LSH band join (the exact plan
+    * `st_ann`/`topKForQueryStream` dispatches to at corpus scale), and
+    * the same query sample is answered exactly by the broadcast-block
+    * path to measure wall time AND recall@k of the LSH plan. */
+  def profileAnnScale(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toInt else 500000
+    val dim = if (args.length > 2) args(2).toInt else 64
+    val nQ = if (args.length > 3) args(3).toInt else 100
+    val k = if (args.length > 4) args(4).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    // Deterministic clustered corpus: 1024 unit-ish centers, each point
+    // = its center + bounded hash noise — cluster-mates are the true
+    // near neighbors, the regime LSH banding is built for. splitmix64
+    // finalizer for all pseudo-randomness (no RNG, fully replayable).
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def unit(seed: Long): Array[Double] = {
+      val v = Array.tabulate(dim)(j =>
+        (mix(seed * 8191 + j).toDouble / Long.MaxValue))
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm)
+    }
+    val mkVec = udf { (id: Long) =>
+      val c = unit(id % 1024)
+      val noise = unit(mix(id) | 1L)
+      Array.tabulate(dim)(j => (c(j) + 0.15 * noise(j)).toFloat)
+    }
+    val corpus = spark.range(n)
+      .select(col("id").as("vec_id"), mkVec(col("id")).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"corpus = ${corpus.count()} vectors, dim $dim")
+    val queries = corpus.filter(col("vec_id") % (n / nQ) === 0)
+      .localCheckpoint(eager = true)
+    println(s"queries = ${queries.count()}")
+    for (i <- 1 to 2) {
+      spark.conf.set("spark.graft.embeddingBlockMaxVecs", "0")
+      val lsh = t(s"#$i LSH band-join serve") {
+        val r = graft.ops.Similarity
+          .topKForQueryStream(queries, corpus, k)
+          .localCheckpoint(eager = true)
+        r.count(); r
+      }
+      spark.conf.set("spark.graft.embeddingBlockMaxVecs", (n + 1).toString)
+      val exact = t(s"#$i broadcast exact serve") {
+        val r = graft.ops.Similarity
+          .topKForQueryStream(queries, corpus, k)
+          .localCheckpoint(eager = true)
+        r.count(); r
+      }
+      val rec = graft.ops.Similarity.recallAtK(lsh, exact)
+        .agg(avg(col("recall"))).head().getDouble(0)
+      println(f"    recall@$k vs exact = $rec%.4f")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("queries")) { profileQueries(args); return }
+    if (args.headOption.contains("pagerank")) { profilePagerank(args); return }
+    if (args.headOption.contains("annscale")) { profileAnnScale(args); return }
     if (args.headOption.contains("triangles")) { profileTriangles(args); return }
     if (args.headOption.contains("batched")) { profileBatched(args); return }
     if (args.headOption.contains("relscale")) { profileRelScale(args); return }

@@ -28,8 +28,9 @@ object KCore {
     * prune is two equi-joins against the keep set — broadcast when the
     * survivor set is small, AQE-planned otherwise. The prune
     * necessarily re-materializes the (shrinking) edge set each round;
-    * each round's set persists and the previous unpersists, so lineage
-    * stays shallow and memory holds one edge set. */
+    * each round's set materializes through a lazy localCheckpoint +
+    * count (one job per round, lineage cut at the round boundary), and
+    * superseded sets are reclaimed by the ContextCleaner. */
   def kcore(spark: SparkSession, clean: DataFrame, k: Int = 3,
             rounds: Int = 5): DataFrame = {
     require(k > 0 && rounds > 0, s"kcore: need k, rounds > 0, got ($k, $rounds)")
@@ -50,11 +51,15 @@ object KCore {
           .localCheckpoint(eager = true)
       } else {
         val keep = deg.where(col("degree") >= k).select("v")
+        // LAZY checkpoint + count = one job per round with lineage cut
+        // at the round boundary (the BFS level loop's pattern) — a
+        // persisted-but-uncheckpointed round would re-plan the whole
+        // prior-round chain under AQE.
         val next = edges
           .join(keep.withColumnRenamed("v", "src"), "src")
           .join(keep.withColumnRenamed("v", "dst"), "dst")
           .select("src", "dst")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(eager = false)
         next.count()
         edges.unpersist(blocking = false)
         edges = next

@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
  * table against the edge list on src, one groupBy dst with map-side
  * partial sums — the edge table is shuffled on src ONCE up front and
  * the exchange is reused every iteration (AQE cannot move it: the key
- * never changes); lineage is cut every three iterations with a
- * localCheckpoint exactly like the BFS level loop. The symmetric clean
+ * never changes); each iteration materializes through a lazy
+ * localCheckpoint + count (one job per iteration, lineage one
+ * iteration deep) exactly like the BFS level loop. The symmetric clean
  * graph has no dangling vertices (every vertex has out-edges), so no
  * dangling-mass redistribution term is needed.
  *
@@ -61,11 +62,19 @@ object PageRank {
         .join(ranks.select(col("v").as("src"),
           expr(s"(r * $DampNum) div ($DampDen * outdeg)").as("c")), "src")
         .groupBy(col("dst").as("v")).agg(sum(col("c")).as("s"))
-      // inner join: symmetric graph ⇒ every vertex has in-edges
+      // inner join: symmetric graph ⇒ every vertex has in-edges.
+      // LAZY checkpoint + count = ONE job per iteration (the BFS level
+      // loop's pattern, Bfs.scala:449): the count materializes and caches
+      // every partition, the post-job checkpoint pass finds nothing left
+      // to recompute, and the next iteration's plan starts from the
+      // cached RDD — lineage stays one iteration deep, and AQE never
+      // re-plans (or re-executes) a multi-iteration chain. Superseded
+      // checkpoints (|V|-row tables) are reclaimed by the ContextCleaner
+      // once unreferenced.
       ranks = od.join(contrib, "v")
         .select(col("v"), col("outdeg"), (lit(base) + col("s")).as("r"))
-      if (i % 3 == 0 && i < iters)
-        ranks = ranks.localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
+      ranks.count()
       i += 1
     }
     val out = ranks.select(col("v").as("vertex"), col("r").as("rank_fp"))
