@@ -406,10 +406,17 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bandKeys = udf((v: Seq[Double]) => Dedup.hyperplaneBandKeys(v).toSeq)
+    // Persist the banded corpus: under Structured Streaming the static
+    // side of a stream-static join re-executes every micro-batch, and
+    // the banding pass (HyperplaneBands·HyperplaneBandBits hyperplane
+    // dot products per vector) is the dominant corpus-side cost — pay
+    // it once per stream, not once per batch. Reclaimed by the
+    // ContextCleaner when the query (and this plan) is dropped.
     val cn = withNorm(corpus)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
         col("nrm").as("cn"))
       .withColumn("bk", explode(bandKeys(col("cv"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qn = queries
       .select(col("vec_id").as("query_id"),
         transform(col("embedding"), x => x.cast("double")).as("qv"))
