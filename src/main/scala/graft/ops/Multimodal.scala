@@ -423,6 +423,7 @@ object Multimodal {
     var p = 12
     while (p + 12 <= b.length) {
       val size = leInt(b, p + 4)
+      if (size < 0) return (-1, 0)                   // corrupt size field
       if (tagAt(b, p, "LIST") && tagAt(b, p + 8, listType))
         return (p + 12, size - 4)
       p += 8 + size + (size & 1)
@@ -438,10 +439,11 @@ object Multimodal {
     if (hdrl < 0) return None
     var w = 0; var h = 0; var frames = 0; var channels = 3
     var p = hdrl
-    val end = math.min(b.length, hdrl + hdrlSize)
+    val end = math.min(b.length, hdrl + math.max(hdrlSize, 0))
     while (p + 8 <= end) {
       val size = leInt(b, p + 4)
-      if (tagAt(b, p, "avih") && size >= 40) {
+      if (size < 0) return None                      // corrupt size field
+      if (tagAt(b, p, "avih") && size >= 40 && p + 8 + size <= b.length) {
         frames = leInt(b, p + 8 + 16)               // dwTotalFrames
         w = leInt(b, p + 8 + 32)                    // dwWidth
         h = leInt(b, p + 8 + 36)                    // dwHeight
@@ -452,7 +454,8 @@ object Multimodal {
         val qEnd = math.min(end, p + 8 + size)
         while (q + 8 <= qEnd) {
           val qSize = leInt(b, q + 4)
-          if (tagAt(b, q, "strf") && qSize >= 16) {
+          if (qSize < 0) return None                 // corrupt size field
+          if (tagAt(b, q, "strf") && qSize >= 16 && q + 8 + qSize <= b.length) {
             val bitCount = (b(q + 8 + 14) & 0xff) | ((b(q + 8 + 15) & 0xff) << 8)
             if (bitCount > 0) channels = bitCount / 8
           }
@@ -472,11 +475,15 @@ object Multimodal {
     if (movi < 0) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var p = movi
-    val end = math.min(b.length, movi + moviSize)
+    val end = math.min(b.length, movi + math.max(moviSize, 0))
     while (p + 8 <= end) {
       val size = leInt(b, p + 4)
-      // ##dc (compressed) / ##db (uncompressed) video frame chunks
-      if (p + 4 <= end && b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b'))
+      if (size < 0) return out.toSeq                 // corrupt size field
+      // ##dc (compressed) / ##db (uncompressed) video frame chunks —
+      // only frames whose DATA fully fits the byte bound (a truncated
+      // container must not report a seek target past its end)
+      if (b(p + 2) == 'd' && (b(p + 3) == 'c' || b(p + 3) == 'b') &&
+          p + 8 + size <= end)
         out += ((p + 8L, size.toLong))
       p += 8 + size + (size & 1)
     }

@@ -876,6 +876,30 @@ class OpsSpec extends SparkSpec {
     assert(dec.getAs[Long]("n_bytes") === bos.size().toLong)
   }
 
+  test("corrupt AVI payloads degrade to the stub parse, never throw") {
+    val s = spark; import s.implicits._
+    // RIFF/'AVI ' magic but garbage after: header walk finds no hdrl →
+    // decode falls back to the stub; movi walk finds no frames
+    val garbage = ("RIFF????AVI " + ("x" * 40)).getBytes("ISO-8859-1")
+    val rows = Seq((5L, "video", garbage)).toDF("media_id", "kind", "payload")
+    val dec = Multimodal.decodeMeta(spark, rows).head()
+    assert(dec.getAs[Long]("n_bytes") === garbage.length.toLong)
+    assert(dec.getAs[Int]("width") === 16 + ('R' % 64)) // stub dims
+    assert(Multimodal.frameSample(spark, rows).count() === 0L)
+    // a real AVI truncated mid-movi: the walk stops at the byte bound
+    val text = "ab" + ("c" * 700)
+    val full = Multimodal.encodeVideo(
+      spark, Multimodal.mediaFromDocuments(Seq((2L, text)).toDF("doc_id", "text")))
+      .select("payload").head().getAs[Array[Byte]](0)
+    val cut = full.slice(0, Multimodal.AviFrameDataOffset.toInt + 10)
+    val cutRows = Seq((6L, "video", cut)).toDF("media_id", "kind", "payload")
+    // truncated first chunk: size field points past the bytes → no frames
+    assert(Multimodal.frameSample(spark, cutRows).count() === 0L)
+    // header region intact → dims still parse
+    val dec2 = Multimodal.decodeMeta(spark, cutRows).head()
+    assert(dec2.getAs[Int]("width") === 16 + ('a' % 64))
+  }
+
   test("multi-root BFS matches single-root BFS per run") {
     val s = spark; import s.implicits._
     val raw = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (6L, 7L))
