@@ -1210,7 +1210,8 @@ object SparkEntry {
     // Multimodal: decode metadata via batched mapPartitions — image-kind
     // payloads are real BMP/JPEG files parsed by the actual javax.imageio
     // codec, audio is a real WAV parsed by javax.sound, video is a real
-    // AVI/MJPEG container whose avih/strf headers the decoder walks. The
+    // AVI/MJPEG container (avih/strf header walk) or ISO-BMFF MP4
+    // (moov→trak→tkhd + stsd box walk), split by media_id % 6. The
     // decoded metadata table (tiny: one row per media item) is memoized
     // per dir — resize consumes the decode stage, not a second decode run.
     "mm_decode" -> ((s, dir) => decodedMedia(s, dir)),
@@ -1219,10 +1220,19 @@ object SparkEntry {
     "mm_resize" -> ((s, dir) => ops.Multimodal.resize(decodedMedia(s, dir))),
 
     // Multimodal: video frame sampling — every 4th frame's (no, offset,
-    // len) read back from a REAL AVI movi chunk walk over the encoded
-    // container bytes.
+    // len) read back from a REAL container walk over the encoded bytes:
+    // the AVI movi chunk list or the MP4 stsz/stco sample tables,
+    // whichever family the payload is.
     "mm_frames" -> ((s, dir) =>
       ops.Multimodal.frameSample(s, ops.Multimodal.encodeVideo(
+        s, ops.Multimodal.mediaFromDocuments(docs(s, dir))))),
+
+    // Multimodal: windowed audio sampling — overlapping 1024-frame
+    // windows every 512 frames, with frame counts and byte offsets
+    // read back from a REAL RIFF fmt/data chunk walk over the encoded
+    // WAV bytes (the audio counterpart of mm_frames).
+    "mm_audio" -> ((s, dir) =>
+      ops.Multimodal.audioWindows(s, ops.Multimodal.encodeAudio(
         s, ops.Multimodal.mediaFromDocuments(docs(s, dir))))),
 
     // Multimodal: stub featurize (8 byte-chunk sums) via mapPartitions.
@@ -3391,9 +3401,13 @@ object SparkEntry {
         |  CAST(floor((n_bytes + 1)/2.0) AS BIGINT) AS n_bytes
         |FROM dec""".stripMargin),
 
-    // Replays the AVI writer's deterministic layout: per-frame JPEG
-    // length L from the stream dims, first frame data at byte 232, each
-    // word-aligned '00dc' chunk 8 + L + (L % 2) bytes after the last.
+    // Replays the video writers' deterministic layouts: per-frame JPEG
+    // length L from the stream dims. AVI (media_id % 6 = 2): first
+    // frame data at byte 232, each word-aligned '00dc' chunk
+    // 8 + L + (L % 2) bytes after the last. MP4 (media_id % 6 = 5):
+    // frame data starts past the 579 fixed container bytes + the
+    // 8 bytes/frame of stsz+stco entries, then packs at stride L (no
+    // RIFF word alignment in ISO-BMFF).
     "mm_frames" ->
       """WITH v AS (SELECT doc_id AS media_id,
         |             16 + ord(substr(text, 1, 1)) % 64 AS w,
@@ -3405,13 +3419,34 @@ object SparkEntry {
         |l AS (SELECT media_id, n_frames,
         |        330 + (6 * (((w + 7) // 8) * ((h + 7) // 8)) + 7) // 8 AS fl
         |      FROM v),
-        |f AS (SELECT media_id, fl,
+        |f AS (SELECT media_id, n_frames, fl,
         |        unnest(generate_series(0, n_frames - 1, 4)) AS frame_no
         |      FROM l)
         |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
-        |  CAST(232 + frame_no * (8 + fl + fl % 2) AS BIGINT) AS frame_offset,
+        |  CAST(CASE WHEN media_id % 6 = 5
+        |       THEN 579 + 8 * n_frames + frame_no * fl
+        |       ELSE 232 + frame_no * (8 + fl + fl % 2)
+        |       END AS BIGINT) AS frame_offset,
         |  CAST(fl AS BIGINT) AS frame_len
         |FROM f""".stripMargin,
+
+    // Replays the WAV writer's canonical layout: data chunk at byte 44,
+    // one sample frame per source char, block align = channels·2; the
+    // Spark side reads the same numbers back from the real RIFF walk.
+    "mm_audio" ->
+      """WITH a AS (SELECT doc_id AS media_id, length(text) AS n,
+        |             1 + ord(substr(text, 1, 1)) % 2 AS ac
+        |           FROM documents
+        |           WHERE doc_id % 3 = 1 AND length(text) > 0),
+        |w AS (SELECT media_id, n, ac,
+        |        unnest(generate_series(0, CAST((n - 1) // 512 AS BIGINT)))
+        |          AS window_no
+        |      FROM a)
+        |SELECT media_id, CAST(window_no AS BIGINT) AS window_no,
+        |  CAST(window_no * 512 AS BIGINT) AS frame_start,
+        |  CAST(least(1024, n - window_no * 512) AS BIGINT) AS n_frames,
+        |  CAST(44 + window_no * 512 * ac * 2 AS BIGINT) AS byte_offset
+        |FROM w""".stripMargin,
 
     "mm_features" -> {
       val fcols = (0 until 8).map { j =>
@@ -4072,6 +4107,8 @@ object SparkEntry {
       |         THEN 54 + h * ((3 * w + 3) // 4 * 4)
       |         WHEN doc_id % 3 = 1 AND n > 0
       |         THEN 44 + n * ac * 2
+      |         WHEN doc_id % 6 = 5 AND n > 0
+      |         THEN 579 + nf * (8 + jl)
       |         WHEN doc_id % 3 = 2 AND n > 0
       |         THEN 224 + nf * (8 + jl + jl % 2) + 8 + 16 * nf
       |         ELSE n END AS BIGINT) AS n_bytes,

@@ -16,6 +16,9 @@ case class MediaFeature(media_id: Long, n_bytes: Long, feature: Array[Long])
 case class FrameRow(media_id: Long, frame_no: Long, frame_offset: Long,
                     frame_len: Long)
 
+case class AudioWindow(media_id: Long, window_no: Long, frame_start: Long,
+                       n_frames: Long, byte_offset: Long)
+
 /**
  * Multimodal-column operators: decode / resize / frame-sample /
  * feature-extract over opaque `binary` payload columns.
@@ -29,13 +32,17 @@ case class FrameRow(media_id: Long, frame_no: Long, frame_offset: Long,
  * decode too); audio-kind payloads are encoded as actual 16-bit PCM
  * RIFF/WAVE files ([[encodeAudio]]) and parsed back through
  * `javax.sound.sampled` (a pure header parse — headless-safe). Video
- * payloads are REAL AVI/MJPEG containers ([[encodeVideo]]): a canonical
- * RIFF 'AVI ' file — hdrl LIST (avih main header, strl with 'vids'/MJPG
- * strh + BITMAPINFOHEADER strf), movi LIST of '00dc' frame chunks each
- * holding a real baseline JPEG, and a trailing idx1 index — and the
- * decode/frame-sample stages parse the container structure back from
- * the actual bytes (avih header walk for dims, movi chunk walk for
- * frame offsets). Only the frame PIXEL content is synthetic (the
+ * payloads are REAL containers ([[encodeVideo]]) in BOTH mainstream
+ * families: canonical RIFF AVI/MJPEG files — hdrl LIST (avih main
+ * header, strl with 'vids'/MJPG strh + BITMAPINFOHEADER strf), movi
+ * LIST of '00dc' frame chunks each holding a real baseline JPEG, and a
+ * trailing idx1 index — and canonical ISO-BMFF MP4 files
+ * ([[encodeMp4]]: ftyp + a full moov box tree down to stsd/stts/stsc/
+ * stsz/stco sample tables + mdat, big-endian where RIFF is
+ * little-endian). The decode/frame-sample stages parse the container
+ * structure back from the actual bytes (avih header walk / tkhd+stsd
+ * box walk for dims, movi chunk walk / stsz+stco table read for frame
+ * offsets). Only the frame PIXEL content is synthetic (the
  * deterministic uniform-gray JPEG — this container ships no camera);
  * every byte offset and length the operators report is read from a
  * real container parse, so every stage stays oracle-checkable
@@ -231,20 +238,27 @@ object Multimodal {
     AviHeaderBytes + nFrames * (8 + l + (l & 1)) + 8 + 16 * nFrames
   }
 
-  /** Re-encode video-kind payloads as REAL AVI/MJPEG containers (narrow
+  /** Re-encode video-kind payloads as REAL containers (narrow
     * per-partition map, no shuffle): one frame per [[FrameBytes]]-sized
     * window of the source payload, stream dims from [[stubDims]] of the
     * full payload, every frame the real baseline JPEG [[encodeJpeg]]
-    * emits for those dims. Hand-rolled canonical writer so the byte
-    * layout (and so every offset/length the decode side reports) is
-    * exact and engine-independent; the matching decode side walks the
-    * actual RIFF chunk structure. */
+    * emits for those dims. Every other video (media_id % 6 == 5)
+    * becomes an ISO-BMFF MP4 ([[encodeMp4]]), the rest RIFF AVI/MJPEG
+    * ([[encodeAvi]]) — so the decode/frame-sample stages exercise BOTH
+    * container families (big-endian box tree with stsz/stco sample
+    * tables vs little-endian chunk walk), mirroring the image side's
+    * JPEG/BMP split. Hand-rolled canonical writers so the byte layout
+    * (and so every offset/length the decode side reports) is exact and
+    * engine-independent; the matching decode side walks the actual
+    * container structure. */
   def encodeVideo(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.grouped(64).flatMap(_.map { m =>
         if (m.kind == "video" && m.payload.nonEmpty)
-          m.copy(payload = encodeAvi(m.payload))
+          m.copy(payload =
+            if (m.media_id % 6 == 5) encodeMp4(m.payload)
+            else encodeAvi(m.payload))
         else m
       })
     }.toDF()
@@ -315,6 +329,131 @@ object Multimodal {
       putTag("00dc"); putInt(0x10)                  // AVIIF_KEYFRAME
       putInt(4 + i * (8 + l + pad))                 // offset from 'movi' tag
       putInt(l)
+      i += 1
+    }
+    out
+  }
+
+  // ---- minimal canonical ISO-BMFF (MP4) writer --------------------
+
+  /** Movie-header timescale (units/second) declared in mvhd/mdhd. */
+  val Mp4Timescale = 1000
+  /** Nominal frame rate declared in the stts sample durations. */
+  val Mp4Fps = 25
+
+  /** Fixed byte overhead of the MP4 container excluding the per-frame
+    * stsz/stco table entries and frame data: ftyp(20) + moov(8) with
+    * mvhd(108) + trak(8) with tkhd(92) + mdia(8) with mdhd(32),
+    * hdlr(33) + minf(8) with vmhd(20), dinf(36) + stbl(8) with
+    * stsd(102), stts(24), stsc(28), stsz fixed part(20), stco fixed
+    * part(16) — plus the mdat box header(8). */
+  val Mp4FixedBytes = 579L
+
+  /** Byte offset of frame 0's data: the whole box tree, including the
+    * 8 bytes/frame of stsz+stco table entries, precedes the mdat
+    * payload (no word-alignment padding in ISO-BMFF). */
+  def mp4FrameDataOffset(nFrames: Long): Long = Mp4FixedBytes + 8 * nFrames
+
+  /** Total container size: fixed boxes + per-frame (8-byte stsz+stco
+    * entries + JPEG data). */
+  def mp4Size(w: Int, h: Int, nFrames: Long): Long =
+    Mp4FixedBytes + nFrames * (8 + jpegSize(w, h))
+
+  /** Canonical minimal ISO-BMFF MP4: ftyp('isom') → moov [mvhd, trak
+    * [tkhd(16.16 dims), mdia [mdhd, hdlr 'vide', minf [vmhd, dinf,
+    * stbl [stsd('jpeg' VisualSampleEntry), stts, stsc(1 sample/chunk),
+    * stsz(per-sample sizes), stco(per-chunk absolute offsets)]]]]] →
+    * mdat [JPEG]×n. All sizes big-endian (ISO-BMFF), vs the AVI
+    * writer's little-endian RIFF — the parse-back exercises both byte
+    * orders. One sample per chunk so every stco entry is a REAL
+    * absolute frame offset the decode side reads, not a closed form. */
+  private def encodeMp4(src: Array[Byte]): Array[Byte] = {
+    val (w, h) = stubDims(src)
+    val nFrames = (src.length + FrameBytes - 1) / FrameBytes
+    val frame = encodeJpeg(src)                     // identical every frame
+    val l = frame.length
+    val out = new Array[Byte](mp4Size(w, h, nFrames.toLong).toInt)
+    var p = 0
+    def putInt(v: Int): Unit = {
+      out(p) = (v >>> 24).toByte; out(p + 1) = (v >>> 16).toByte
+      out(p + 2) = (v >>> 8).toByte; out(p + 3) = v.toByte
+      p += 4
+    }
+    def putShort(v: Int): Unit = {
+      out(p) = (v >>> 8).toByte; out(p + 1) = v.toByte; p += 2
+    }
+    def putTag(s: String): Unit =
+      s.foreach { c => out(p) = c.toByte; p += 1 }
+    def zero(n: Int): Unit = p += n                 // array pre-zeroed
+    def unityMatrix(): Unit = {
+      putInt(0x00010000); putInt(0); putInt(0)
+      putInt(0); putInt(0x00010000); putInt(0)
+      putInt(0); putInt(0); putInt(0x40000000)
+    }
+    val duration = nFrames * Mp4Timescale / Mp4Fps
+    putInt(20); putTag("ftyp")
+    putTag("isom"); putInt(0); putTag("isom")       // major, minor, compat
+    putInt(551 + 8 * nFrames); putTag("moov")
+    putInt(108); putTag("mvhd"); putInt(0)          // version/flags
+    putInt(0); putInt(0)                            // ctime, mtime
+    putInt(Mp4Timescale); putInt(duration)
+    putInt(0x00010000)                              // rate 1.0
+    putShort(0x0100)                                // volume 1.0
+    zero(10)                                        // reserved
+    unityMatrix()
+    zero(24)                                        // pre_defined[6]
+    putInt(2)                                       // next_track_ID
+    putInt(435 + 8 * nFrames); putTag("trak")
+    putInt(92); putTag("tkhd"); putInt(3)           // flags: enabled|in-movie
+    putInt(0); putInt(0)                            // ctime, mtime
+    putInt(1); putInt(0)                            // track_ID, reserved
+    putInt(duration)
+    zero(8)                                         // reserved
+    putShort(0); putShort(0); putShort(0); putShort(0) // layer/alt/vol/res
+    unityMatrix()
+    putInt(w << 16); putInt(h << 16)                // 16.16 fixed dims
+    putInt(335 + 8 * nFrames); putTag("mdia")
+    putInt(32); putTag("mdhd"); putInt(0)
+    putInt(0); putInt(0)                            // ctime, mtime
+    putInt(Mp4Timescale); putInt(duration)
+    putShort(0x55c4); putShort(0)                   // language 'und', predef
+    putInt(33); putTag("hdlr"); putInt(0)
+    putInt(0); putTag("vide")                       // pre_defined, handler
+    zero(12)                                        // reserved
+    zero(1)                                         // empty name (NUL)
+    putInt(262 + 8 * nFrames); putTag("minf")
+    putInt(20); putTag("vmhd"); putInt(1)           // flags=1 per spec
+    putShort(0); zero(6)                            // graphicsmode, opcolor
+    putInt(36); putTag("dinf")
+    putInt(28); putTag("dref"); putInt(0); putInt(1)
+    putInt(12); putTag("url "); putInt(1)           // self-contained
+    putInt(198 + 8 * nFrames); putTag("stbl")
+    putInt(102); putTag("stsd"); putInt(0); putInt(1)
+    putInt(86); putTag("jpeg")                      // VisualSampleEntry
+    zero(6); putShort(1)                            // reserved, data_ref_idx
+    putShort(0); putShort(0); zero(12)              // pre_defined/reserved
+    putShort(w); putShort(h)
+    putInt(0x00480000); putInt(0x00480000)          // 72 dpi
+    putInt(0); putShort(1)                          // reserved, frame_count
+    zero(32)                                        // compressorname
+    putShort(24); putShort(0xffff)                  // depth, pre_defined -1
+    putInt(24); putTag("stts"); putInt(0); putInt(1)
+    putInt(nFrames); putInt(Mp4Timescale / Mp4Fps)
+    putInt(28); putTag("stsc"); putInt(0); putInt(1)
+    putInt(1); putInt(1); putInt(1)                 // from chunk 1: 1 sample
+    putInt(20 + 4 * nFrames); putTag("stsz")
+    putInt(0); putInt(0); putInt(nFrames)           // per-sample sizes follow
+    var i = 0
+    while (i < nFrames) { putInt(l); i += 1 }
+    putInt(16 + 4 * nFrames); putTag("stco")
+    putInt(0); putInt(nFrames)
+    val d0 = mp4FrameDataOffset(nFrames.toLong).toInt
+    i = 0
+    while (i < nFrames) { putInt(d0 + i * l); i += 1 }
+    putInt(8 + nFrames * l); putTag("mdat")
+    i = 0
+    while (i < nFrames) {
+      System.arraycopy(frame, 0, out, p, l); p += l
       i += 1
     }
     out
@@ -423,7 +562,9 @@ object Multimodal {
     var p = 12
     while (p + 12 <= b.length) {
       val size = leInt(b, p + 4)
-      if (size < 0) return (-1, 0)                   // corrupt size field
+      // corrupt size field (negative, or larger than the whole payload
+      // — the advance below would overflow Int and walk negative)
+      if (size < 0 || size > b.length) return (-1, 0)
       if (tagAt(b, p, "LIST") && tagAt(b, p + 8, listType))
         return (p + 12, size - 4)
       p += 8 + size + (size & 1)
@@ -442,7 +583,7 @@ object Multimodal {
     val end = math.min(b.length, hdrl + math.max(hdrlSize, 0))
     while (p + 8 <= end) {
       val size = leInt(b, p + 4)
-      if (size < 0) return None                      // corrupt size field
+      if (size < 0 || size > b.length) return None   // corrupt size field
       if (tagAt(b, p, "avih") && size >= 40 && p + 8 + size <= b.length) {
         frames = leInt(b, p + 8 + 16)               // dwTotalFrames
         w = leInt(b, p + 8 + 32)                    // dwWidth
@@ -454,7 +595,7 @@ object Multimodal {
         val qEnd = math.min(end, p + 8 + size)
         while (q + 8 <= qEnd) {
           val qSize = leInt(b, q + 4)
-          if (qSize < 0) return None                 // corrupt size field
+          if (qSize < 0 || qSize > b.length) return None // corrupt size
           if (tagAt(b, q, "strf") && qSize >= 16 && q + 8 + qSize <= b.length) {
             val bitCount = (b(q + 8 + 14) & 0xff) | ((b(q + 8 + 15) & 0xff) << 8)
             if (bitCount > 0) channels = bitCount / 8
@@ -478,7 +619,7 @@ object Multimodal {
     val end = math.min(b.length, movi + math.max(moviSize, 0))
     while (p + 8 <= end) {
       val size = leInt(b, p + 4)
-      if (size < 0) return out.toSeq                 // corrupt size field
+      if (size < 0 || size > b.length) return out.toSeq // corrupt size
       // ##dc (compressed) / ##db (uncompressed) video frame chunks —
       // only frames whose DATA fully fits the byte bound (a truncated
       // container must not report a seek target past its end)
@@ -486,6 +627,100 @@ object Multimodal {
           p + 8 + size <= end)
         out += ((p + 8L, size.toLong))
       p += 8 + size + (size & 1)
+    }
+    out.toSeq
+  }
+
+  // ---- ISO-BMFF (MP4) parse-back ----------------------------------
+
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length > 16 && tagAt(b, 4, "ftyp")
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def beShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Walk sibling boxes in [start, end) and return the first box of
+    * the given type as (content offset, content size), or -1. Stops on
+    * a corrupt size field (< 8) or a box overrunning the byte bound —
+    * a truncated container must degrade, never read out of bounds. */
+  private def findBox(b: Array[Byte], start: Int, end: Int,
+                      typ: String): (Int, Int) = {
+    var p = start
+    while (p + 8 <= end) {
+      // box sizes are unsigned 32-bit; widen before the bound check so
+      // a huge field can't overflow Int and walk a negative offset
+      val size = beInt(b, p).toLong & 0xffffffffL
+      if (size < 8 || p + size > end) return (-1, 0)
+      if (tagAt(b, p + 4, typ)) return (p + 8, size.toInt - 8)
+      p += size.toInt
+    }
+    (-1, 0)
+  }
+
+  /** Descend a box path (e.g. moov → trak → ... → stbl) from the top
+    * level; (content offset, content size) of the last box, or -1. */
+  private def findBoxPath(b: Array[Byte], path: Seq[String]): (Int, Int) = {
+    var off = 0
+    var size = b.length
+    for (t <- path) {
+      val r = findBox(b, off, off + size, t)
+      if (r._1 < 0) return (-1, 0)
+      off = r._1; size = r._2
+    }
+    (off, size)
+  }
+
+  /** Parse (width, height, channels, totalFrames) out of a real MP4
+    * box tree: dims from tkhd's 16.16 fixed-point width/height fields,
+    * channel count from the stsd sample entry's depth, frame count
+    * from the stsz sample-count — a box walk, not fixed offsets. */
+  private def parseMp4Header(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    val (tkhd, tkhdSize) = findBoxPath(b, Seq("moov", "trak", "tkhd"))
+    if (tkhd < 0 || tkhdSize < 84) return None
+    val w = beInt(b, tkhd + 76) >>> 16
+    val h = beInt(b, tkhd + 80) >>> 16
+    val (stbl, stblSize) =
+      findBoxPath(b, Seq("moov", "trak", "mdia", "minf", "stbl"))
+    if (stbl < 0) return None
+    var channels = 3
+    val (stsd, stsdSize) = findBox(b, stbl, stbl + stblSize, "stsd")
+    if (stsd >= 0 && stsdSize >= 8 + 86) {
+      val depth = beShort(b, stsd + 8 + 82)         // first sample entry
+      if (depth > 0) channels = depth / 8
+    }
+    val (stsz, stszSize) = findBox(b, stbl, stbl + stblSize, "stsz")
+    val frames = if (stsz >= 0 && stszSize >= 12) beInt(b, stsz + 8) else 0
+    if (w > 0 && h > 0) Some((w, h, channels, frames)) else None
+  }
+
+  /** Read every frame's (data offset, length) from the REAL stsz/stco
+    * sample tables — the byte positions a player would seek to. Only
+    * frames whose data fully fits the payload are reported (a
+    * truncated container must not yield a seek target past its end). */
+  private def walkMp4Frames(b: Array[Byte]): Seq[(Long, Long)] = {
+    val (stbl, stblSize) =
+      findBoxPath(b, Seq("moov", "trak", "mdia", "minf", "stbl"))
+    if (stbl < 0) return Nil
+    val (stsz, stszSize) = findBox(b, stbl, stbl + stblSize, "stsz")
+    val (stco, stcoSize) = findBox(b, stbl, stbl + stblSize, "stco")
+    if (stsz < 0 || stco < 0 || stszSize < 12 || stcoSize < 8) return Nil
+    val fixedSize = beInt(b, stsz + 4)              // 0 = per-sample table
+    val n = math.min(beInt(b, stsz + 8), beInt(b, stco + 4))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < n) {
+      val len =
+        if (fixedSize != 0) fixedSize
+        else if (12 + 4 * i + 4 <= stszSize) beInt(b, stsz + 12 + 4 * i)
+        else -1
+      val off =
+        if (8 + 4 * i + 4 <= stcoSize) beInt(b, stco + 8 + 4 * i) else -1
+      if (len >= 0 && off >= 0 && off.toLong + len <= b.length)
+        out += ((off.toLong, len.toLong))
+      i += 1
     }
     out.toSeq
   }
@@ -524,6 +759,13 @@ object Multimodal {
         case None => ()
       }
     }
+    if (isMp4(b)) {
+      parseMp4Header(b) match {
+        case Some((w, h, c, _)) =>
+          return DecodedMedia(m.media_id, m.kind, n, w, h, c)
+        case None => ()
+      }
+    }
     val (w, h) = stubDims(b)
     DecodedMedia(m.media_id, m.kind, n, w, h, 1 + (n % 3).toInt)
   }
@@ -538,22 +780,90 @@ object Multimodal {
       col("channels"),
       floor((col("n_bytes") + 1) / 2).cast("long").as("n_bytes"))
 
-  /** Frame sampling for video-kind payloads: walk the REAL AVI movi
-    * chunk list ([[walkMoviFrames]]) and emit every [[FrameStride]]-th
-    * frame's (frame_no, data offset, data length) — the byte positions
-    * a player would seek to, read from the container bytes, not a
-    * closed form. Batched narrow per-partition map, no shuffle; a
-    * non-AVI video payload contributes no frames (total map). */
+  /** Frame sampling for video-kind payloads: walk the REAL container
+    * structure — the AVI movi chunk list ([[walkMoviFrames]]) or the
+    * MP4 stsz/stco sample tables ([[walkMp4Frames]]) — and emit every
+    * [[FrameStride]]-th frame's (frame_no, data offset, data length):
+    * the byte positions a player would seek to, read from the
+    * container bytes, not a closed form. Batched narrow per-partition
+    * map, no shuffle; an unrecognized video payload contributes no
+    * frames (total map). */
   def frameSample(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.grouped(64).flatMap(_.flatMap { m =>
-        if (m.kind == "video" && isAvi(m.payload))
-          walkMoviFrames(m.payload).zipWithIndex.collect {
-            case ((off, len), i) if i % FrameStride == 0 =>
-              FrameRow(m.media_id, i.toLong, off, len)
+        val frames =
+          if (m.kind != "video") Nil
+          else if (isAvi(m.payload)) walkMoviFrames(m.payload)
+          else if (isMp4(m.payload)) walkMp4Frames(m.payload)
+          else Nil
+        frames.zipWithIndex.collect {
+          case ((off, len), i) if i % FrameStride == 0 =>
+            FrameRow(m.media_id, i.toLong, off, len)
+        }
+      })
+    }.toDF()
+  }
+
+  /** Window length / hop, in sample frames, for [[audioWindows]]. */
+  val AudioWindowFrames = 1024
+  val AudioStrideFrames = 512
+
+  /** Walk a RIFF file's top-level chunks (non-LIST form, as in WAVE)
+    * and return the first chunk with the given id as (data offset,
+    * declared data size), or -1. A declared size past the byte bound is
+    * NOT treated as corrupt — that is the truncated-file case, and the
+    * caller clamps to the payload length; only a negative size field
+    * aborts the walk. Long cursor arithmetic so an absurd size field
+    * ends the walk instead of overflowing. */
+  private def findRiffChunk(b: Array[Byte], id: String): (Int, Int) = {
+    var p = 12L
+    while (p + 8 <= b.length) {
+      val pi = p.toInt
+      val size = leInt(b, pi + 4)
+      if (size < 0) return (-1, 0) // corrupt size field
+      if (tagAt(b, pi, id)) return (pi + 8, size)
+      p += 8L + size + (size & 1)
+    }
+    (-1, 0)
+  }
+
+  /** Windowed audio sampling for audio-kind payloads — the audio
+    * counterpart of video [[frameSample]]: walk the REAL RIFF chunk
+    * list to the fmt (channel count, block align) and data chunks,
+    * then emit overlapping [[AudioWindowFrames]]-frame windows every
+    * [[AudioStrideFrames]] frames with their REAL byte offsets into
+    * the data chunk — the seek positions a streaming feature extractor
+    * (VAD, fbank, wav2vec-style encoder) would use. Frame counts are
+    * derived from the parsed data-chunk size and block align, clamped
+    * to the payload's byte bound (a truncated file yields fewer
+    * windows, never an out-of-range seek). Batched narrow
+    * per-partition map, no shuffle; a non-WAV audio payload
+    * contributes no windows (total map). */
+  def audioWindows(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(64).flatMap(_.flatMap { m =>
+        if (m.kind == "audio" && isWav(m.payload)) {
+          val b = m.payload
+          val (fmt, fmtSize) = findRiffChunk(b, "fmt ")
+          val (data, dataSize) = findRiffChunk(b, "data")
+          if (fmt < 0 || data < 0 || fmtSize < 16 || fmt + 16 > b.length) Nil
+          else {
+            val blockAlign = (b(fmt + 12) & 0xff) | ((b(fmt + 13) & 0xff) << 8)
+            val safeData = math.min(dataSize.toLong, (b.length - data).toLong)
+            if (blockAlign <= 0) Nil
+            else {
+              val nFrames = safeData / blockAlign
+              (0L until nFrames by AudioStrideFrames.toLong)
+                .zipWithIndex.map { case (st, w) =>
+                  AudioWindow(m.media_id, w.toLong, st,
+                    math.min(AudioWindowFrames.toLong, nFrames - st),
+                    data + st * blockAlign)
+                }
+            }
           }
-        else Nil
+        } else Nil
       })
     }.toDF()
   }

@@ -747,6 +747,121 @@ class OpsSpec extends SparkSpec {
     assert(i2.getAs[Array[Byte]]("payload").length === text.length)
   }
 
+  test("video decode walks a real MP4 box tree (round-trip)") {
+    val s = spark; import s.implicits._
+    val text = "mn" + ("z" * 700)                   // 702 bytes → 3 frames
+    val d = Seq((5L, text)).toDF("doc_id", "text")  // kind=video, %6=5 → MP4
+    val enc = Multimodal.encodeVideo(
+      spark, Multimodal.mediaFromDocuments(d))
+    val payload = enc.select("payload").head().getAs[Array[Byte]](0)
+    val w = 16 + ('m' % 64)
+    val h = 16 + ('n' % 64)
+    // the deterministic closed-form byte layout the oracle predicts
+    assert(payload.length === Multimodal.mp4Size(w, h, 3L))
+    // the container structure is real ISO-BMFF: box tags in place
+    assert(new String(payload.slice(4, 8)) === "ftyp")
+    assert(new String(payload.slice(24, 28)) === "moov")
+    // decodeMeta walks moov→trak→tkhd + stsd: dims + depth 24 → 3 ch
+    val dec = Multimodal.decodeMeta(spark, enc).head()
+    assert(dec.getAs[Int]("width") === w)
+    assert(dec.getAs[Int]("height") === h)
+    assert(dec.getAs[Int]("channels") === 3)
+    assert(dec.getAs[Long]("n_bytes") === Multimodal.mp4Size(w, h, 3L))
+    // every frame the stsz/stco table read reports is itself a real
+    // JPEG the actual javax.imageio codec parses back to stream dims
+    val l = Multimodal.jpegSize(w, h).toInt
+    val off = Multimodal.mp4FrameDataOffset(3L).toInt
+    val frame = payload.slice(off, off + l)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frame))
+    assert(img !== null)
+    assert(img.getWidth === w && img.getHeight === h)
+    // frame sampling: stride 4 over 3 frames = frame 0, offset/len
+    // from the real sample tables; frames pack at stride L (no RIFF
+    // word-alignment padding in ISO-BMFF)
+    val fr = Multimodal.frameSample(spark, enc).collect()
+    assert(fr.length === 1 && fr(0).getLong(1) === 0L)
+    assert(fr(0).getLong(2) === off.toLong && fr(0).getLong(3) === l.toLong)
+  }
+
+  test("corrupt MP4 payloads degrade to the stub parse, never throw") {
+    val s = spark; import s.implicits._
+    // ftyp magic but garbage after: the top-level box walk hits the
+    // corrupt leading size field → no moov → stub parse, no frames
+    val garbage = new Array[Byte](64)
+    "????ftyp".getBytes("ISO-8859-1").copyToArray(garbage)
+    val rows = Seq((5L, "video", garbage)).toDF("media_id", "kind", "payload")
+    val dec = Multimodal.decodeMeta(spark, rows).head()
+    assert(dec.getAs[Long]("n_bytes") === garbage.length.toLong)
+    assert(dec.getAs[Int]("width") === 16 + ('?' % 64)) // stub dims
+    assert(Multimodal.frameSample(spark, rows).count() === 0L)
+    // a real MP4 truncated mid-mdat: moov still fits → dims parse, but
+    // every stco seek target past the byte bound is dropped
+    val text = "ab" + ("c" * 700)
+    val full = Multimodal.encodeVideo(
+      spark, Multimodal.mediaFromDocuments(Seq((5L, text)).toDF("doc_id", "text")))
+      .select("payload").head().getAs[Array[Byte]](0)
+    val cut = full.slice(0, Multimodal.mp4FrameDataOffset(3L).toInt + 10)
+    val cutRows = Seq((6L, "video", cut)).toDF("media_id", "kind", "payload")
+    assert(Multimodal.frameSample(spark, cutRows).count() === 0L)
+    val dec2 = Multimodal.decodeMeta(spark, cutRows).head()
+    assert(dec2.getAs[Int]("width") === 16 + ('a' % 64))
+  }
+
+  test("audio windows read real RIFF fmt/data chunks (round-trip)") {
+    val s = spark; import s.implicits._
+    // 'b' & 1 = 0 → mono; 1300 chars → 1300 sample frames → 3 windows
+    val text = "b" * 1300
+    val d = Seq((1L, text)).toDF("doc_id", "text")  // kind=audio
+    val enc = Multimodal.encodeAudio(
+      spark, Multimodal.mediaFromDocuments(d))
+    val ws = Multimodal.audioWindows(spark, enc).collect()
+      .sortBy(_.getLong(1))
+    assert(ws.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(ws.map(_.getLong(2)).toSeq === Seq(0L, 512L, 1024L))
+    assert(ws.map(_.getLong(3)).toSeq === Seq(1024L, 788L, 276L))
+    // mono 16-bit: block align 2, data chunk at byte 44
+    assert(ws.map(_.getLong(4)).toSeq === Seq(44L, 44L + 512 * 2, 44L + 1024 * 2))
+    // stereo ('a' & 1 = 1): same frame windows, doubled byte stride
+    val d2 = Seq((4L, "a" * 600)).toDF("doc_id", "text")
+    val ws2 = Multimodal.audioWindows(spark, Multimodal.encodeAudio(
+      spark, Multimodal.mediaFromDocuments(d2))).collect().sortBy(_.getLong(1))
+    assert(ws2.map(_.getLong(3)).toSeq === Seq(600L, 88L))
+    assert(ws2.map(_.getLong(4)).toSeq === Seq(44L, 44L + 512 * 4))
+    // a truncated WAV yields only windows inside the byte bound
+    val full = enc.select("payload").head().getAs[Array[Byte]](0)
+    val cut = full.slice(0, 44 + 600 * 2)           // 600 of 1300 frames
+    val cutRows = Seq((1L, "audio", cut)).toDF("media_id", "kind", "payload")
+    val ws3 = Multimodal.audioWindows(spark, cutRows).collect()
+      .sortBy(_.getLong(1))
+    assert(ws3.map(_.getLong(3)).toSeq === Seq(600L, 88L))
+    // non-WAV audio payload contributes no windows (total map)
+    val raw = Multimodal.mediaFromDocuments(d)
+    assert(Multimodal.audioWindows(spark, raw).count() === 0L)
+  }
+
+  test("container parsers never throw on arbitrary bytes (fuzz)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(20260815)
+    val magics = Seq(
+      "RIFF????AVI ", "RIFF????WAVE", "????ftyp", "BM??", "PNG",
+      "ÿØÿ", "")
+    val rows = (0 until 200).map { i =>
+      val body = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(body)
+      val magic = magics(i % magics.length).getBytes("ISO-8859-1")
+      val payload = magic ++ body
+      (i.toLong, Seq("image", "audio", "video")(i % 3), payload)
+    }
+    val df = rows.toDF("media_id", "kind", "payload")
+    // every stage is a TOTAL map over arbitrary bytes: decode degrades
+    // to the stub parse, samplers to empty output — nothing throws
+    assert(Multimodal.decodeMeta(spark, df).count() === 200L)
+    Multimodal.frameSample(spark, df).count()
+    Multimodal.audioWindows(spark, df).count()
+    assert(Multimodal.featurize(spark, df).count() === 200L)
+  }
+
   test("image decode is the real javax.imageio codec (BMP round-trip)") {
     val s = spark; import s.implicits._
     val text = "abcdef"
