@@ -45,6 +45,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 2 s in a fresh heap, 19-24 s on the SAME input after one prior
   // build+unpersist cycle).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // -Xms = -Xmx (lazy commit, no pre-touch): a heap that starts at the
+  // JVM default and grows to tens of GB inside the first big shuffle
+  // pays the growth as GC churn IN the timed stage — measured at
+  // SCALE 24 the same construction plan cost 160 s in a fresh JVM vs
+  // 61 s in a grown one with identical spill/shuffle work.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // 32m G1 regions (max): a 268 MB flat-pair array is ~9 contiguous
   // regions instead of ~34 8m ones — an order of magnitude fewer
   // contiguous-run searches for the humongous allocations above.

@@ -88,6 +88,28 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_WARM_SCALE=<n>: run one untimed full protocol at a
+    // smaller scale first — the reference likewise warms the entire
+    // pipeline before its timed runs (PRE_EXEC, mpi/main.cc:91-103).
+    // A fresh JVM otherwise pays tier-up JIT of the whole shuffle/sort/
+    // window machinery inside the TIMED construction stage (measured at
+    // SCALE 24: ~2x CPU and ~20x GC vs the same plan warm).
+    sys.env.get("SPARK_GRAFT_WARM_SCALE").map(_.toInt).filter(_ > 0)
+      .foreach { ws =>
+        // Gate forced to 0 so the warm-up JITs the DISTRIBUTED plans
+        // (construction shuffle+sort+window, level-loop joins,
+        // DataFrame validation) — at a small warm scale the hybrid
+        // gate would otherwise route everything to the local kernel.
+        val prior = spark.conf.getOption("spark.graft.localBfsMaxEdges")
+        spark.conf.set("spark.graft.localBfsMaxEdges", "0")
+        Graph500.run(spark, ws, 1, validate = true, edgeFactor = edgeFactor)
+        prior match {
+          case Some(v) => spark.conf.set("spark.graft.localBfsMaxEdges", v)
+          case None => spark.conf.unset("spark.graft.localBfsMaxEdges")
+        }
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+      }
     val s = Graph500.run(spark, scale, nRoots, validate = true,
       edgeFactor = edgeFactor)
     val errors = s.runs.map(_.errors).sum

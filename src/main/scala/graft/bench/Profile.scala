@@ -423,6 +423,7 @@ object Profile {
     sys.env.get("SPARK_GRAFT_CONS_PARTS").foreach { p =>
       spark.conf.set("spark.sql.shuffle.partitions", p)
     }
+    if (sys.env.getOrElse("SPARK_GRAFT_CONS_ONLY_D", "0") != "1") {
     val cleanB = t("B1 hash dedup (src-part)") {
       val noLoops = raw.filter(col("src") =!= col("dst"))
       val c = noLoops
@@ -454,9 +455,19 @@ object Profile {
     }
     println(s"  nVerts(C)=$nvC")
     metrics("pathC")
-    cleanC.explain("formatted")
+    cleanC.unpersist(blocking = true)
+    }
+    // ---- path D: the protocol's actual construction call ----
+    val gD = t("D prepareRaw(knownCount)") {
+      Bfs.prepareRaw(raw, knownCount = edgeFactorOf(scale))
+    }
+    println(s"  nVerts(D)=${gD.totalVerts} nE=${gD.totalEdges}")
+    metrics("pathD")
     spark.stop()
   }
+
+  private def edgeFactorOf(scale: Int): Long =
+    graft.gen.Kronecker.DefaultEdgeFactor << scale
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("construction")) { profileConstruction(args); return }
