@@ -469,7 +469,71 @@ object Profile {
   private def edgeFactorOf(scale: Int): Long =
     graft.gen.Kronecker.DefaultEdgeFactor << scale
 
+  /** `runMain graft.bench.Profile validation [scale]`: distributed
+    * 5-predicate validation stage timings + work metrics at a scale
+    * above the kernel gate — generate, construct, one BFS, then the
+    * validate call the protocol pays per run. */
+  def profileValidation(args: Array[String]): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val scale = if (args.length > 1) args(1).toInt else 24
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val mSpill = new java.util.concurrent.atomic.AtomicLong
+    val mDisk = new java.util.concurrent.atomic.AtomicLong
+    val mShuf = new java.util.concurrent.atomic.AtomicLong
+    val mCpu = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            mSpill.addAndGet(m.memoryBytesSpilled)
+            mDisk.addAndGet(m.diskBytesSpilled)
+            mShuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            mCpu.addAndGet(m.executorCpuTime)
+          }
+        }
+      })
+    def metrics(tag: String): Unit = {
+      Thread.sleep(2000)
+      println(f"[metrics] $tag%-12s spillMem=${mSpill.getAndSet(0) / 1e9}%.2f GB" +
+        f" spillDisk=${mDisk.getAndSet(0) / 1e9}%.2f GB" +
+        f" shufWrite=${mShuf.getAndSet(0) / 1e9}%.2f GB" +
+        f" cpu=${mCpu.getAndSet(0) / 1e9}%.1f s")
+    }
+    val raw = t("generate") {
+      val r = Kronecker.generate(spark, scale)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count(); r
+    }
+    val g = t("construct")(Bfs.prepareRaw(raw, knownCount = edgeFactorOf(scale)))
+    metrics("setup")
+    val root = t("root")(raw.agg(org.apache.spark.sql.functions.min(
+      org.apache.spark.sql.functions.col("src"))).head().getLong(0))
+    val tree = t("bfs") {
+      val tr = Bfs.bfsMinParent(spark, g, root).tree
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      tr.count(); tr
+    }
+    metrics("bfs")
+    for (round <- 1 to 2) {
+      val res = t(s"validate r$round") {
+        graft.validate.Validator.validate(
+          spark, raw, tree, root, 1L << scale).head()
+      }
+      println(s"  $res")
+      metrics(s"validate r$round")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("validation")) { profileValidation(args); return }
     if (args.headOption.contains("construction")) { profileConstruction(args); return }
     if (args.headOption.contains("queries")) { profileQueries(args); return }
     if (args.headOption.contains("pagerank")) { profilePagerank(args); return }

@@ -28,19 +28,40 @@ import org.apache.spark.sql.functions._
  */
 object Validator {
 
-  /** Above this many vertices the tree side is no longer broadcast. */
-  val BroadcastVerts = 4000000L
+  /** Above this many vertices the tree side is no longer broadcast.
+    * Override with spark.graft.validateBroadcastVerts. 20M vertices ≈ a
+    * ~500 MB (vertex, depth) hashed relation per join site — standard
+    * dimension-broadcast territory, and it keeps the |E|-sized raw scan
+    * shuffle-free through SCALE 24; above it the edge checks fall back
+    * to shuffle joins. */
+  val BroadcastVerts = 20000000L
+
+  private[graft] def broadcastVerts(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.validateBroadcastVerts")
+      .map(_.toLong).getOrElse(BroadcastVerts)
 
   /** The canonical undirected raw edge set used by check 4c — (lo, hi)
     * with self-loops dropped and duplicates merged. A benchmark validating
     * many runs over ONE graph should compute this once, persist it, and
     * pass it to every [[validate]] call (the reference's redistributed
-    * edge list is likewise built once, mpi/main.cc:63-66). */
-  def undirectedRawOf(rawEdges: DataFrame): DataFrame =
+    * edge list is likewise built once, mpi/main.cc:63-66). Same streaming
+    * sort-based dedup as construction (`EdgeOps.cleanEdges` — a
+    * `distinct()`'s per-task hash maps on near-unique pairs spilled tens
+    * of GB at SCALE 24): ONE exchange on lo, radix sort within partitions,
+    * keep a row iff it differs from its predecessor; the lo layout is the
+    * one check 4c's anti-join clusters on, so the big side never
+    * re-shuffles. */
+  def undirectedRawOf(rawEdges: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lo")).orderBy(col("hi"))
     rawEdges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
-      .distinct()
+      .repartition(col("lo"))
+      .withColumn("_p", lag(col("hi"), 1).over(w))
+      .filter(col("_p").isNull || col("_p") =!= col("hi"))
+      .drop("_p")
+  }
 
   /**
    * Returns a single-row DataFrame of error counters (all BIGINT, 0 = pass)
@@ -77,7 +98,7 @@ object Validator {
     // also the streamed (left) side of an anti-join, where a broadcast
     // hint is unsupported and would be silently dropped with a warning.
     def bcast(df: DataFrame): DataFrame =
-      if (nGlobalVerts <= BroadcastVerts) broadcast(df) else df
+      if (nGlobalVerts <= broadcastVerts(spark)) broadcast(df) else df
 
     // 1-4: single pass over the tree.
     val treeChecks = t.agg(
@@ -250,7 +271,8 @@ object Validator {
         x => x.getField("d")).as("ds"))
     // |V| rows of nRuns-long vectors: broadcast while that fits so the
     // raw-edge pass below stays shuffle-free.
-    val depthVec = if (nGlobalVerts * nRuns <= BroadcastVerts) broadcast(depthVec0)
+    val depthVec = if (nGlobalVerts * nRuns <= broadcastVerts(spark))
+                     broadcast(depthVec0)
                    else depthVec0
     val missing = array_repeat(lit(-1L), lit(nRuns))
     val edgeChecks = rawEdges
