@@ -88,6 +88,12 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k=v": session conf overrides (e.g.
+    // spark.graft.validateBroadcastVerts at SCALE 25+).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     // SPARK_GRAFT_WARM_SCALE=<n>: run one untimed full protocol at a
     // smaller scale first — the reference likewise warms the entire
     // pipeline before its timed runs (PRE_EXEC, mpi/main.cc:91-103).
