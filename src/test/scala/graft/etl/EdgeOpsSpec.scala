@@ -25,6 +25,41 @@ class EdgeOpsSpec extends SparkSpec {
     clean.unpersist()
   }
 
+  test("sort-based dedups ≡ distinct() on random multigraphs (property)") {
+    // cleanEdges and Validator.undirectedRawOf both replaced the
+    // HashAggregate distinct with a streaming sort+lag dedup (round-7
+    // spill fix); pin the set semantics against the naive plan on
+    // random inputs heavy with duplicates, loops, and skewed sources.
+    val implicits = spark.implicits
+    import implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(300)
+      val edges = Seq.fill(n) {
+        // skew: half the rows share a handful of sources
+        val s = if (rnd.nextBoolean()) rnd.nextInt(3).toLong
+                else rnd.nextInt(40).toLong
+        val d = rnd.nextInt(40).toLong
+        (s, d)
+      }
+      val raw = edges.toDF("src", "dst")
+      val noLoops = raw.filter(col("src") =!= col("dst"))
+      val naiveClean = noLoops
+        .union(noLoops.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotClean = EdgeOps.cleanEdges(raw).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotClean === naiveClean, s"cleanEdges trial $trial")
+      val naiveUndir = noLoops
+        .select(least(col("src"), col("dst")).as("lo"),
+          greatest(col("src"), col("dst")).as("hi"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotUndir = Validator.undirectedRawOf(raw).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotUndir === naiveUndir, s"undirectedRawOf trial $trial")
+    }
+  }
+
   test("degrees and graphCounts") {
     val clean = EdgeOps.cleanEdges(tiny)
     val deg = EdgeOps.degrees(clean).collect()
