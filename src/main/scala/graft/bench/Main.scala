@@ -35,6 +35,22 @@ object Main {
   private def line(key: String, v: String): String =
     (key + ":").padTo(32, ' ') + v
 
+  /** Apply SPARK_GRAFT_CONF="k=v;k=v" session-conf overrides. Empty
+    * segments (doubled/trailing ';') are tolerated; a non-empty segment
+    * without '=' fails fast with a message naming the env var and the
+    * bad segment instead of a bare MatchError after the JVM has spun up. */
+  private[graft] def applyConfOverrides(
+      spark: SparkSession,
+      raw: Option[String] = sys.env.get("SPARK_GRAFT_CONF")): Unit =
+    raw.foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ if kv.trim.isEmpty => () // tolerate ";;" and trailing ";"
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CONF: segment '$kv' is not key=value")
+      }
+    })
+
   /** The reference result block (main.cc prologue + print_bfs_result). */
   private[graft] def resultBlock(s: Graph500.Summary): String = {
     val sb = new StringBuilder
@@ -90,10 +106,7 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF="k=v;k=v": session conf overrides (e.g.
     // spark.graft.validateBroadcastVerts at SCALE 25+).
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
-    })
+    Main.applyConfOverrides(spark)
     // SPARK_GRAFT_WARM_SCALE=<n>: run one untimed full protocol at a
     // smaller scale first — the reference likewise warms the entire
     // pipeline before its timed runs (PRE_EXEC, mpi/main.cc:91-103).

@@ -54,12 +54,16 @@ object KCore {
         // LAZY checkpoint + count = one job per round with lineage cut
         // at the round boundary (the BFS level loop's pattern) — a
         // persisted-but-uncheckpointed round would re-plan the whole
-        // prior-round chain under AQE.
+        // prior-round chain under AQE. MEMORY_AND_DISK pinned so cache
+        // eviction spills rather than drops the only (non-replicated)
+        // copy; executor loss still fails the job instead of
+        // recomputing — the local-checkpoint trade (see PageRank).
         val next = edges
           .join(keep.withColumnRenamed("v", "src"), "src")
           .join(keep.withColumnRenamed("v", "dst"), "dst")
           .select("src", "dst")
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = false,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count()
         edges.unpersist(blocking = false)
         edges = next

@@ -70,10 +70,18 @@ object PageRank {
       // cached RDD — lineage stays one iteration deep, and AQE never
       // re-plans (or re-executes) a multi-iteration chain. Superseded
       // checkpoints (|V|-row tables) are reclaimed by the ContextCleaner
-      // once unreferenced.
+      // once unreferenced. CAVEAT: local checkpoints truncate lineage
+      // onto non-replicated blocks — losing an EXECUTOR after
+      // materialization fails the job instead of recomputing (the
+      // fault-tolerance trade every local checkpoint makes; acceptable
+      // on local[n], conscious choice on a cluster). The storage level
+      // is pinned to MEMORY_AND_DISK so mere cache-pressure EVICTION
+      // can never drop the only copy — an evicted partition goes to
+      // disk, not away.
       ranks = od.join(contrib, "v")
         .select(col("v"), col("outdeg"), (lit(base) + col("s")).as("r"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = false,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ranks.count()
       i += 1
     }

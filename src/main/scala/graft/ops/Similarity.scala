@@ -401,22 +401,61 @@ object Similarity {
     * deterministic rounded cosine, so a re-offer of an evicted
     * candidate loses again — the set only guards double-keeping).
     * Memory per task: O(live queries in the partition × k). */
+  /** Persisted banded-corpus relations for the LSH serving path, one per
+    * distinct (session, canonicalized corpus plan) — the banding pass
+    * (HyperplaneBands·HyperplaneBandBits hyperplane dot products per
+    * vector) is the dominant corpus-side cost under Structured Streaming,
+    * where the static side of a stream-static join re-executes every
+    * micro-batch; pay it once per corpus, not once per batch or per call.
+    * Dataset.persist registers the plan with the session CacheManager,
+    * which holds a STRONG reference until an explicit unpersist — the
+    * ContextCleaner never reclaims it — so a per-call persist would leak
+    * one cached exploded relation per invocation for the session
+    * lifetime. Bounded LRU instead: a repeat serve of the same corpus
+    * reuses its cached relation, and the eldest entry past the cap is
+    * explicitly unpersisted on eviction. */
+  private val BandedCorpusCacheCap = 4
+  private val bandedCorpusCache = new java.util.LinkedHashMap[
+      (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      DataFrame](8, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[
+          (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+          DataFrame]): Boolean =
+      if (size > BandedCorpusCacheCap) {
+        // a stopped session makes unpersist throw; the entry is dead anyway
+        try e.getValue.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        true
+      } else false
+  }
+
+  private def bandedCorpus(corpus: DataFrame,
+                           bandKeys: org.apache.spark.sql.expressions
+                             .UserDefinedFunction): DataFrame = {
+    val key = (corpus.sparkSession,
+      corpus.queryExecution.analyzed.canonicalized)
+    bandedCorpusCache.synchronized {
+      val hit = bandedCorpusCache.get(key)
+      if (hit != null) hit
+      else {
+        val built = withNorm(corpus)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+            col("nrm").as("cn"))
+          .withColumn("bk", explode(bandKeys(col("cv"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bandedCorpusCache.put(key, built)
+        built
+      }
+    }
+  }
+
   private def topKForQueryStreamLsh(queries: DataFrame, corpus: DataFrame,
                                     k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bandKeys = udf((v: Seq[Double]) => Dedup.hyperplaneBandKeys(v).toSeq)
-    // Persist the banded corpus: under Structured Streaming the static
-    // side of a stream-static join re-executes every micro-batch, and
-    // the banding pass (HyperplaneBands·HyperplaneBandBits hyperplane
-    // dot products per vector) is the dominant corpus-side cost — pay
-    // it once per stream, not once per batch. Reclaimed by the
-    // ContextCleaner when the query (and this plan) is dropped.
-    val cn = withNorm(corpus)
-      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-        col("nrm").as("cn"))
-      .withColumn("bk", explode(bandKeys(col("cv"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cn = bandedCorpus(corpus, bandKeys)
     val qn = queries
       .select(col("vec_id").as("query_id"),
         transform(col("embedding"), x => x.cast("double")).as("qv"))

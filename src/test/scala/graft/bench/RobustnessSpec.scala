@@ -18,6 +18,24 @@ class RobustnessSpec extends SparkSpec {
     assert(st(0) === 0.125 && st(4) === 0.125 && st(5) === 0.125)
   }
 
+  test("SPARK_GRAFT_CONF overrides: k=v pairs applied, empty segments ok") {
+    Main.applyConfOverrides(spark,
+      Some("spark.graft.testKnobA=1;;spark.graft.testKnobB = x ;"))
+    assert(spark.conf.get("spark.graft.testKnobA") === "1")
+    assert(spark.conf.get("spark.graft.testKnobB") === "x")
+    spark.conf.unset("spark.graft.testKnobA")
+    spark.conf.unset("spark.graft.testKnobB")
+  }
+
+  test("SPARK_GRAFT_CONF overrides: malformed segment names itself") {
+    val e = intercept[IllegalArgumentException] {
+      Main.applyConfOverrides(spark, Some("spark.graft.ok=1;oops-no-equals"))
+    }
+    assert(e.getMessage.contains("SPARK_GRAFT_CONF"))
+    assert(e.getMessage.contains("oops-no-equals"))
+    spark.conf.unset("spark.graft.ok")
+  }
+
   test("hybrid gate: root with only self-loop edges matches distributed") {
     val s = spark
     import s.implicits._
