@@ -4,8 +4,64 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR,
   * then runs the full Graph500 protocol (generate → construct → N
   * validated BFS runs → harmonic-mean TEPS) at SPARK_GRAFT_SCALE.
-  * Prints ONE JSON line. */
+  *
+  * Output contract (the driver captures only the LAST ~2000 chars of
+  * stdout and parses a JSON line out of that tail):
+  *  1. the COMPLETE result object — per-query map, cold pass, every
+  *     protocol block, per-phase WORK metrics (spill/shuffle/CPU/GC
+  *     from a task-metrics listener; on a steal-prone box wall time is
+  *     the noisy channel, work metrics are a property of the plan) —
+  *     is written to BENCH_FULL.json (SPARK_GRAFT_BENCH_OUT) and also
+  *     printed in full for the log;
+  *  2. the LAST line printed is a compact (<1900 char) summary — total,
+  *     the 10 slowest queries, each protocol block's headline numbers,
+  *     per-phase work — so the driver's truncated tail parses.
+  * The reference's result block is likewise a complete machine-readable
+  * record (mpi/logfile.h:46-107). */
 object Bench {
+
+  /** Cumulative task-metrics counters (cluster-wide totals since
+    * registration). Wall clock on a shared box swings run-to-run; these
+    * are a property of the executed plan. */
+  final case class Work(tasks: Long, taskMs: Long, cpuNs: Long, gcMs: Long,
+                        spillMem: Long, spillDisk: Long,
+                        shufWrite: Long, shufRead: Long) {
+    def -(o: Work): Work = Work(tasks - o.tasks, taskMs - o.taskMs,
+      cpuNs - o.cpuNs, gcMs - o.gcMs, spillMem - o.spillMem,
+      spillDisk - o.spillDisk, shufWrite - o.shufWrite, shufRead - o.shufRead)
+    private def r(x: Double) = math.rint(x * 1000) / 1000
+    def json: String =
+      s"""{"tasks":$tasks,"task_s":${r(taskMs / 1e3)},""" +
+        s""""cpu_s":${r(cpuNs / 1e9)},"gc_s":${r(gcMs / 1e3)},""" +
+        s""""spill_mem_gb":${r(spillMem / 1e9)},""" +
+        s""""spill_disk_gb":${r(spillDisk / 1e9)},""" +
+        s""""shuf_write_gb":${r(shufWrite / 1e9)},""" +
+        s""""shuf_read_gb":${r(shufRead / 1e9)}}"""
+  }
+
+  final class WorkMeter(sc: org.apache.spark.SparkContext) {
+    private val a = Array.fill(8)(new java.util.concurrent.atomic.AtomicLong)
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          a(0).incrementAndGet(); a(1).addAndGet(m.executorRunTime)
+          a(2).addAndGet(m.executorCpuTime); a(3).addAndGet(m.jvmGCTime)
+          a(4).addAndGet(m.memoryBytesSpilled); a(5).addAndGet(m.diskBytesSpilled)
+          a(6).addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          a(7).addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    })
+    /** Drain the async listener bus, then read the counters. */
+    def read(): Work = {
+      Thread.sleep(1200)
+      Work(a(0).get, a(1).get, a(2).get, a(3).get,
+        a(4).get, a(5).get, a(6).get, a(7).get)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,6 +92,19 @@ object Bench {
     // SPARK_GRAFT_BFS2D=RxC: time the 2D-grid distributed BFS layout
     sys.env.get("SPARK_GRAFT_BFS2D")
       .foreach(g => spark.conf.set("spark.graft.bfs2dGrid", g))
+    // SPARK_GRAFT_CONF="k=v;k=v": arbitrary session-conf overrides
+    bench.Main.applyConfOverrides(spark)
+
+    // Per-phase work metrics (spill/shuffle/CPU/GC): `lap(tag)` closes
+    // the phase that just ran and opens the next one.
+    val meter = new WorkMeter(spark.sparkContext)
+    val work = scala.collection.mutable.LinkedHashMap.empty[String, Work]
+    var lastWork = meter.read()
+    def lap(tag: String): Unit = {
+      val now = meter.read()
+      work(tag) = now - lastWork
+      lastWork = now
+    }
 
     // dev knob: SPARK_GRAFT_ONLY=q7_bfs,dd_minhash times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -51,8 +120,13 @@ object Bench {
       System.gc(); Thread.sleep(400); System.gc(); Thread.sleep(100)
     }
 
-    // One sequential (protocol-exact) Graph500 block as a JSON object.
-    def seqProtocol(roots: Int, atScale: Int = scale): String = {
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    def g4(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4g", Double.box(x))
+
+    // One sequential (protocol-exact) Graph500 block: (full JSON object,
+    // compact summary object for the tail-parseable line).
+    def seqProtocol(roots: Int, atScale: Int = scale): (String, String) = {
       val t0 = System.nanoTime()
       try {
         val s = bench.Graph500.run(spark, atScale, roots)
@@ -67,17 +141,23 @@ object Bench {
           val safe = if (v.isNaN || v.isInfinite) 0.0 else v
           s""""$f":$safe"""
         }.mkString("{", ",", "}")
-        s"""{"scale":$atScale,"n_roots":$roots,"wall_sec":$wall,""" +
+        val errs = s.runs.map(_.errors).sum
+        val full = s"""{"scale":$atScale,"n_roots":$roots,"wall_sec":$wall,""" +
           s""""generation_sec":${s.generationTime},""" +
           s""""construction_sec":${s.constructionTime},""" +
           s""""bfs_total_sec":$bfsTotal,"validate_total_sec":$valTotal,""" +
           s""""harmonic_mean_teps":${s.harmonicMeanTeps},""" +
           s""""max_nedge":${s.runs.map(_.nedge.toLong).max},""" +
           s""""nedge_golden_ok":${s.nedgeGoldenOk},""" +
-          s""""validation_errors":${s.runs.map(_.errors).sum},""" +
+          s""""validation_errors":$errs,""" +
           s""""stat_block":$stat}"""
+        val compact = s"""{"scale":$atScale,"hm_teps":${g4(s.harmonicMeanTeps)},""" +
+          s""""con_s":${r3(s.constructionTime)},"wall_s":${r3(wall)},""" +
+          s""""ok":${s.nedgeGoldenOk},"err":$errs}"""
+        (full, compact)
       } catch { case e: Throwable =>
-        s"""{"error":"${e.getClass.getSimpleName}"}"""
+        val err = s"""{"error":"${e.getClass.getSimpleName}"}"""
+        (err, err)
       }
     }
 
@@ -98,7 +178,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] isolated warm run failed: $e") }
       gcSettle()
-      Some(seqProtocol(nRoots))
+      lap("g500_iso_warm")
+      val r = Some(seqProtocol(nRoots))
+      lap("g500_isolated")
+      r
     }
     // PRE_EXEC-style warm-up (the reference warms the full pipeline before
     // its timed runs, mpi/main.cc:91-103): run every query once at the
@@ -138,7 +221,9 @@ object Bench {
         spark.sparkContext.cancelAllJobs()
         System.err.println("[bench] warm-up timed out; proceeding unwarmed")
       }
-      (System.nanoTime() - w0) / 1e9
+      val w = (System.nanoTime() - w0) / 1e9
+      lap("warmup")
+      w
     }
     // Per-query time = min over SPARK_GRAFT_PASSES (default 2) timed
     // passes. One pass inherits whatever host-noise burst lands in it
@@ -157,21 +242,27 @@ object Bench {
     val (streamSel, batchSel) = selected.partition(_._1.startsWith("st_"))
     val passResults: Seq[Map[String, Double]] =
       if (!queriesOn) Seq.empty
-      else (1 to passes).map { _ =>
-        batchSel.map { case (name, fn) =>
+      else (1 to passes).map { p =>
+        val r = batchSel.map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           name -> (System.nanoTime() - t0) / 1e9
         }
+        lap(s"queries_pass$p")
+        r
       }
     val streamOn = queriesOn && streamSel.nonEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_STREAMING", "1") != "0"
     val streamResults: Map[String, Double] =
       if (!streamOn) Map.empty
-      else streamSel.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+      else {
+        val r = streamSel.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        lap("streaming")
+        r
       }
     // Record BOTH the pass-1 (cold: shared-intermediate builds land on
     // their first consumer) and the min (steady-state) — so the
@@ -195,34 +286,60 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       gcSettle()
     }
-    val g500 = if (g500On) Some(seqProtocol(nRoots)) else None
-    val g500b = if (g500On) {
-      try {
+    val g500 = if (g500On) {
+      val r = Some(seqProtocol(nRoots))
+      lap("g500_seq")
+      r
+    } else None
+    val g500b: Option[(String, String)] = if (g500On) {
+      val r = try {
         val b = bench.Graph500.runBatched(spark, scale, nRoots)
-        Some(s"""{"scale":$scale,"n_roots":$nRoots,""" +
+        val full = s"""{"scale":$scale,"n_roots":$nRoots,""" +
           s""""bfs_wall_sec":${b.bfsWall},""" +
           s""""validate_wall_sec":${b.validateWall},""" +
           s""""total_nedge":${b.totalNedge},""" +
           s""""throughput_teps":${b.throughputTeps},""" +
           s""""nedge_golden_ok":${b.nedgeGoldenOk},""" +
-          s""""validation_errors":${b.errors}}""")
+          s""""validation_errors":${b.errors}}"""
+        val compact = s"""{"scale":$scale,"teps":${g4(b.throughputTeps)},""" +
+          s""""ok":${b.nedgeGoldenOk},"err":${b.errors}}"""
+        Some((full, compact))
       } catch { case e: Throwable =>
-        Some(s"""{"error":"${e.getClass.getSimpleName}"}""")
+        val err = s"""{"error":"${e.getClass.getSimpleName}"}"""
+        Some((err, err))
       }
+      lap("g500_batched")
+      r
     } else None
     // Spec-mode parity: the reference's published protocol validates 64
     // roots (REAL_BENCHMARK, mpi/parameters.h:156-161); record one
     // 64-root sequential run alongside the 16-root blocks.
     val spec64On = g500On &&
       sys.env.getOrElse("SPARK_GRAFT_SPEC64", "1") != "0"
-    val g500spec = if (!spec64On) None else { gcSettle(); Some(seqProtocol(64)) }
+    val g500spec = if (!spec64On) None else {
+      gcSettle()
+      val r = Some(seqProtocol(64))
+      lap(s"g500_spec64_s$scale")
+      r
+    }
     // Second scale point for round-over-round comparison: the same
     // 64-root spec block at SCALE 20 (4× the default's edge count),
-    // so the artifact carries spec64 at TWO scales every round.
-    val spec20Scale = sys.env.getOrElse("SPARK_GRAFT_SPEC64_SCALE2", "20").toInt
+    // so the artifact carries spec64 at TWO scales every round. NOTE:
+    // this is a complete extra protocol run (gen + construction + 64
+    // BFS + validation, ~10-15 s at scale 20 on this box) on every
+    // default bench invocation; set SPARK_GRAFT_SPEC64_SCALE2=0 to
+    // skip it.
+    val spec20Scale = {
+      val s = sys.env.getOrElse("SPARK_GRAFT_SPEC64_SCALE2", "20")
+      s.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_SPEC64_SCALE2: '$s' is not an integer"))
+    }
     val spec20On = spec64On && spec20Scale > 0 && spec20Scale != scale
     val g500spec20 = if (!spec20On) None else {
-      gcSettle(); Some(seqProtocol(64, spec20Scale))
+      gcSettle()
+      val r = Some(seqProtocol(64, spec20Scale))
+      lap(s"g500_spec64_s$spec20Scale")
+      r
     }
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -233,14 +350,59 @@ object Bench {
     val streamField = if (streamResults.nonEmpty)
       s""","queries_streaming":${jmap(streamResults)}""" +
         s""","streaming_total_sec":${streamResults.values.sum}""" else ""
-    val g500Field =
-      g500iso.map(j => s""","graph500_isolated":$j""").getOrElse("") +
-      g500.map(j => s""","graph500":$j""").getOrElse("") +
-      g500b.map(j => s""","graph500_batched":$j""").getOrElse("") +
-      g500spec.map(j => s""","graph500_spec64":$j""").getOrElse("") +
-      g500spec20.map(j => s""","graph500_spec64_s$spec20Scale":$j""").getOrElse("")
+    def blocks(pick: ((String, String)) => String): String =
+      g500iso.map(j => s""","graph500_isolated":${pick(j)}""").getOrElse("") +
+      g500.map(j => s""","graph500":${pick(j)}""").getOrElse("") +
+      g500b.map(j => s""","graph500_batched":${pick(j)}""").getOrElse("") +
+      g500spec.map(j => s""","graph500_spec64":${pick(j)}""").getOrElse("") +
+      g500spec20.map(j =>
+        s""","graph500_spec64_s$spec20Scale":${pick(j)}""").getOrElse("")
     val warmField = if (warmupOn) s""","warmup_sf":"$warmDir","warmup_sec":$warmupSec""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$coldField$streamField$warmField$g500Field}""")
+    val workField = if (work.isEmpty) "" else
+      s""","work":${work.map { case (t, w) => s""""$t":${w.json}""" }
+        .mkString("{", ",", "}")}"""
+
+    // 1. The COMPLETE result object: full per-query map, cold pass,
+    //    streaming, every protocol block's stat record, per-phase work
+    //    metrics. Printed for the log AND persisted to a file the round
+    //    artifacts can carry (the driver's stdout capture truncates to
+    //    the last ~2000 chars — a full 163-query record cannot fit).
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir"$coldField$streamField$warmField""" +
+      blocks(_._1) + workField + "}"
+    println(fullJson)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full result written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
+
+    // 2. Compact tail line (< ~1900 chars), printed LAST so the driver's
+    //    truncated capture parses: headline total, the slowest queries,
+    //    each block's key numbers, per-phase work. Everything else is in
+    //    BENCH_FULL.json ("full" key).
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val compactWork = if (work.isEmpty) "" else
+      s""","work":${work.map { case (t, w) =>
+        s""""$t":{"task_s":${r3(w.taskMs / 1e3)},"cpu_s":${r3(w.cpuNs / 1e9)},""" +
+          s""""spill_gb":${r3((w.spillMem + w.spillDisk) / 1e9)},""" +
+          s""""shw_gb":${r3(w.shufWrite / 1e9)}}"""
+      }.mkString("{", ",", "}")}"""
+    val compactStream = if (streamResults.isEmpty) ""
+      else s""","streaming_total_sec":${r3(streamResults.values.sum)}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","full":"$outPath","n_queries":${results.size},""" +
+      s""""slowest":$slowest$compactStream""" +
+      (if (warmupOn) s""","warmup_sec":${r3(warmupSec)}""" else "") +
+      blocks(_._2) + compactWork + "}"
+    if (compact.length > 1950)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} chars" +
+        " — may exceed the driver's tail capture")
+    println(compact)
     spark.stop()
   }
 }
