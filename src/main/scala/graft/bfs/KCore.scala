@@ -22,21 +22,80 @@ import org.apache.spark.sql.functions._
  */
 object KCore {
 
-  /** Distributed peeling loop. Scale shape: the degree count is a
-    * partial-aggregated groupBy (the exchange carries (vertex, partial
-    * count) rows, never edges), and the per-round induced-subgraph
-    * prune is two equi-joins against the keep set — broadcast when the
-    * survivor set is small, AQE-planned otherwise. The prune
-    * necessarily re-materializes the (shrinking) edge set each round;
-    * each round's set materializes through a lazy localCheckpoint +
-    * count (one job per round, lineage cut at the round boundary), and
-    * superseded sets are reclaimed by the ContextCleaner. */
+  /** Distributed peeling loop — two strategies on one contract:
+    *
+    *  - **Survivor-set path** (|V| at or under
+    *    `spark.graft.iterBroadcastVerts`, default
+    *    [[PageRank.IterBroadcastVerts]]): the keep set is a |V|-bounded
+    *    (vertex, degree) table collected to the driver each round and
+    *    shipped back as a broadcast range-lookup ([[graft.functions
+    *    .Ship]]) — the BFS frontier-allgather pattern (SURVEY X6). One
+    *    round = two broadcast-hash prune joins streaming the ONE
+    *    persisted src-partitioned edge cache + a groupBy(src) that
+    *    reuses that partitioning: ZERO exchanges and one job per round.
+    *    The degree aggregation stays fully distributed; only the
+    *    (small) survivor set rides the driver. Because keep sets are
+    *    nested (keepᵣ ⊆ keepᵣ₋₁ — a dropped vertex's edges stay
+    *    dropped), pruning edges₀ by the latest keep set alone is
+    *    identical to pruning progressively.
+    *  - **Checkpoint path** (|V| above the cap — cluster scale): the
+    *    prior per-round prune loop; degree exchange + two AQE-planned
+    *    equi-joins per round, each round's edge set materialized
+    *    through a lazy localCheckpoint + count (lineage cut at the
+    *    round boundary). An |E|-sized relation never ships anywhere.
+    *
+    * Both produce bit-identical results (long counts; spec-pinned). */
   def kcore(spark: SparkSession, clean: DataFrame, k: Int = 3,
             rounds: Int = 5): DataFrame = {
     require(k > 0 && rounds > 0, s"kcore: need k, rounds > 0, got ($k, $rounds)")
-    var edges = clean.select("src", "dst")
+    val cap = spark.conf.getOption("spark.graft.iterBroadcastVerts")
+      .map(_.toLong).getOrElse(PageRank.IterBroadcastVerts)
+    val edges = clean.select("src", "dst")
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg1 = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("degree"))
+    // |V| probe: partial+final agg over the persisted src layout — no
+    // exchange — then a count; also warms the edge cache.
+    val nV = deg1.count()
+    if (nV <= cap) kcoreSurvivorSet(spark, edges, deg1, k, rounds)
+    else kcoreCheckpoint(spark, edges, k, rounds)
+  }
+
+  /** Survivor-set path (see [[kcore]]): driver-held keep set, one
+    * exchange-free distributed degree job per round. */
+  private def kcoreSurvivorSet(spark: SparkSession, edges: DataFrame,
+                               deg1: DataFrame, k: Int,
+                               rounds: Int): DataFrame = {
+    var keepIds: Array[Long] = null // null = round 1, nothing pruned yet
+    var keptDegs: Array[Long] = Array.emptyLongArray
+    var r = 1
+    while (r <= rounds && (keepIds == null || keepIds.nonEmpty)) {
+      val degR =
+        if (keepIds == null) deg1
+        else {
+          val kt = graft.functions.Ship.df(spark, "kv" -> keepIds)
+          edges
+            .join(broadcast(kt.select(col("kv").as("src"))), "src")
+            .join(broadcast(kt.select(col("kv").as("dst"))), "dst")
+            .groupBy(col("src").as("v")).agg(count(lit(1)).as("degree"))
+        }
+      val rows = degR.where(col("degree") >= k)
+        .select(col("v"), col("degree")).collect()
+      keepIds = rows.map(_.getLong(0))
+      keptDegs = rows.map(_.getLong(1))
+      r += 1
+    }
+    edges.unpersist(blocking = false)
+    graft.functions.Ship.df(spark,
+      "vertex" -> (if (keepIds == null) Array.emptyLongArray else keepIds),
+      "degree" -> keptDegs)
+  }
+
+  /** Above-cap checkpoint path (see [[kcore]]). */
+  private def kcoreCheckpoint(spark: SparkSession, edges0: DataFrame,
+                              k: Int, rounds: Int): DataFrame = {
+    var edges = edges0
     var r = 1
     var result: DataFrame = null
     while (r <= rounds && result == null) {

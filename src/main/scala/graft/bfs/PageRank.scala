@@ -39,9 +39,31 @@ object PageRank {
   /** Damping 0.85 as the exact pair (85, 100). */
   val DampNum = 85L
   val DampDen = 100L
+  /** Default cap for broadcasting the |V|-sized per-iteration tables
+    * (2M vertices ≈ ~50 MB of (v, outdeg, r) longs hashed — dimension-
+    * broadcast territory). Long sums are associative/commutative, so the
+    * broadcast and sort-merge plans produce identical bits. */
+  val IterBroadcastVerts = 2000000L
 
   /** Distributed fixed-point PageRank: (vertex, rank_fp) after `iters`
-    * synchronous iterations from the uniform start floor(Scale / |V|). */
+    * synchronous iterations from the uniform start floor(Scale / |V|).
+    *
+    * Two strategies on one contract (bit-identical outputs, spec-pinned;
+    * the k-core survivor-set precedent):
+    *  - **Driver-state path** (|V| at or under
+    *    `spark.graft.iterBroadcastVerts`, default [[IterBroadcastVerts]]):
+    *    the |V|-sized rank vector rides the driver (the BFS
+    *    frontier-allgather pattern, SURVEY X6); one iteration is a single
+    *    job — narrow per-edge contribution lookup against the broadcast
+    *    vector over the ONE persisted edge cache, partial-aggregated
+    *    groupBy(dst) (the only exchange carries (dst, partial-sum) rows,
+    *    never edges), collect of |V| sums. No per-iteration checkpoint,
+    *    no join, nothing resorted.
+    *  - **Shuffle path** (|V| above the cap — cluster scale): the rank
+    *    table is a distributed relation; per iteration one SMJ against
+    *    the src-partitioned edges + the partial-agg'd groupBy(dst),
+    *    materialized through a lazy localCheckpoint + count (one job per
+    *    iteration, lineage one iteration deep). */
   def pagerank(spark: SparkSession, clean: DataFrame, iters: Int = 10): DataFrame = {
     val edges = clean.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -54,6 +76,60 @@ object PageRank {
       import spark.implicits._
       return Seq.empty[(Long, Long)].toDF("vertex", "rank_fp")
     }
+    val cap = spark.conf.getOption("spark.graft.iterBroadcastVerts")
+      .map(_.toLong).getOrElse(IterBroadcastVerts)
+    if (nV <= cap) pagerankDriverState(spark, edges, od, nV, iters)
+    else pagerankShuffle(spark, edges, od, nV, iters)
+  }
+
+  /** Driver-state iteration (see [[pagerank]]): broadcast rank vector,
+    * one exchange-free-until-the-partial-agg job per iteration. The
+    * per-edge contribution lookup and the long sums are the exact
+    * arithmetic of the shuffle path (associative/commutative long adds),
+    * so outputs are bit-identical. */
+  private def pagerankDriverState(spark: SparkSession, edges: DataFrame,
+                                  od: DataFrame, nV: Long,
+                                  iters: Int): DataFrame = {
+    val odRows = od.select(col("v"), col("outdeg")).collect()
+    val ids = odRows.map(_.getLong(0))
+    val degs = odRows.map(_.getLong(1))
+    val idx = new java.util.HashMap[Long, Int](ids.length * 2)
+    ids.zipWithIndex.foreach { case (v, i) => idx.put(v, i) }
+    val bcIdx = spark.sparkContext.broadcast(idx)
+    val bcDegs = spark.sparkContext.broadcast(degs)
+    val base = (Scale * 15L / 100L) / nV
+    var r = Array.fill(ids.length)(Scale / nV)
+    var it = 1
+    while (it <= iters) {
+      val bcR = spark.sparkContext.broadcast(r)
+      // contribution of edge (src, dst) to dst, computed per edge from
+      // the broadcast vector — identical floor division to the shuffle
+      // path's join projection
+      val cOf = udf { (src: Long) =>
+        val i = bcIdx.value.get(src)
+        bcR.value(i) * DampNum / (DampDen * bcDegs.value(i))
+      }
+      val sums = edges.select(col("dst"), cOf(col("src")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .collect()
+      val next = new Array[Long](ids.length)
+      // symmetric graph: every vertex has in-edges, so `sums` covers all
+      sums.foreach { row =>
+        next(bcIdx.value.get(row.getLong(0))) = base + row.getLong(1)
+      }
+      r = next
+      bcR.unpersist(blocking = false)
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    od.unpersist(blocking = false)
+    graft.functions.Ship.df(spark, "vertex" -> ids, "rank_fp" -> r)
+  }
+
+  /** Above-cap shuffle iteration (see [[pagerank]]). */
+  private def pagerankShuffle(spark: SparkSession, edges: DataFrame,
+                              od: DataFrame, nV: Long,
+                              iters: Int): DataFrame = {
     val base = (Scale * 15L / 100L) / nV
     var ranks = od.select(col("v"), col("outdeg"), lit(Scale / nV).as("r"))
     var i = 1

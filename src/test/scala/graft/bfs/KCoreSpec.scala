@@ -69,6 +69,25 @@ class KCoreSpec extends SparkSpec {
     }
   }
 
+  test("survivor-set and checkpoint paths produce identical cores") {
+    val s = spark; import s.implicits._
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val nV = 40 + rnd.nextInt(40)
+      val pairs = Seq.fill(3 * nV)(
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      val clean = graft.etl.EdgeOps.cleanEdges(pairs.toDF("src", "dst"))
+      val survivor = KCore.kcore(spark, clean, 3, 5)
+        .as[(Long, Long)].collect().toMap
+      spark.conf.set("spark.graft.iterBroadcastVerts", "0")
+      try {
+        val checkpointed = KCore.kcore(spark, clean, 3, 5)
+          .as[(Long, Long)].collect().toMap
+        assert(survivor == checkpointed, s"seed=$seed")
+      } finally spark.conf.unset("spark.graft.iterBroadcastVerts")
+    }
+  }
+
   test("empty graph and k above max degree yield empty results") {
     val s = spark; import s.implicits._
     val clean = graft.etl.EdgeOps.cleanEdges(

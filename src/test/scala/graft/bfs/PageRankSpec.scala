@@ -38,6 +38,22 @@ class PageRankSpec extends SparkSpec {
     assert(m(2L) > m(0L) && m(2L) > m(4L)) // middle vertex dominates
   }
 
+  test("broadcast and sort-merge iteration plans produce identical ranks") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val clean = graft.etl.EdgeOps.cleanEdges(pairs.toDF("src", "dst"))
+    val bcast = PageRank.pagerank(spark, clean, 10)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set("spark.graft.iterBroadcastVerts", "0")
+    try {
+      val smj = PageRank.pagerank(spark, clean, 10)
+        .as[(Long, Long)].collect().toMap
+      assert(bcast == smj)
+    } finally spark.conf.unset("spark.graft.iterBroadcastVerts")
+  }
+
   test("random graphs: kernel == distributed == model, ranks conserve ~Scale") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)
