@@ -28,17 +28,34 @@ import org.apache.spark.sql.functions._
  */
 object Validator {
 
-  /** Above this many vertices the tree side is no longer broadcast.
-    * Override with spark.graft.validateBroadcastVerts. 20M vertices ≈ a
-    * ~500 MB (vertex, depth) hashed relation per join site — standard
-    * dimension-broadcast territory, and it keeps the |E|-sized raw scan
-    * shuffle-free through SCALE 24; above it the edge checks fall back
-    * to shuffle joins. */
-  val BroadcastVerts = 20000000L
+  /** Floor for the auto-sized broadcast cap (see [[broadcastVerts]]):
+    * 20M vertices ≈ a ~500 MB (vertex, depth) hashed relation per join
+    * site — standard dimension-broadcast territory on any sane executor,
+    * and it keeps the |E|-sized raw scan shuffle-free through SCALE 24. */
+  val BroadcastVertsFloor = 20000000L
 
+  /** Per-vertex hashed-relation budget used by the auto-sizing: a
+    * LongToUnsafeRowMap entry for (vertex BIGINT, depth BIGINT) measures
+    * ~25 B/vertex at SCALE 24; 32 B adds headroom for map load factor. */
+  val BroadcastBytesPerVertex = 32L
+
+  /** Above this many vertices the tree side is no longer broadcast and
+    * the edge checks fall back to shuffle joins. AUTO-SIZED from the
+    * JVM heap instead of a hand-set constant: the cap is the vertex
+    * count whose hashed relation fits in 1/16 of max heap (three
+    * broadcast sites are live at once — parentDepth, du, dv — so the
+    * worst case is ~3/16 of heap in broadcasts), floored at
+    * [[BroadcastVertsFloor]]. At the bench box's 48-128 GiB heaps this
+    * admits SCALE 25-26 (33.5-67M vertices) with no hand tuning — the
+    * setting SCALE 25 previously needed via SPARK_GRAFT_CONF — while an
+    * executor-sized 8 GiB heap still gets the floor. Override with
+    * spark.graft.validateBroadcastVerts (now an override, not a
+    * requirement). */
   private[graft] def broadcastVerts(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.validateBroadcastVerts")
-      .map(_.toLong).getOrElse(BroadcastVerts)
+      .map(_.toLong)
+      .getOrElse(math.max(BroadcastVertsFloor,
+        Runtime.getRuntime.maxMemory / 16 / BroadcastBytesPerVertex))
 
   /** The canonical undirected raw edge set used by check 4c — (lo, hi)
     * with self-loops dropped and duplicates merged. A benchmark validating
