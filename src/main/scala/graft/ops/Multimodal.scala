@@ -72,7 +72,7 @@ object Multimodal {
 
   /** Deterministic (w, h) used by both the image encoder and the stub
     * header parse — dims derive from the first payload bytes. */
-  private def stubDims(b: Array[Byte]): (Int, Int) = (
+  private[ops] def stubDims(b: Array[Byte]): (Int, Int) = (
     16 + (if (b.length > 0) (b(0) & 0xff) % 64 else 0),
     16 + (if (b.length > 1) (b(1) & 0xff) % 64 else 0))
 
@@ -175,7 +175,7 @@ object Multimodal {
     * (DC diff 0, EOB) under the spec's standard Huffman tables —
     * a fully deterministic byte layout ([[jpegSize]]) that the actual
     * `javax.imageio` JPEG codec parses back to (w, h, 1 band). */
-  private def encodeJpeg(src: Array[Byte]): Array[Byte] = {
+  private[ops] def encodeJpeg(src: Array[Byte]): Array[Byte] = {
     val (w, h) = stubDims(src)
     val out = new java.io.ByteArrayOutputStream(jpegSize(w, h).toInt)
     def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
@@ -268,7 +268,7 @@ object Multimodal {
     * [strh 'vids'/'MJPG', strf BITMAPINFOHEADER biCompression='MJPG']]
     * → LIST movi ['00dc' JPEG]×n → idx1. All sizes little-endian;
     * odd-length frame chunks pad to word alignment per the RIFF spec. */
-  private def encodeAvi(src: Array[Byte]): Array[Byte] = {
+  private[ops] def encodeAvi(src: Array[Byte]): Array[Byte] = {
     val (w, h) = stubDims(src)
     val nFrames = (src.length + FrameBytes - 1) / FrameBytes
     val frame = encodeJpeg(src)                     // identical every frame
@@ -367,7 +367,7 @@ object Multimodal {
     * writer's little-endian RIFF — the parse-back exercises both byte
     * orders. One sample per chunk so every stco entry is a REAL
     * absolute frame offset the decode side reads, not a closed form. */
-  private def encodeMp4(src: Array[Byte]): Array[Byte] = {
+  private[ops] def encodeMp4(src: Array[Byte]): Array[Byte] = {
     val (w, h) = stubDims(src)
     val nFrames = (src.length + FrameBytes - 1) / FrameBytes
     val frame = encodeJpeg(src)                     // identical every frame
@@ -575,7 +575,7 @@ object Multimodal {
   /** Parse the avih main header + strf bitmap header out of a real AVI
     * byte stream: (width, height, channels, totalFrames). A header
     * walk, not fixed offsets — chunk sizes are read from the bytes. */
-  private def parseAviHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+  private[ops] def parseAviHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     val (hdrl, hdrlSize) = findList(b, "hdrl")
     if (hdrl < 0) return None
     var w = 0; var h = 0; var frames = 0; var channels = 3
@@ -611,7 +611,7 @@ object Multimodal {
   /** Walk the movi LIST's chunks and return every video frame's
     * (data offset, data length) in stream order — the real byte
     * positions a player would seek to. */
-  private def walkMoviFrames(b: Array[Byte]): Seq[(Long, Long)] = {
+  private[ops] def walkMoviFrames(b: Array[Byte]): Seq[(Long, Long)] = {
     val (movi, moviSize) = findList(b, "movi")
     if (movi < 0) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -677,7 +677,7 @@ object Multimodal {
     * box tree: dims from tkhd's 16.16 fixed-point width/height fields,
     * channel count from the stsd sample entry's depth, frame count
     * from the stsz sample-count — a box walk, not fixed offsets. */
-  private def parseMp4Header(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+  private[ops] def parseMp4Header(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     val (tkhd, tkhdSize) = findBoxPath(b, Seq("moov", "trak", "tkhd"))
     if (tkhd < 0 || tkhdSize < 84) return None
     val w = beInt(b, tkhd + 76) >>> 16
@@ -700,7 +700,7 @@ object Multimodal {
     * sample tables — the byte positions a player would seek to. Only
     * frames whose data fully fits the payload are reported (a
     * truncated container must not yield a seek target past its end). */
-  private def walkMp4Frames(b: Array[Byte]): Seq[(Long, Long)] = {
+  private[ops] def walkMp4Frames(b: Array[Byte]): Seq[(Long, Long)] = {
     val (stbl, stblSize) =
       findBoxPath(b, Seq("moov", "trak", "mdia", "minf", "stbl"))
     if (stbl < 0) return Nil
