@@ -29,6 +29,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.getOrElse("SPARK_GRAFT_FORCE_DISTRIBUTED", "0") == "1")
       graft.Gates.forceDistributed(spark)
+    Main.applyConfOverrides(spark)
     // job/stage/task counters: attributes an iterative loop's floor to
     // scheduling (many tiny stages) vs compute (task time)
     val jobs = new java.util.concurrent.atomic.AtomicInteger
@@ -361,6 +362,12 @@ object Profile {
     val mGc = new java.util.concurrent.atomic.AtomicLong
     val mShuf = new java.util.concurrent.atomic.AtomicLong
     val mCpu = new java.util.concurrent.atomic.AtomicLong
+    // per-task run times within the current phase: the window dedup
+    // partitions by src, so the hottest hub's adjacency sorts in ONE
+    // task — max/median is the skew evidence (a ratio near 1 means hub
+    // locality is inside task-size noise; >> 1 would argue for a salted
+    // two-pass dedup)
+    val taskTimes = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -372,16 +379,29 @@ object Profile {
             mGc.addAndGet(m.jvmGCTime)
             mShuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             mCpu.addAndGet(m.executorCpuTime)
+            taskTimes.add(m.executorRunTime)
           }
         }
       })
     def metrics(tag: String): Unit = {
       Thread.sleep(2000) // listener bus is async — let task-end events drain
+      val tt = {
+        val a = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var v = taskTimes.poll()
+        while (v != null) { a += v.longValue; v = taskTimes.poll() }
+        a.sorted
+      }
+      val skew = if (tt.isEmpty) ""
+        else {
+          val med = tt(tt.length / 2).toDouble.max(1.0)
+          f" tasks=${tt.length} taskMax=${tt.last / 1e3}%.1fs" +
+            f" taskMed=${med / 1e3}%.1fs maxOverMed=${tt.last / med}%.1f"
+        }
       println(f"[metrics] $tag%-10s spillMem=${mSpill.getAndSet(0) / 1e9}%.2f GB" +
         f" spillDisk=${mDisk.getAndSet(0) / 1e9}%.2f GB" +
         f" shufWrite=${mShuf.getAndSet(0) / 1e9}%.2f GB" +
         f" gc=${mGc.getAndSet(0) / 1e3}%.1f s" +
-        f" cpu=${mCpu.getAndSet(0) / 1e9}%.1f s")
+        f" cpu=${mCpu.getAndSet(0) / 1e9}%.1f s" + skew)
     }
     val raw = t("generate+persist+count") {
       val r = Kronecker.generate(spark, scale)
