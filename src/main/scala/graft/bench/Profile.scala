@@ -367,7 +367,7 @@ object Profile {
     // task — max/median is the skew evidence (a ratio near 1 means hub
     // locality is inside task-size noise; >> 1 would argue for a salted
     // two-pass dedup)
-    val taskTimes = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val taskTimes = new java.util.concurrent.ConcurrentLinkedQueue[(Int, java.lang.Long)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -379,29 +379,32 @@ object Profile {
             mGc.addAndGet(m.jvmGCTime)
             mShuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             mCpu.addAndGet(m.executorCpuTime)
-            taskTimes.add(m.executorRunTime)
+            taskTimes.add((e.stageId, m.executorRunTime))
           }
         }
       })
     def metrics(tag: String): Unit = {
       Thread.sleep(2000) // listener bus is async — let task-end events drain
-      val tt = {
-        val a = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val byStage = {
+        val a = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
         var v = taskTimes.poll()
-        while (v != null) { a += v.longValue; v = taskTimes.poll() }
-        a.sorted
+        while (v != null) { a += ((v._1, v._2.longValue)); v = taskTimes.poll() }
+        a.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
       }
-      val skew = if (tt.isEmpty) ""
-        else {
-          val med = tt(tt.length / 2).toDouble.max(1.0)
-          f" tasks=${tt.length} taskMax=${tt.last / 1e3}%.1fs" +
-            f" taskMed=${med / 1e3}%.1fs maxOverMed=${tt.last / med}%.1f"
-        }
       println(f"[metrics] $tag%-10s spillMem=${mSpill.getAndSet(0) / 1e9}%.2f GB" +
         f" spillDisk=${mDisk.getAndSet(0) / 1e9}%.2f GB" +
         f" shufWrite=${mShuf.getAndSet(0) / 1e9}%.2f GB" +
         f" gc=${mGc.getAndSet(0) / 1e3}%.1f s" +
-        f" cpu=${mCpu.getAndSet(0) / 1e9}%.1f s" + skew)
+        f" cpu=${mCpu.getAndSet(0) / 1e9}%.1f s")
+      // PER-STAGE skew (the hub-partition question is about one stage's
+      // task spread, not a phase mixing map and reduce profiles): the 3
+      // heaviest stages of the phase, each with max/median task time.
+      byStage.toSeq.sortBy(-_._2.sum).take(3).foreach { case (sid, tt) =>
+        val med = tt(tt.length / 2).toDouble.max(1.0)
+        println(f"    stage $sid: tasks=${tt.length} total=${tt.sum / 1e3}%.1fs" +
+          f" max=${tt.last / 1e3}%.1fs med=${med / 1e3}%.1fs" +
+          f" maxOverMed=${tt.last / med}%.1f")
+      }
     }
     val raw = t("generate+persist+count") {
       val r = Kronecker.generate(spark, scale)
@@ -444,6 +447,7 @@ object Profile {
       spark.conf.set("spark.sql.shuffle.partitions", p)
     }
     if (sys.env.getOrElse("SPARK_GRAFT_CONS_ONLY_D", "0") != "1") {
+    if (sys.env.getOrElse("SPARK_GRAFT_CONS_SKIP_B", "0") != "1") {
     val cleanB = t("B1 hash dedup (src-part)") {
       val noLoops = raw.filter(col("src") =!= col("dst"))
       val c = noLoops
@@ -460,6 +464,7 @@ object Profile {
     println(s"  nVerts(B)=$nvB")
     metrics("pathB")
     cleanB.unpersist(blocking = true)
+    }
     // ---- path C: same single exchange, but STREAMING dedup — sort
     // within partitions by (src,dst) (radix on two longs), then keep a
     // row iff it differs from its predecessor (lag window). No hash
