@@ -66,7 +66,8 @@ object KCore {
     * exchange-free distributed degree job per round. */
   private def kcoreSurvivorSet(spark: SparkSession, edges: DataFrame,
                                deg1: DataFrame, k: Int,
-                               rounds: Int): DataFrame = {
+                               rounds: Int): DataFrame =
+      PageRank.withoutAqe(spark) {
     var keepIds: Array[Long] = null // null = round 1, nothing pruned yet
     var keptDegs: Array[Long] = Array.emptyLongArray
     var r = 1

@@ -45,6 +45,30 @@ object PageRank {
     * broadcast and sort-merge plans produce identical bits. */
   val IterBroadcastVerts = 2000000L
 
+  /** Run `body` with AQE off, restoring the prior setting after. The
+    * driver-state iteration loops plan the SAME tiny fixed shape every
+    * round (one scan + partial agg + one small exchange); AQE's
+    * per-query-stage materialization doubles the job count for zero
+    * re-planning value there (measured FD sf0.1: PageRank 7.1 → 5.7 s,
+    * k-core 1.7 → 1.1 s with identical results). AQE stays ON for the
+    * above-cap shuffle loops, where runtime re-planning (skew, coalesce)
+    * is worth the stages. Physical-only toggle — results are identical.
+    * Caveat: session confs are session-global, so a concurrently
+    * PLANNING query in the same session during `body` would also plan
+    * without AQE — a performance nuance only (Bench's concurrent phase
+    * is the untimed warm-up; Verify and the timed passes run
+    * sequentially). */
+  private[bfs] def withoutAqe[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Distributed fixed-point PageRank: (vertex, rank_fp) after `iters`
     * synchronous iterations from the uniform start floor(Scale / |V|).
     *
@@ -89,7 +113,7 @@ object PageRank {
     * so outputs are bit-identical. */
   private def pagerankDriverState(spark: SparkSession, edges: DataFrame,
                                   od: DataFrame, nV: Long,
-                                  iters: Int): DataFrame = {
+                                  iters: Int): DataFrame = withoutAqe(spark) {
     val odRows = od.select(col("v"), col("outdeg")).collect()
     val ids = odRows.map(_.getLong(0))
     val degs = odRows.map(_.getLong(1))
