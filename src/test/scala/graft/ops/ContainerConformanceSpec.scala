@@ -22,7 +22,38 @@ import org.scalatest.funsuite.AnyFunSuite
   *     parser reports — proving the parser reads the header bytes, not
   *     a closed form shared with the writer.
   */
-class ContainerConformanceSpec extends AnyFunSuite {
+class ContainerConformanceSpec extends AnyFunSuite with graft.SparkSpec {
+
+  // ---- 0. library-authored WAV through the hand RIFF walk ------------
+  // The main path already cross-checks the other direction (hand-written
+  // WAV parsed by javax.sound); this closes the loop: a WAV authored by
+  // javax.sound.sampled itself must walk correctly through the hand
+  // chunk parser that audioWindows uses, with the byte offsets pointing
+  // at the exact PCM samples the library wrote.
+  test("javax.sound-authored WAV: hand chunk walk finds the real PCM offsets") {
+    val s = spark; import s.implicits._
+    val nFrames = 1500 // 16-bit mono -> blockAlign 2
+    val pcm = Array.tabulate(nFrames * 2)(i => ((i * 31) & 0xff).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val media = Seq((1L, "audio", wav)).toDF("media_id", "kind", "payload")
+    val wins = Multimodal.audioWindows(spark, media)
+      .as[AudioWindow].collect().sortBy(_.window_no)
+    // stride 512 over 1500 frames -> windows at 0, 512, 1024
+    assert(wins.map(_.frame_start).toSeq === Seq(0L, 512L, 1024L))
+    assert(wins.map(_.n_frames).toSeq === Seq(1024L, 988L, 476L))
+    // the byte offsets must point at the LIBRARY's PCM bytes: window 1
+    // starts at sample frame 512 = pcm byte 1024
+    val w1 = wins(1)
+    val got = wav.slice(w1.byte_offset.toInt, w1.byte_offset.toInt + 8)
+    assert(got.toSeq === pcm.slice(1024, 1032).toSeq,
+      "hand-parsed data-chunk offset must land on the exact PCM bytes")
+  }
 
   // ---- little/big-endian builders, independent of the codecs' own ----
   private final class Buf {
