@@ -430,7 +430,7 @@ object Similarity {
       } else false
   }
 
-  private def bandedCorpus(corpus: DataFrame,
+  private[ops] def bandedCorpus(corpus: DataFrame,
                            bandKeys: org.apache.spark.sql.expressions
                              .UserDefinedFunction): DataFrame = {
     val key = (corpus.sparkSession,

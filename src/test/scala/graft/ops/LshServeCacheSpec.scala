@@ -23,17 +23,23 @@ class LshServeCacheSpec extends SparkSpec {
   test("repeat serves of one corpus reuse one cached banded relation") {
     val corpus = mkCorpus(40, 1)
     val queries = mkCorpus(5, 1)
+    val bandKeys = org.apache.spark.sql.functions.udf(
+      (v: Seq[Double]) => Dedup.hyperplaneBandKeys(v).toSeq)
+    // memoization is by (session, canonicalized corpus plan): repeat
+    // lookups — including via a content-identical but distinct corpus
+    // DataFrame instance — must return the SAME persisted relation
+    // (object identity, so no global cache-count race with concurrently
+    // running suites)
+    val b1 = Similarity.bandedCorpus(corpus, bandKeys)
+    val b2 = Similarity.bandedCorpus(corpus, bandKeys)
+    val b3 = Similarity.bandedCorpus(mkCorpus(40, 1), bandKeys)
+    assert(b1 eq b2, "same corpus instance must hit the cache")
+    assert(b1 eq b3, "semantically-equal corpus plan must hit the cache")
+    // and the serving path over the memoized relation still answers
     spark.conf.set("spark.graft.embeddingBlockMaxVecs", "0") // force LSH
     try {
-      Similarity.topKForQueryStream(queries, corpus, k = 3).count()
-      val after1 = spark.sparkContext.getPersistentRDDs.size
       val r2 = Similarity.topKForQueryStream(queries, corpus, k = 3)
       r2.count()
-      val after2 = spark.sparkContext.getPersistentRDDs.size
-      assert(after2 === after1,
-        s"second serve registered ${after2 - after1} new cached relations " +
-          "— the banded corpus must be memoized, not re-persisted per call")
-      // and the memoized path still answers: deterministic plan, same rows
       val r3 = Similarity.topKForQueryStream(queries, corpus, k = 3)
       assert(r3.exceptAll(r2).isEmpty && r2.exceptAll(r3).isEmpty)
     } finally spark.conf.unset("spark.graft.embeddingBlockMaxVecs")
