@@ -39,6 +39,10 @@ object Bench {
         s""""shuf_read_gb":${r(shufRead / 1e9)}}"""
   }
 
+  /** NaN/Infinity → 0.0 (bare non-finite literals are invalid JSON). */
+  private[graft] def finite(x: Double): Double =
+    if (x.isNaN || x.isInfinite) 0.0 else x
+
   final class WorkMeter(sc: org.apache.spark.SparkContext) {
     private val a = Array.fill(8)(new java.util.concurrent.atomic.AtomicLong)
     sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -59,6 +63,57 @@ object Bench {
       Thread.sleep(1200)
       Work(a(0).get, a(1).get, a(2).get, a(3).get,
         a(4).get, a(5).get, a(6).get, a(7).get)
+    }
+  }
+
+  /** Per-JOB-GROUP work attribution (the per-QUERY channel the per-phase
+    * [[WorkMeter]] cannot give): the timed pass wraps each query in
+    * `setJobGroup(tag, …)`; every job started under the group maps its
+    * stages here, and task-end metrics accumulate per tag. Wall clock on
+    * a contended box attributes scheduler WAIT to whichever query was
+    * running; task/CPU/shuffle per query are properties of the executed
+    * plan, so an r→r+1 regression is decidable per query even inside a
+    * noisy window (the reference likewise times every run individually —
+    * mpi/main.cc:39, mpi/logfile.h:109-124). Caveats: a stage shared
+    * with (and executed by) an earlier un-grouped job is attributed to
+    * that earlier job; shared lazy intermediates land on their first
+    * consumer, exactly as wall time does. */
+  final class GroupMeter(sc: org.apache.spark.SparkContext) {
+    private val stageToGroup =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    private val acc = new java.util.concurrent.ConcurrentHashMap[
+      String, Array[java.util.concurrent.atomic.AtomicLong]]()
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(j.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null && g.nonEmpty)
+          j.stageIds.foreach(sid => stageToGroup.put(sid, g))
+      }
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val g = stageToGroup.get(e.stageId)
+        val m = e.taskMetrics
+        if (g != null && m != null) {
+          val a = acc.computeIfAbsent(g, _ =>
+            Array.fill(8)(new java.util.concurrent.atomic.AtomicLong))
+          a(0).incrementAndGet(); a(1).addAndGet(m.executorRunTime)
+          a(2).addAndGet(m.executorCpuTime); a(3).addAndGet(m.jvmGCTime)
+          a(4).addAndGet(m.memoryBytesSpilled); a(5).addAndGet(m.diskBytesSpilled)
+          a(6).addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          a(7).addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    })
+    /** Drain the async listener bus, then snapshot every group. */
+    def read(): Map[String, Work] = {
+      Thread.sleep(1200)
+      import scala.jdk.CollectionConverters._
+      acc.asScala.map { case (g, a) =>
+        g -> Work(a(0).get, a(1).get, a(2).get, a(3).get,
+          a(4).get, a(5).get, a(6).get, a(7).get)
+      }.toMap
     }
   }
 
@@ -123,6 +178,11 @@ object Bench {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     def g4(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.4g", Double.box(x))
+    // headline TEPS fields must stay valid JSON even when a degenerate
+    // protocol run yields NaN/Infinity (bare NaN is not JSON, and the
+    // tail line is exactly what the driver parses) — same
+    // non-finite-to-0.0 rule the stat_block fields already get
+    def fin(x: Double): Double = Bench.finite(x)
 
     // One sequential (protocol-exact) Graph500 block: (full JSON object,
     // compact summary object for the tail-parseable line).
@@ -146,12 +206,12 @@ object Bench {
           s""""generation_sec":${s.generationTime},""" +
           s""""construction_sec":${s.constructionTime},""" +
           s""""bfs_total_sec":$bfsTotal,"validate_total_sec":$valTotal,""" +
-          s""""harmonic_mean_teps":${s.harmonicMeanTeps},""" +
+          s""""harmonic_mean_teps":${fin(s.harmonicMeanTeps)},""" +
           s""""max_nedge":${s.runs.map(_.nedge.toLong).max},""" +
           s""""nedge_golden_ok":${s.nedgeGoldenOk},""" +
           s""""validation_errors":$errs,""" +
           s""""stat_block":$stat}"""
-        val compact = s"""{"scale":$atScale,"hm_teps":${g4(s.harmonicMeanTeps)},""" +
+        val compact = s"""{"scale":$atScale,"hm_teps":${g4(fin(s.harmonicMeanTeps))},""" +
           s""""con_s":${r3(s.constructionTime)},"wall_s":${r3(wall)},""" +
           s""""ok":${s.nedgeGoldenOk},"err":$errs}"""
         (full, compact)
@@ -240,12 +300,22 @@ object Bench {
     // into the headline would make `value` incomparable with the batch
     // surface band, so they are timed ONCE into their own field.
     val (streamSel, batchSel) = selected.partition(_._1.startsWith("st_"))
+    // per-query work attribution rides job groups around each timed
+    // query (tag = p<pass>:<query>); the timed passes are sequential on
+    // this thread, so the group covers exactly that query's jobs
+    val qMeter = new GroupMeter(spark.sparkContext)
+    def grouped[A](tag: String)(body: => A): A = {
+      spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = false)
+      try body finally spark.sparkContext.clearJobGroup()
+    }
     val passResults: Seq[Map[String, Double]] =
       if (!queriesOn) Seq.empty
       else (1 to passes).map { p =>
         val r = batchSel.map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          grouped(s"p$p:$name") {
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          }
           name -> (System.nanoTime() - t0) / 1e9
         }
         lap(s"queries_pass$p")
@@ -258,12 +328,27 @@ object Bench {
       else {
         val r = streamSel.map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          grouped(s"st:$name") {
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          }
           name -> (System.nanoTime() - t0) / 1e9
         }
         lap("streaming")
         r
       }
+    // Per-query WORK snapshot (one bus drain for all groups): the
+    // steady-state channel is the LAST pass (shared intermediates
+    // already built), the cold channel is pass 1 — same convention as
+    // the wall-clock queries/queries_cold pair.
+    val groupWork: Map[String, Work] =
+      if (queriesOn) qMeter.read() else Map.empty
+    def groupSlice(prefix: String): Map[String, Work] =
+      groupWork.collect { case (tag, w) if tag.startsWith(prefix) =>
+        tag.stripPrefix(prefix) -> w
+      }
+    val qWork = groupSlice(s"p$passes:")
+    val qWorkCold = if (passes > 1) groupSlice("p1:") else Map.empty[String, Work]
+    val stWork = groupSlice("st:")
     // Record BOTH the pass-1 (cold: shared-intermediate builds land on
     // their first consumer) and the min (steady-state) — so the
     // warm-cache min is never silently compared against cold baselines.
@@ -298,10 +383,10 @@ object Bench {
           s""""bfs_wall_sec":${b.bfsWall},""" +
           s""""validate_wall_sec":${b.validateWall},""" +
           s""""total_nedge":${b.totalNedge},""" +
-          s""""throughput_teps":${b.throughputTeps},""" +
+          s""""throughput_teps":${fin(b.throughputTeps)},""" +
           s""""nedge_golden_ok":${b.nedgeGoldenOk},""" +
           s""""validation_errors":${b.errors}}"""
-        val compact = s"""{"scale":$scale,"teps":${g4(b.throughputTeps)},""" +
+        val compact = s"""{"scale":$scale,"teps":${g4(fin(b.throughputTeps))},""" +
           s""""ok":${b.nedgeGoldenOk},"err":${b.errors}}"""
         Some((full, compact))
       } catch { case e: Throwable =>
@@ -361,6 +446,15 @@ object Bench {
     val workField = if (work.isEmpty) "" else
       s""","work":${work.map { case (t, w) => s""""$t":${w.json}""" }
         .mkString("{", ",", "}")}"""
+    def jwork(m: Map[String, Work]): String =
+      m.toSeq.sortBy(_._1).map { case (k, w) => s""""$k":${w.json}""" }
+        .mkString("{", ",", "}")
+    val qWorkField =
+      (if (qWork.nonEmpty) s""","queries_work":${jwork(qWork)}""" else "") +
+      (if (qWorkCold.nonEmpty)
+        s""","queries_work_cold":${jwork(qWorkCold)}""" else "") +
+      (if (stWork.nonEmpty)
+        s""","queries_streaming_work":${jwork(stWork)}""" else "")
 
     // 1. The COMPLETE result object: full per-query map, cold pass,
     //    streaming, every protocol block's stat record, per-phase work
@@ -369,7 +463,7 @@ object Bench {
     //    the last ~2000 chars — a full 163-query record cannot fit).
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir"$coldField$streamField$warmField""" +
-      blocks(_._1) + workField + "}"
+      blocks(_._1) + workField + qWorkField + "}"
     println(fullJson)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {

@@ -80,27 +80,59 @@ object SparkEntry {
     * sessions), and entries whose session has stopped are evicted on the
     * next access, so a long-lived JVM doesn't accumulate dead plans,
     * broadcasts, or retained kernel arrays across sessions. */
-  private final class SessionCache[V] {
+  /** `onDiscard`: cleanup for a freshly built value that LOST the insert
+    * race (another thread — or the build itself, via a recursive
+    * [[put]] seed — installed a value first), so persisted state on the
+    * loser doesn't leak. */
+  private final class SessionCache[V <: AnyRef](onDiscard: V => Unit = (_: V) => ()) {
     private val bySession = new java.util.concurrent.ConcurrentHashMap[
       SparkSession, java.util.concurrent.ConcurrentHashMap[String, V]]()
-    def get(s: SparkSession, key: String)(build: => V): V = {
+    private val locks = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Object]()
+    private def mapFor(s: SparkSession) = {
       val it = bySession.keySet().iterator()
       while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
-      bySession
-        .computeIfAbsent(s,
-          _ => new java.util.concurrent.ConcurrentHashMap[String, V]())
-        .computeIfAbsent(key, _ => build)
+      val lit = locks.keySet().iterator()
+      while (lit.hasNext) if (lit.next()._1.sparkContext.isStopped) lit.remove()
+      bySession.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, V]())
+    }
+    /** Memoized build. NOT computeIfAbsent: a build that re-enters this
+      * cache on its OWN key (handle() seeds preparedCache while
+      * prepared() is building that same key) would make computeIfAbsent
+      * throw IllegalStateException("Recursive update"). Instead:
+      * get-then-putIfAbsent, serialized per (session, key) by a plain
+      * lock so the concurrent warm-up still builds each value once.
+      * put() takes no lock, so the recursive seed cannot deadlock; if it
+      * wins the insert, the outer build's duplicate is discarded. Builds
+      * of DIFFERENT keys proceed in parallel, and the caches' nesting
+      * order (prepared → clean → handle) is a DAG, so cross-key lock
+      * acquisition cannot cycle. */
+    def get(s: SparkSession, key: String)(build: => V): V = {
+      val m = mapFor(s)
+      val e = m.get(key)
+      if (e != null) return e
+      locks.computeIfAbsent((s, key), _ => new Object).synchronized {
+        val e2 = m.get(key)
+        if (e2 != null) e2
+        else {
+          val v = build
+          val prior = m.putIfAbsent(key, v)
+          if (prior == null) v
+          else { if (prior ne v) onDiscard(v); prior }
+        }
+      }
     }
     def put(s: SparkSession, key: String, v: V): Unit =
-      bySession
-        .computeIfAbsent(s,
-          _ => new java.util.concurrent.ConcurrentHashMap[String, V]())
-        .putIfAbsent(key, v)
+      mapFor(s).putIfAbsent(key, v)
   }
 
   private val handleCache = new SessionCache[GraphHandle]
   private val cleanCache = new SessionCache[DataFrame]
-  private val preparedCache = new SessionCache[graft.bfs.Bfs.PreparedGraph]
+  // a prepared graph that loses the insert race holds a persisted
+  // src-partitioned edge exchange — drop it rather than leak it
+  private val preparedCache =
+    new SessionCache[graft.bfs.Bfs.PreparedGraph](_.unpersist())
 
   /** Per-sfDir PREPARED graph for distributed-path re-traversals: the
     * canonical BFS's own prepared graph is seeded here by [[handle]], so

@@ -25,8 +25,9 @@ object KCore {
   /** Distributed peeling loop — two strategies on one contract:
     *
     *  - **Survivor-set path** (|V| at or under
-    *    `spark.graft.iterBroadcastVerts`, default
-    *    [[PageRank.IterBroadcastVerts]]): the keep set is a |V|-bounded
+    *    `spark.graft.iterBroadcastVerts`, default auto-sized from the
+    *    driver heap — [[PageRank.autoIterBroadcastVerts]]): the keep set
+    *    is a |V|-bounded
     *    (vertex, degree) table collected to the driver each round and
     *    shipped back as a broadcast range-lookup ([[graft.functions
     *    .Ship]]) — the BFS frontier-allgather pattern (SURVEY X6). One
@@ -49,17 +50,22 @@ object KCore {
             rounds: Int = 5): DataFrame = {
     require(k > 0 && rounds > 0, s"kcore: need k, rounds > 0, got ($k, $rounds)")
     val cap = spark.conf.getOption("spark.graft.iterBroadcastVerts")
-      .map(_.toLong).getOrElse(PageRank.IterBroadcastVerts)
+      .map(_.toLong).getOrElse(PageRank.iterBroadcastVerts)
     val edges = clean.select("src", "dst")
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg1 = edges.groupBy(col("src").as("v"))
-      .agg(count(lit(1)).as("degree"))
-    // |V| probe: partial+final agg over the persisted src layout — no
-    // exchange — then a count; also warms the edge cache.
-    val nV = deg1.count()
-    if (nV <= cap) kcoreSurvivorSet(spark, edges, deg1, k, rounds)
-    else kcoreCheckpoint(spark, edges, k, rounds)
+    // both paths fully materialize their result (Ship.df / eager
+    // checkpoint), so the edge cache drops unconditionally — including
+    // when a job thrown mid-round would previously have leaked it
+    try {
+      val deg1 = edges.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("degree"))
+      // |V| probe: partial+final agg over the persisted src layout — no
+      // exchange — then a count; also warms the edge cache.
+      val nV = deg1.count()
+      if (nV <= cap) kcoreSurvivorSet(spark, edges, deg1, k, rounds)
+      else kcoreCheckpoint(spark, edges, k, rounds)
+    } finally edges.unpersist(blocking = false)
   }
 
   /** Survivor-set path (see [[kcore]]): driver-held keep set, one
@@ -87,7 +93,6 @@ object KCore {
       keptDegs = rows.map(_.getLong(1))
       r += 1
     }
-    edges.unpersist(blocking = false)
     graft.functions.Ship.df(spark,
       "vertex" -> (if (keepIds == null) Array.emptyLongArray else keepIds),
       "degree" -> keptDegs)
@@ -125,6 +130,9 @@ object KCore {
           .localCheckpoint(eager = false,
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count()
+        // intermediate round checkpoints only — the ORIGINAL edge cache
+        // is dropped by kcore()'s finally (unpersist is idempotent, so
+        // the round-1 call here overlapping it is harmless)
         edges.unpersist(blocking = false)
         edges = next
       }

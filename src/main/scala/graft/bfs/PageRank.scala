@@ -39,11 +39,44 @@ object PageRank {
   /** Damping 0.85 as the exact pair (85, 100). */
   val DampNum = 85L
   val DampDen = 100L
-  /** Default cap for broadcasting the |V|-sized per-iteration tables
-    * (2M vertices ≈ ~50 MB of (v, outdeg, r) longs hashed — dimension-
-    * broadcast territory). Long sums are associative/commutative, so the
-    * broadcast and sort-merge plans produce identical bits. */
-  val IterBroadcastVerts = 2000000L
+  /** Floor for the auto-sized driver-state cap (see
+    * [[autoIterBroadcastVerts]]): 2M vertices ≈ ~50 MB of (v, outdeg, r)
+    * longs hashed — dimension-broadcast territory on any sane driver.
+    * Long sums are associative/commutative, so the driver-state and
+    * shuffle plans produce identical bits either side of the cap. */
+  val IterBroadcastVertsFloor = 2000000L
+
+  /** Hard ceiling for the auto-sized cap: past ~32M vertices the
+    * per-round collect() (|V| Rows) and the boxed-HashMap index
+    * broadcast (~1.5 GB at 32M) stop being "dimension-sized" on any
+    * heap — the shuffle loop is the right plan regardless of driver
+    * headroom. */
+  val IterBroadcastVertsCeil = 32000000L
+
+  /** Driver-side budget per vertex in the driver-state loops: four long
+    * arrays (ids/degs/r/next = 32 B) + the boxed java HashMap index
+    * (~48 B/entry) + the broadcast copies of index+degs (~48 B) ≈
+    * 128 B/vertex. */
+  val IterBroadcastBytesPerVertex = 128L
+
+  /** Auto-sized driver-state cap (the validation-broadcast-cap pattern,
+    * Validator.broadcastVerts): the vertex count whose driver-state
+    * footprint fits in 1/32 of the given heap, floored at
+    * [[IterBroadcastVertsFloor]] and ceiled at [[IterBroadcastVertsCeil]]
+    * — a 2 GB driver gets the floor, a 128 GB bench box gets ~32M, and
+    * no heap admits a collect the shuffle loop should own. Conf
+    * `spark.graft.iterBroadcastVerts` remains the override. */
+  private[graft] def autoIterBroadcastVerts(heapBytes: Long): Long =
+    math.min(IterBroadcastVertsCeil,
+      math.max(IterBroadcastVertsFloor,
+        heapBytes / 32 / IterBroadcastBytesPerVertex))
+
+  /** The live cap: auto-sized from the driver JVM heap (local-mode
+    * assumption: driver == executor; in cluster mode the collect lands
+    * on the driver and the broadcasts on executors, so driver heap is
+    * the binding side for the |V|-state pattern either way). */
+  private[bfs] def iterBroadcastVerts: Long =
+    autoIterBroadcastVerts(Runtime.getRuntime.maxMemory)
 
   /** Run `body` with AQE off, restoring the prior setting after. The
     * driver-state iteration loops plan the SAME tiny fixed shape every
@@ -75,7 +108,8 @@ object PageRank {
     * Two strategies on one contract (bit-identical outputs, spec-pinned;
     * the k-core survivor-set precedent):
     *  - **Driver-state path** (|V| at or under
-    *    `spark.graft.iterBroadcastVerts`, default [[IterBroadcastVerts]]):
+    *    `spark.graft.iterBroadcastVerts`, default auto-sized from the
+    *    driver heap — [[autoIterBroadcastVerts]]):
     *    the |V|-sized rank vector rides the driver (the BFS
     *    frontier-allgather pattern, SURVEY X6); one iteration is a single
     *    job — narrow per-edge contribution lookup against the broadcast
@@ -88,22 +122,36 @@ object PageRank {
     *    the src-partitioned edges + the partial-agg'd groupBy(dst),
     *    materialized through a lazy localCheckpoint + count (one job per
     *    iteration, lineage one iteration deep). */
+  /** Contract: `clean` must be SYMMETRIC (every (u,v) paired with (v,u)
+    * — [[graft.etl.EdgeOps.cleanEdges]] output). Only then are the two
+    * strategies bit-identical: on an asymmetric input the shuffle path's
+    * inner joins OMIT sink vertices (dst never seen as src) and
+    * source-only vertices, while the driver-state path keeps every src
+    * vertex — so asymmetric inputs get strategy-dependent row sets. */
   def pagerank(spark: SparkSession, clean: DataFrame, iters: Int = 10): DataFrame = {
     val edges = clean.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val od = edges.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("outdeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nV = od.count() // one scalar agg job, also materializes od
-    if (nV == 0) {
-      edges.unpersist(); od.unpersist()
-      import spark.implicits._
-      return Seq.empty[(Long, Long)].toDF("vertex", "rank_fp")
+    // both strategies fully materialize their result (Ship.df driver
+    // arrays / eager checkpoint) before returning, so the caches can be
+    // dropped unconditionally — including when a job thrown mid-loop
+    // (cancellation, executor loss) would previously have leaked them
+    try {
+      val nV = od.count() // one scalar agg job, also materializes od
+      if (nV == 0) {
+        import spark.implicits._
+        return Seq.empty[(Long, Long)].toDF("vertex", "rank_fp")
+      }
+      val cap = spark.conf.getOption("spark.graft.iterBroadcastVerts")
+        .map(_.toLong).getOrElse(iterBroadcastVerts)
+      if (nV <= cap) pagerankDriverState(spark, edges, od, nV, iters)
+      else pagerankShuffle(spark, edges, od, nV, iters)
+    } finally {
+      edges.unpersist(blocking = false)
+      od.unpersist(blocking = false)
     }
-    val cap = spark.conf.getOption("spark.graft.iterBroadcastVerts")
-      .map(_.toLong).getOrElse(IterBroadcastVerts)
-    if (nV <= cap) pagerankDriverState(spark, edges, od, nV, iters)
-    else pagerankShuffle(spark, edges, od, nV, iters)
   }
 
   /** Driver-state iteration (see [[pagerank]]): broadcast rank vector,
@@ -117,37 +165,51 @@ object PageRank {
     val odRows = od.select(col("v"), col("outdeg")).collect()
     val ids = odRows.map(_.getLong(0))
     val degs = odRows.map(_.getLong(1))
-    val idx = new java.util.HashMap[Long, Int](ids.length * 2)
-    ids.zipWithIndex.foreach { case (v, i) => idx.put(v, i) }
+    // boxed Integer values so an absent key reads as null (guardable)
+    // instead of auto-unboxing straight into an NPE
+    val idx = new java.util.HashMap[Long, Integer](ids.length * 2)
+    ids.zipWithIndex.foreach { case (v, i) => idx.put(v, Int.box(i)) }
     val bcIdx = spark.sparkContext.broadcast(idx)
     val bcDegs = spark.sparkContext.broadcast(degs)
-    val base = (Scale * 15L / 100L) / nV
-    var r = Array.fill(ids.length)(Scale / nV)
-    var it = 1
-    while (it <= iters) {
-      val bcR = spark.sparkContext.broadcast(r)
-      // contribution of edge (src, dst) to dst, computed per edge from
-      // the broadcast vector — identical floor division to the shuffle
-      // path's join projection
-      val cOf = udf { (src: Long) =>
-        val i = bcIdx.value.get(src)
-        bcR.value(i) * DampNum / (DampDen * bcDegs.value(i))
+    try {
+      val base = (Scale * 15L / 100L) / nV
+      var r = Array.fill(ids.length)(Scale / nV)
+      var it = 1
+      while (it <= iters) {
+        val bcR = spark.sparkContext.broadcast(r)
+        try {
+          // contribution of edge (src, dst) to dst, computed per edge from
+          // the broadcast vector — identical floor division to the shuffle
+          // path's join projection (src ∈ index always: od is
+          // edges.groupBy(src), so every edge src has an entry)
+          val cOf = udf { (src: Long) =>
+            val i = bcIdx.value.get(src).intValue
+            bcR.value(i) * DampNum / (DampDen * bcDegs.value(i))
+          }
+          val sums = edges.select(col("dst"), cOf(col("src")).as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+            .collect()
+          val next = new Array[Long](ids.length)
+          // symmetric graph: every vertex has in-edges, so `sums` covers
+          // all of them. A dst UNKNOWN to the index (sink vertex of an
+          // asymmetric input — outside the documented contract) is
+          // skipped, matching what the shuffle path's inner join does
+          // with it (omit) instead of null-unboxing an NPE.
+          sums.foreach { row =>
+            val i = bcIdx.value.get(row.getLong(0))
+            if (i ne null) next(i.intValue) = base + row.getLong(1)
+          }
+          r = next
+        } finally bcR.unpersist(blocking = false)
+        it += 1
       }
-      val sums = edges.select(col("dst"), cOf(col("src")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        .collect()
-      val next = new Array[Long](ids.length)
-      // symmetric graph: every vertex has in-edges, so `sums` covers all
-      sums.foreach { row =>
-        next(bcIdx.value.get(row.getLong(0))) = base + row.getLong(1)
-      }
-      r = next
-      bcR.unpersist(blocking = false)
-      it += 1
+      graft.functions.Ship.df(spark, "vertex" -> ids, "rank_fp" -> r)
+    } finally {
+      // per-invocation |V|-bounded broadcasts: destroy, don't leak one
+      // pair per pagerank() call into a long-lived session
+      bcIdx.destroy()
+      bcDegs.destroy()
     }
-    edges.unpersist(blocking = false)
-    od.unpersist(blocking = false)
-    graft.functions.Ship.df(spark, "vertex" -> ids, "rank_fp" -> r)
   }
 
   /** Above-cap shuffle iteration (see [[pagerank]]). */
@@ -185,11 +247,10 @@ object PageRank {
       ranks.count()
       i += 1
     }
-    val out = ranks.select(col("v").as("vertex"), col("r").as("rank_fp"))
+    // eager checkpoint: the result must not depend on the edges/od
+    // caches, which pagerank()'s finally drops as soon as we return
+    ranks.select(col("v").as("vertex"), col("r").as("rank_fp"))
       .localCheckpoint(eager = true)
-    edges.unpersist()
-    od.unpersist()
-    out
   }
 
   /** In-kernel fixed-point PageRank on a symmetric CSR: dense gather

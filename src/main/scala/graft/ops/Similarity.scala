@@ -353,7 +353,14 @@ object Similarity {
     *
     * Output contract either way: (query_id, neighbor_id, rank, cosine),
     * rank by (rounded cosine desc, neighbor_id asc), self-matches
-    * excluded. */
+    * excluded.
+    *
+    * The LSH path treats the corpus as a FROZEN snapshot: its banded
+    * relation is persisted and memoized by canonicalized plan for the
+    * session (LRU, see [[bandedCorpus]]), so a corpus whose backing
+    * files are rewritten keeps serving the old vectors until
+    * [[invalidateBandedCorpusCache]] is called — the refresh hook for
+    * serving over a corpus that actually changed. */
   def topKForQueryStream(queries: DataFrame, corpus: DataFrame,
                          k: Int = 5): DataFrame = {
     require(!corpus.isStreaming, "corpus must be a static table")
@@ -429,6 +436,28 @@ object Similarity {
         true
       } else false
   }
+
+  /** FROZEN-CORPUS SEMANTICS: the cache key is the CANONICALIZED PLAN,
+    * not the data — a corpus re-read from the same source path after the
+    * underlying files change canonicalizes to the same plan and keeps
+    * serving the previously banded (persisted) vectors until LRU
+    * eviction. That is the deliberate contract of the serving path (a
+    * serving corpus is an immutable snapshot; re-banding per call is the
+    * cost this cache exists to avoid). On a corpus REFRESH, call
+    * [[invalidateBandedCorpusCache]] to drop the stale relations
+    * explicitly. */
+  def invalidateBandedCorpusCache(session: org.apache.spark.sql.SparkSession): Unit =
+    bandedCorpusCache.synchronized {
+      val it = bandedCorpusCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq session) {
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+          it.remove()
+        }
+      }
+    }
 
   private[ops] def bandedCorpus(corpus: DataFrame,
                            bandKeys: org.apache.spark.sql.expressions

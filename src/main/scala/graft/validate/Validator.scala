@@ -39,23 +39,42 @@ object Validator {
     * ~25 B/vertex at SCALE 24; 32 B adds headroom for map load factor. */
   val BroadcastBytesPerVertex = 32L
 
+  /** Ceiling on the per-site hashed-relation size: Spark hard-fails any
+    * broadcast table past 8 GB (BroadcastExchangeExec), so the derived
+    * cap must keep each site WELL under that regardless of heap — on a
+    * 256 GiB+ heap an unclamped heap/16 sizing would admit a >8 GB
+    * relation and turn the intended shuffle fallback into a runtime
+    * failure. 6 GB leaves headroom for map load factor variance. */
+  val BroadcastRelationByteCeil = 6L * 1024 * 1024 * 1024
+
   /** Above this many vertices the tree side is no longer broadcast and
-    * the edge checks fall back to shuffle joins. AUTO-SIZED from the
-    * JVM heap instead of a hand-set constant: the cap is the vertex
-    * count whose hashed relation fits in 1/16 of max heap (three
-    * broadcast sites are live at once — parentDepth, du, dv — so the
-    * worst case is ~3/16 of heap in broadcasts), floored at
-    * [[BroadcastVertsFloor]]. At the bench box's 48-128 GiB heaps this
-    * admits SCALE 25-26 (33.5-67M vertices) with no hand tuning — the
-    * setting SCALE 25 previously needed via SPARK_GRAFT_CONF — while an
-    * executor-sized 8 GiB heap still gets the floor. Override with
-    * spark.graft.validateBroadcastVerts (now an override, not a
-    * requirement). */
+    * the edge checks fall back to shuffle joins. AUTO-SIZED instead of a
+    * hand-set constant: the cap is the vertex count whose hashed
+    * relation fits in 1/16 of the executor heap (three broadcast sites
+    * are live at once — parentDepth, du, dv — so the worst case is
+    * ~3/16 of heap in broadcasts), floored at [[BroadcastVertsFloor]]
+    * and ceiled so the relation stays under Spark's 8 GB broadcast-table
+    * hard limit ([[BroadcastRelationByteCeil]]). The sizing heap is
+    * `spark.executor.memory` when set (cluster mode: the broadcast
+    * lives on executors, whose heap may be far smaller than a fat
+    * driver's) and the local JVM max heap otherwise (local mode:
+    * driver == executor). At the bench box's 48-128 GiB heaps this
+    * admits SCALE 25-26 (33.5-67M vertices) with no hand tuning, while
+    * an 8 GiB executor still gets the floor. Override with
+    * spark.graft.validateBroadcastVerts (an override, not a
+    * requirement — an explicit conf is trusted as-is). */
   private[graft] def broadcastVerts(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.validateBroadcastVerts")
       .map(_.toLong)
-      .getOrElse(math.max(BroadcastVertsFloor,
-        Runtime.getRuntime.maxMemory / 16 / BroadcastBytesPerVertex))
+      .getOrElse(autoBroadcastVerts(
+        spark.conf.getOption("spark.executor.memory")
+          .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+          .getOrElse(Runtime.getRuntime.maxMemory)))
+
+  /** Pure derivation for [[broadcastVerts]] (spec'd at both extremes). */
+  private[graft] def autoBroadcastVerts(heapBytes: Long): Long =
+    math.min(BroadcastRelationByteCeil / BroadcastBytesPerVertex,
+      math.max(BroadcastVertsFloor, heapBytes / 16 / BroadcastBytesPerVertex))
 
   /** The canonical undirected raw edge set used by check 4c — (lo, hi)
     * with self-loops dropped and duplicates merged. A benchmark validating
