@@ -1235,9 +1235,12 @@ object SparkEntry {
           }
           (mx.toLong, fv)
         case _ =>
-          val t = tree(s, dir)
-          val e1 = t.agg(max(col("depth"))).head().getLong(0)
-          val fv = t.filter(col("depth") === e1)
+          // the BFS loop already left its per-level frontier sizes on
+          // the driver — ecc1 is their max level, zero Spark jobs; one
+          // filtered min-scan of the checkpointed q7 tree then finds
+          // the farthest vertex (min id on ties)
+          val e1 = h.levelSizes.map(_._1).max.toLong
+          val fv = h.tree.filter(col("depth") === e1)
             .agg(min(col("vertex"))).head().getLong(0)
           (e1, fv)
       }
@@ -1249,8 +1252,11 @@ object SparkEntry {
           while (i < d2.length) { if (d2(i) > mx) mx = d2(i); i += 1 }
           mx.toLong
         case _ =>
+          // sweep 2 needs only the ECCENTRICITY, which the level loop
+          // counts as it runs: take it off the driver-held sizes and
+          // never materialize (or aggregate) the sweep-2 tree
           graft.bfs.Bfs.bfsMinParent(s, prepared(s, dir), far)
-            .tree.agg(max(col("depth"))).head().getLong(0)
+            .levelSizes.map(_._1).max.toLong
       }
       Seq((h.root, ecc1, far, ecc2))
         .toDF("root1", "ecc1", "far_vertex", "ecc2")

@@ -208,12 +208,6 @@ object Bfs {
       : (PreparedGraph, Option[Long]) = {
     val spark = raw.sparkSession
     val gate = localBfsMaxEdges(spark)
-    def distributed(): (PreparedGraph, Option[Long]) = {
-      val g = prepare(graft.etl.EdgeOps.cleanEdges(raw), bySrc = true)
-      val root =
-        if (needRoot) Some(raw.agg(min(col("src"))).head().getLong(0)) else None
-      (g, root)
-    }
     // Gate probe WITHOUT a dedicated count job where possible: callers
     // that already counted (benchmark stage 1 counts the persisted raw
     // list) pass the count; otherwise a Catalyst stats estimate small
@@ -234,6 +228,18 @@ object Bfs {
         if (est <= BigInt(gate) * 4 && est <= BigInt(64L << 20)) -1L
         else raw.count()
       }
+    def distributed(): (PreparedGraph, Option[Long]) = {
+      // pre-flight: the construction sort's transient spill at large
+      // scales can exceed the scratch volume (SCALE 26 peaked at 99% of
+      // 252 GB) — fail fast with the measured requirement instead of an
+      // opaque mid-sort disk-full crash (no-op when the count is
+      // unknown or the need is small)
+      graft.etl.ScratchGate.check(spark, nRawKnown)
+      val g = prepare(graft.etl.EdgeOps.cleanEdges(raw), bySrc = true)
+      val root =
+        if (needRoot) Some(raw.agg(min(col("src"))).head().getLong(0)) else None
+      (g, root)
+    }
     if (nRawKnown >= 0L && nRawKnown * 2 > gate) distributed()
     else {
       // ONE primitive collect of the raw list; loop-drop, symmetrize and

@@ -158,7 +158,12 @@ object EdgeOps {
       case 2 => Seq(col("degree").desc, col("vertex").asc)
       case _ => throw new IllegalArgumentException(s"reorder mode $mode")
     }
+    // zipWithIndex is TWO passes over the sorted relation (per-partition
+    // counts, then the offset map): lazily checkpoint the sort so the
+    // count pass materializes it once and the map pass re-reads the
+    // cache instead of re-running degrees + the range exchange
     val sorted = deg.orderBy(order: _*).select(col("vertex")).as[Long]
+      .localCheckpoint(eager = false)
     spark.createDataset(
         sorted.rdd.zipWithIndex.map { case (v, i) => (v, i) })
       .toDF("vertex", "new_id")
@@ -181,10 +186,13 @@ object EdgeOps {
     val spark = clean.sparkSession
     import spark.implicits._
     val deg = degrees(clean)
+    // same two-pass zipWithIndex shape as [[reorderMap]]: checkpoint the
+    // sort so the universe join + range exchange run once, not twice
     val sorted = spark.range(nVertices).toDF("vertex")
       .join(deg, Seq("vertex"), "left_outer")
       .orderBy(col("degree").isNull.asc, col("vertex").asc)
       .select(col("vertex")).as[Long]
+      .localCheckpoint(eager = false)
     spark.createDataset(
         sorted.rdd.zipWithIndex.map { case (v, i) => (v, i) })
       .toDF("vertex", "new_id")

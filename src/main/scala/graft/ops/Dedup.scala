@@ -153,25 +153,32 @@ object Dedup {
     * weights should not double-count). Exact integer intersections and
     * set sizes; the coefficient is a 6-dp rendering.
     *
-    * Scale shape: the corpus collapses to distinct (shingle, source)
-    * first — one shuffle; per-shingle fan-out in the pair join is
-    * bounded by the number of sources carrying the shingle (sources
-    * are O(100)); the rollup is O(sources²) groups. Hot universal
-    * shingles cost source-count² pairs each, not corpus rows. */
+    * Scale shape: ONE shingle-keyed aggregation collapses the corpus to
+    * per-shingle sorted source SETS (collect_set dedups occurrences
+    * map-side; set size is bounded by the source count, O(100) however
+    * big the corpus). Pairs are then generated MAP-SIDE from each set
+    * row and partially aggregated before the pair shuffle — a
+    * stop-shingle present in all S sources costs C(S,2) in-memory
+    * struct rows on one executor, never C(S,2) shuffled join rows; the
+    * rollup shuffle moves at most O(sources²) groups per partition.
+    * (Replaces the earlier shingle self-join: one exchange fewer and no
+    * unguarded per-shingle join fan-out.) */
   def sourceShingleSimilarity(docs: DataFrame): DataFrame = {
-    // three consumers (sizes + both join sides) — materialize the
-    // distinct (shingle, source) table once (bounded by shingle TYPES
-    // × sources, not occurrences) instead of re-running the tokenize +
-    // explode + distinct pipeline per consumer
-    val ss = TextOps.shingles(docs.select("doc_id", "text"), 3)
+    // two consumers (sizes + pairs) — materialize the per-shingle
+    // source-set table once (shingle TYPES rows, not occurrences)
+    val sets = TextOps.shingles(docs.select("doc_id", "text"), 3)
       .join(docs.select("doc_id", "source"), "doc_id")
-      .select("shingle", "source").distinct()
+      .groupBy("shingle")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .localCheckpoint(true)
-    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val a = ss.select(col("shingle"), col("source").as("source_a"))
-    val b = ss.select(col("shingle"), col("source").as("source_b"))
-    a.join(b, Seq("shingle"))
-      .filter(col("source_a") < col("source_b"))
+    val sizes = sets.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // all ordered pairs (a < b) of each sorted set, built from array
+    // builtins so the generation stays inside codegen
+    sets.select(explode(flatten(transform(col("srcs"), (x, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_common"))
       .join(sizes.select(col("source").as("source_a"), col("n").as("na")),
