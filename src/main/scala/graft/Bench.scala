@@ -186,10 +186,20 @@ object Bench {
 
     // One sequential (protocol-exact) Graph500 block: (full JSON object,
     // compact summary object for the tail-parseable line).
-    def seqProtocol(roots: Int, atScale: Int = scale): (String, String) = {
+    // SPARK_GRAFT_CHECKPOINT=<path>: per-run resume file for the MAIN
+    // sequential block only (S8 resume semantics, bench/Graph500.scala) —
+    // long multi-root blocks at high SCALE (hours) survive a kill: a
+    // re-invocation with the same path skips every completed run and a
+    // lowered SPARK_GRAFT_ROOTS turns a partial file into a complete
+    // smaller block. The isolated/spec64 blocks never checkpoint (they
+    // exist to be timed whole).
+    val checkpointEnv = sys.env.get("SPARK_GRAFT_CHECKPOINT").filter(_.nonEmpty)
+    def seqProtocol(roots: Int, atScale: Int = scale,
+                    checkpoint: Option[String] = None): (String, String) = {
       val t0 = System.nanoTime()
       try {
-        val s = bench.Graph500.run(spark, atScale, roots)
+        val s = bench.Graph500.run(spark, atScale, roots,
+          checkpointPath = checkpoint)
         val wall = (System.nanoTime() - t0) / 1e9
         val bfsTotal = s.runs.map(_.bfs_time).sum
         val valTotal = s.runs.map(_.validate_time).sum
@@ -372,7 +382,7 @@ object Bench {
       gcSettle()
     }
     val g500 = if (g500On) {
-      val r = Some(seqProtocol(nRoots))
+      val r = Some(seqProtocol(nRoots, checkpoint = checkpointEnv))
       lap("g500_seq")
       r
     } else None

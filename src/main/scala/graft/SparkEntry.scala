@@ -184,6 +184,17 @@ object SparkEntry {
       }
     }
 
+  /** Shared DISTRIBUTED-path degree table, one per sfDir: q3, the three
+    * q4 reorders, gr_2hop, gr_assort and gr_degdist all consume the same
+    * groupBy — checkpoint it once instead of re-aggregating the clean
+    * edge list per query. (Kernel-path graphs never reach this — withCsr
+    * serves degrees straight off the CSR.) The checkpoint is |V| rows,
+    * ContextCleaner-reclaimed with the session like the clean cache. */
+  private val degreesCache = new SessionCache[DataFrame]
+  private def degreesOf(s: SparkSession, dir: String): DataFrame =
+    degreesCache.get(s, dir)(
+      EdgeOps.degrees(clean(s, dir)).localCheckpoint(eager = true))
+
   private def rootOf(s: SparkSession, dir: String): Long = handle(s, dir).root
 
   /** Max used vertex id of the cleaned graph (= reference max-vertex scan
@@ -230,15 +241,17 @@ object SparkEntry {
 
     // Q3 — per-vertex degrees.
     "q3_degrees" -> ((s, dir) =>
-      withCsr(s, dir)(_.degreesDf(s))(EdgeOps.degrees(clean(s, dir)))),
+      withCsr(s, dir)(_.degreesDf(s))(degreesOf(s, dir))),
 
     // Q4 — degree-descending reorder map (mode 2).
     "q4_reorder_degree" -> ((s, dir) =>
-      withCsr(s, dir)(_.reorderDf(s, 2))(EdgeOps.reorderMap(clean(s, dir), 2))),
+      withCsr(s, dir)(_.reorderDf(s, 2))(
+        EdgeOps.reorderMap(clean(s, dir), 2, Some(degreesOf(s, dir))))),
 
     // Q4 — identity-order reorder map (mode 0).
     "q4_reorder_identity" -> ((s, dir) =>
-      withCsr(s, dir)(_.reorderDf(s, 0))(EdgeOps.reorderMap(clean(s, dir), 0))),
+      withCsr(s, dir)(_.reorderDf(s, 0))(
+        EdgeOps.reorderMap(clean(s, dir), 0, Some(degreesOf(s, dir))))),
 
     // Q4 — isolated-last reorder map (mode 1) over the FULL vertex
     // universe 0..max_used (reference parameters.h:38-41 /
@@ -247,7 +260,8 @@ object SparkEntry {
     "q4_reorder_isolated" -> ((s, dir) => {
       val n = maxVertexOf(s, dir) + 1
       withCsr(s, dir)(_.reorderIsolatedLastDf(s, n))(
-        EdgeOps.reorderMapIsolatedLast(clean(s, dir), n))
+        EdgeOps.reorderMapIsolatedLast(clean(s, dir), n,
+          Some(degreesOf(s, dir))))
     }),
 
     // Q5 — graph summary counts.
@@ -1198,18 +1212,26 @@ object SparkEntry {
     // buckets over the q3 degree table).
     "gr_degdist" -> ((s, dir) =>
       etl.EdgeOps.degreeHistogram(
-        withCsr(s, dir)(_.degreesDf(s))(etl.EdgeOps.degrees(clean(s, dir))))),
+        withCsr(s, dir)(_.degreesDf(s))(degreesOf(s, dir)))),
 
     // Exact 2-hop reach of the top-20 hubs: TakeOrdered hub table
     // broadcast, one vertex-keyed hop join, (hub, vertex) distinct.
     "gr_2hop" -> ((s, dir) =>
-      etl.EdgeOps.twoHopReach(clean(s, dir), 20)),
+      etl.EdgeOps.twoHopReach(clean(s, dir), 20,
+        handle(s, dir).csr match {
+          case Some(csr) if csr.nVerts > 0 => None // kernel serves hubs
+          case _ => Some(degreesOf(s, dir))
+        })),
 
     // Degree-assortativity moments: exact integer edge-endpoint degree
     // sums (Pearson numerator/denominator pieces, division left to the
     // reader).
     "gr_assort" -> ((s, dir) =>
-      etl.EdgeOps.assortativityMoments(clean(s, dir))),
+      etl.EdgeOps.assortativityMoments(clean(s, dir),
+        handle(s, dir).csr match {
+          case Some(csr) if csr.nVerts > 0 => None // local graph: joins are tiny
+          case _ => Some(degreesOf(s, dir))
+        })),
 
     // Double-sweep diameter lower bound: eccentricity from the
     // canonical root (read off the EXISTING q7 tree — no new

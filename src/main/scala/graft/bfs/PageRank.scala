@@ -162,14 +162,18 @@ object PageRank {
   private def pagerankDriverState(spark: SparkSession, edges: DataFrame,
                                   od: DataFrame, nV: Long,
                                   iters: Int): DataFrame = withoutAqe(spark) {
+    // SORTED id array + binarySearch instead of a HashMap index: the
+    // lookup runs once per EDGE per iteration, and HashMap[Long, _]
+    // boxes the probe key on every get (at 6M edges x 10 iterations
+    // that is ~60M transient Longs per invocation, all garbage);
+    // binarySearch over a primitive long[] allocates nothing, and an
+    // absent key reads as a negative index (guardable) instead of a
+    // null-unboxing NPE.
     val odRows = od.select(col("v"), col("outdeg")).collect()
-    val ids = odRows.map(_.getLong(0))
-    val degs = odRows.map(_.getLong(1))
-    // boxed Integer values so an absent key reads as null (guardable)
-    // instead of auto-unboxing straight into an NPE
-    val idx = new java.util.HashMap[Long, Integer](ids.length * 2)
-    ids.zipWithIndex.foreach { case (v, i) => idx.put(v, Int.box(i)) }
-    val bcIdx = spark.sparkContext.broadcast(idx)
+    val order = odRows.indices.sortBy(odRows(_).getLong(0))
+    val ids = order.map(odRows(_).getLong(0)).toArray
+    val degs = order.map(odRows(_).getLong(1)).toArray
+    val bcIds = spark.sparkContext.broadcast(ids)
     val bcDegs = spark.sparkContext.broadcast(degs)
     try {
       val base = (Scale * 15L / 100L) / nV
@@ -180,10 +184,10 @@ object PageRank {
         try {
           // contribution of edge (src, dst) to dst, computed per edge from
           // the broadcast vector — identical floor division to the shuffle
-          // path's join projection (src ∈ index always: od is
+          // path's join projection (src ∈ ids always: od is
           // edges.groupBy(src), so every edge src has an entry)
           val cOf = udf { (src: Long) =>
-            val i = bcIdx.value.get(src).intValue
+            val i = java.util.Arrays.binarySearch(bcIds.value, src)
             bcR.value(i) * DampNum / (DampDen * bcDegs.value(i))
           }
           val sums = edges.select(col("dst"), cOf(col("src")).as("c"))
@@ -193,11 +197,11 @@ object PageRank {
           // symmetric graph: every vertex has in-edges, so `sums` covers
           // all of them. A dst UNKNOWN to the index (sink vertex of an
           // asymmetric input — outside the documented contract) is
-          // skipped, matching what the shuffle path's inner join does
-          // with it (omit) instead of null-unboxing an NPE.
+          // skipped (negative index), matching what the shuffle path's
+          // inner join does with it (omit) instead of failing.
           sums.foreach { row =>
-            val i = bcIdx.value.get(row.getLong(0))
-            if (i ne null) next(i.intValue) = base + row.getLong(1)
+            val i = java.util.Arrays.binarySearch(ids, row.getLong(0))
+            if (i >= 0) next(i) = base + row.getLong(1)
           }
           r = next
         } finally bcR.unpersist(blocking = false)
@@ -207,7 +211,7 @@ object PageRank {
     } finally {
       // per-invocation |V|-bounded broadcasts: destroy, don't leak one
       // pair per pagerank() call into a long-lived session
-      bcIdx.destroy()
+      bcIds.destroy()
       bcDegs.destroy()
     }
   }

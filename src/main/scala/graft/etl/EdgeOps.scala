@@ -87,8 +87,11 @@ object EdgeOps {
     * cost of the exact answer, spread across the cluster by the join
     * key; the distinct + count are hash-partitioned on (hub, vertex).
     * Output: (vertex, degree, reach_2hop). */
-  def twoHopReach(clean: DataFrame, k: Int): DataFrame = {
-    val hubs = clean.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+  def twoHopReach(clean: DataFrame, k: Int,
+                  precomputedDegrees: Option[DataFrame] = None): DataFrame = {
+    val hubs = precomputedDegrees
+      .map(_.select(col("vertex").as("src"), col("degree")))
+      .getOrElse(clean.groupBy(col("src")).agg(count(lit(1)).as("degree")))
       .orderBy(col("degree").desc, col("src")).limit(k)
       .select(col("src").as("h"), col("degree"))
     val h1 = clean.join(broadcast(hubs.select("h")),
@@ -118,8 +121,10 @@ object EdgeOps {
     * joined to the edge list twice — plain shuffle-hash equi-joins
     * that AQE may broadcast when degrees fit — then a single global
     * agg whose exchange carries one partial row per partition. */
-  def assortativityMoments(clean: DataFrame): DataFrame = {
-    val deg = degrees(clean)
+  def assortativityMoments(clean: DataFrame,
+                           precomputedDegrees: Option[DataFrame] = None)
+      : DataFrame = {
+    val deg = precomputedDegrees.getOrElse(degrees(clean))
     clean
       .join(deg.select(col("vertex").as("src"), col("degree").as("ds")),
         Seq("src"))
@@ -148,10 +153,11 @@ object EdgeOps {
    * whole vertex table through a single partition — the classic
    * global-window bottleneck this implementation exists to avoid.
    */
-  def reorderMap(clean: DataFrame, mode: Int): DataFrame = {
+  def reorderMap(clean: DataFrame, mode: Int,
+                 precomputedDegrees: Option[DataFrame] = None): DataFrame = {
     val spark = clean.sparkSession
     import spark.implicits._
-    val deg = degrees(clean)
+    val deg = precomputedDegrees.getOrElse(degrees(clean))
     val order: Seq[Column] = mode match {
       case 0 => Seq(col("vertex").asc)
       case 1 => Seq((col("degree") === 0).asc, col("vertex").asc)
@@ -182,10 +188,12 @@ object EdgeOps {
     * materialized), degrees attach via one left equi-join, and dense
     * ids come from the same range-partitioned sort + zipWithIndex as
     * [[reorderMap]] — never a partition-less window. */
-  def reorderMapIsolatedLast(clean: DataFrame, nVertices: Long): DataFrame = {
+  def reorderMapIsolatedLast(clean: DataFrame, nVertices: Long,
+                             precomputedDegrees: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = clean.sparkSession
     import spark.implicits._
-    val deg = degrees(clean)
+    val deg = precomputedDegrees.getOrElse(degrees(clean))
     // same two-pass zipWithIndex shape as [[reorderMap]]: checkpoint the
     // sort so the universe join + range exchange run once, not twice
     val sorted = spark.range(nVertices).toDF("vertex")
