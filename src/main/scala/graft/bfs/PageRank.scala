@@ -162,57 +162,65 @@ object PageRank {
   private def pagerankDriverState(spark: SparkSession, edges: DataFrame,
                                   od: DataFrame, nV: Long,
                                   iters: Int): DataFrame = withoutAqe(spark) {
-    // SORTED id array + binarySearch instead of a HashMap index: the
-    // lookup runs once per EDGE per iteration, and HashMap[Long, _]
-    // boxes the probe key on every get (at 6M edges x 10 iterations
-    // that is ~60M transient Longs per invocation, all garbage);
-    // binarySearch over a primitive long[] allocates nothing, and an
-    // absent key reads as a negative index (guardable) instead of a
-    // null-unboxing NPE.
+    // DENSE-ID REMAP, once: the per-edge id→index lookup is the hot
+    // operation (|E| × iters evaluations), and both a HashMap probe
+    // (boxes the key, ~60M transient Longs per invocation) and a
+    // binarySearch (~19 cache-missing probes over a |V|-sized array —
+    // measured SLOWER than the map at sf0.1) pay per evaluation.
+    // Instead the edges are rewritten to (srcIdx, dstIdx) ints in ONE
+    // pass (two searches per edge, once), cached for the loop; every
+    // iteration then reads a precomputed per-vertex contribution by
+    // DIRECT array index — zero search, zero boxing in the hot loop.
     val odRows = od.select(col("v"), col("outdeg")).collect()
     val order = odRows.indices.sortBy(odRows(_).getLong(0))
     val ids = order.map(odRows(_).getLong(0)).toArray
     val degs = order.map(odRows(_).getLong(1)).toArray
     val bcIds = spark.sparkContext.broadcast(ids)
-    val bcDegs = spark.sparkContext.broadcast(degs)
+    val idxOf = udf { (v: Long) =>
+      java.util.Arrays.binarySearch(bcIds.value, v)
+    }
+    // dstIdx < 0 = dst never seen as src (sink vertex of an asymmetric
+    // input, outside the documented contract): kept through the agg and
+    // skipped at the driver, matching the shuffle path's inner-join omit
+    val eIdx = edges
+      .select(idxOf(col("src")).as("si"), idxOf(col("dst")).as("di"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val base = (Scale * 15L / 100L) / nV
       var r = Array.fill(ids.length)(Scale / nV)
       var it = 1
       while (it <= iters) {
-        val bcR = spark.sparkContext.broadcast(r)
+        // per-VERTEX contribution computed on the driver (|V| divisions,
+        // free next to the |E|-sized scan) — identical floor division to
+        // the shuffle path's join projection, so outputs stay bit-equal
+        val contrib = new Array[Long](ids.length)
+        var j = 0
+        while (j < contrib.length) {
+          contrib(j) = r(j) * DampNum / (DampDen * degs(j)); j += 1
+        }
+        val bcC = spark.sparkContext.broadcast(contrib)
         try {
-          // contribution of edge (src, dst) to dst, computed per edge from
-          // the broadcast vector — identical floor division to the shuffle
-          // path's join projection (src ∈ ids always: od is
-          // edges.groupBy(src), so every edge src has an entry)
-          val cOf = udf { (src: Long) =>
-            val i = java.util.Arrays.binarySearch(bcIds.value, src)
-            bcR.value(i) * DampNum / (DampDen * bcDegs.value(i))
-          }
-          val sums = edges.select(col("dst"), cOf(col("src")).as("c"))
-            .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+          val cOf = udf { (si: Int) => bcC.value(si) }
+          val sums = eIdx.select(col("di"), cOf(col("si")).as("c"))
+            .groupBy(col("di")).agg(sum(col("c")).as("s"))
             .collect()
           val next = new Array[Long](ids.length)
           // symmetric graph: every vertex has in-edges, so `sums` covers
-          // all of them. A dst UNKNOWN to the index (sink vertex of an
-          // asymmetric input — outside the documented contract) is
-          // skipped (negative index), matching what the shuffle path's
-          // inner join does with it (omit) instead of failing.
+          // all of them (negative di = out-of-contract sink, skipped)
           sums.foreach { row =>
-            val i = java.util.Arrays.binarySearch(ids, row.getLong(0))
+            val i = row.getInt(0)
             if (i >= 0) next(i) = base + row.getLong(1)
           }
           r = next
-        } finally bcR.unpersist(blocking = false)
+        } finally bcC.unpersist(blocking = false)
         it += 1
       }
       graft.functions.Ship.df(spark, "vertex" -> ids, "rank_fp" -> r)
     } finally {
-      // per-invocation |V|-bounded broadcasts: destroy, don't leak one
-      // pair per pagerank() call into a long-lived session
+      eIdx.unpersist(blocking = false)
+      // per-invocation |V|-bounded broadcast: destroy, don't leak one
+      // per pagerank() call into a long-lived session
       bcIds.destroy()
-      bcDegs.destroy()
     }
   }
 
