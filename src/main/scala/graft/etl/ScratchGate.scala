@@ -16,9 +16,12 @@ import org.apache.spark.sql.SparkSession
   * the measured requirement in the message. */
 object ScratchGate {
 
-  /** Peak transient scratch per raw directed edge, measured (233 B at
-    * SCALE 26) plus margin. */
-  val BytesPerRawEdge = 240L
+  /** Peak transient scratch per raw directed edge: measured 232.4 B at
+    * SCALE 26 (peak 99% of a 252 GB volume for 2^30 raw edges) plus a
+    * small margin. The margin must stay within the measured headroom —
+    * a fatter constant would have REJECTED the r8 SCALE-26 run that in
+    * fact completed with ~1 GB to spare. */
+  val BytesPerRawEdge = 234L
 
   /** Estimated needs below this skip the probe entirely — test scales
     * and kernel-path runs never touch it. */
@@ -55,15 +58,23 @@ object ScratchGate {
       .map(new java.io.File(_))
   }
 
-  /** Free bytes on the scratch volume(s). Distinct dirs may share one
-    * filesystem, so usable space is deduplicated by totalSpace+freeSpace
-    * fingerprint (good enough to avoid double-counting one device
-    * mounted twice); -1 if nothing could be stat'd. */
+  /** Free bytes on the scratch volume(s). A root process can write into
+    * the filesystem's reserved blocks, so for root the honest capacity
+    * is getFreeSpace (f_bfree) — getUsableSpace (f_bavail) excludes the
+    * reservation and on a heavily-reserved volume under-reports by
+    * 100+ GB (this box: 256 GB free vs 85 GB "available" to non-root).
+    * Distinct dirs may share one filesystem, so space is deduplicated by
+    * totalSpace+freeSpace fingerprint (good enough to avoid
+    * double-counting one device mounted twice); -1 if nothing could be
+    * stat'd. */
   private[graft] def freeScratchBytes(spark: SparkSession): Long = {
+    val isRoot = System.getProperty("user.name") == "root"
     val stats = scratchDirs(spark)
-      .map(f => try ((f.getTotalSpace, f.getUsableSpace)) catch {
-        case _: Exception => (0L, -1L)
-      })
+      .map { f =>
+        try ((f.getTotalSpace,
+          if (isRoot) f.getFreeSpace else f.getUsableSpace))
+        catch { case _: Exception => (0L, -1L) }
+      }
       .filter(_._2 >= 0)
     if (stats.isEmpty) -1L else stats.distinct.map(_._2).sum
   }

@@ -10,7 +10,7 @@ class ScratchGateSpec extends SparkSpec {
   test("verdict: small needs, unknown counts, and probe failures pass") {
     assert(ScratchGate.verdict(0L, 100L).isEmpty)
     assert(ScratchGate.verdict(-1L, 100L).isEmpty)
-    // 1M edges x 240 B = 240 MB < the 4 GB floor: skipped even with 0 free
+    // 1M edges x 234 B = 234 MB < the 4 GB floor: skipped even with 0 free
     assert(ScratchGate.verdict(1000000L, 0L).isEmpty)
     // freeBytes < 0 = could not stat: proceed, never block on the probe
     assert(ScratchGate.verdict(1L << 33, -1L).isEmpty)
@@ -24,6 +24,12 @@ class ScratchGateSpec extends SparkSpec {
     assert(msg.nonEmpty)
     assert(msg.get.contains("spark.graft.scratchCheck=0"))
     assert(msg.get.contains(nRaw.toString))
+  }
+
+  test("the r8 SCALE-26 configuration passes (the gate must not reject a run that fit)") {
+    // 2^30 raw edges peaked at 249.5 GB on a volume with ~256 GB free
+    // to root — the derived need (251.2 GB) must stay inside that
+    assert(ScratchGate.verdict(1L << 30, 256L << 30).isEmpty)
   }
 
   test("check: conf off-switch bypasses a guaranteed failure") {
