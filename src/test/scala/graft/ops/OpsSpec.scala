@@ -1033,4 +1033,38 @@ class OpsSpec extends SparkSpec {
     }
     g.unpersist()
   }
+
+  test("sourceShingleSimilarity: random corpora match a set model (pair generation)") {
+    val s = spark; import s.implicits._
+    // mirrors TextOps.shingles: 3-gram over whitespace tokens; short
+    // texts yield one whole-prefix shingle
+    def modelShingles(text: String): Set[String] = {
+      val tk = text.trim.split("\\s+").filter(_.nonEmpty)
+      (1 to math.max(tk.length - 2, 1))
+        .map(i => tk.slice(i - 1, i - 1 + 3).mkString(" ")).toSet
+    }
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val sources = Vector("s0", "s1", "s2", "s3")
+      val docs = (0 until 40).map { i =>
+        val words = Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, words.mkString(" "), sources(rnd.nextInt(sources.size)))
+      }
+      val bySource = docs.groupBy(_._3).view
+        .mapValues(_.flatMap(d => modelShingles(d._2)).toSet).toMap
+      val expected = (for {
+        a <- bySource.keys; b <- bySource.keys if a < b
+        common = (bySource(a) & bySource(b)).size if common > 0
+      } yield ((a, b), (common.toLong, bySource(a).size.toLong,
+        bySource(b).size.toLong,
+        LocalDedup.round6(common.toDouble /
+          (bySource(a).size + bySource(b).size - common))))).toMap
+      val got = Dedup.sourceShingleSimilarity(
+          docs.toDF("doc_id", "text", "source")).collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
 }
