@@ -213,6 +213,16 @@ object Graph500 {
       val stat = RunStat(i.toLong, root, bfsTime, valTime, nedge.toDouble, errors)
       completed += stat
       checkpointPath.foreach(p => writeCheckpoint(p, completed.toSeq))
+      // Distributed multi-root disk lifecycle: local-mode shuffle files
+      // are deleted only when the ContextCleaner sees their RDDs GC'd,
+      // and a ~100 GB heap may not GC for HOURS — per-run level-loop
+      // shuffles then accumulate on the scratch volume until a
+      // mid-protocol disk-full crash (measured at SCALE 26: 87 GB of
+      // shuffle writes filled the volume on root 2 of 16). One explicit
+      // gc BETWEEN runs (after the run's times are recorded — never
+      // inside them) lets the cleaner drop the previous run's shuffle
+      // files and checkpoint blocks before the next run needs the space.
+      if (!localMode && i + 1 < roots.size) System.gc()
       stat
     }.toSeq
 
