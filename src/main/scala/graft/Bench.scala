@@ -386,7 +386,12 @@ object Bench {
       lap("g500_seq")
       r
     } else None
-    val g500b: Option[(String, String)] = if (g500On) {
+    // SPARK_GRAFT_BATCHED=0 skips the batched block alone — a pure-resume
+    // finalize of a high-SCALE seq block has no use for a full batched
+    // re-run of the same protocol (it re-generates and re-constructs).
+    val batchedOn = g500On &&
+      sys.env.getOrElse("SPARK_GRAFT_BATCHED", "1") != "0"
+    val g500b: Option[(String, String)] = if (batchedOn) {
       val r = try {
         val b = bench.Graph500.runBatched(spark, scale, nRoots)
         val full = s"""{"scale":$scale,"n_roots":$nRoots,""" +
