@@ -11,6 +11,16 @@ import graft.etl.EdgeOps
   * twin. */
 class RobustnessSpec extends SparkSpec {
 
+  test("finite: non-finite TEPS sanitize to 0.0 so the tail JSON stays parseable") {
+    // bare NaN/Infinity literals are invalid JSON, and the compact tail
+    // line is exactly what the driver parses
+    assert(graft.Bench.finite(Double.NaN) === 0.0)
+    assert(graft.Bench.finite(Double.PositiveInfinity) === 0.0)
+    assert(graft.Bench.finite(Double.NegativeInfinity) === 0.0)
+    assert(graft.Bench.finite(123.5) === 123.5)
+    assert(graft.Bench.finite(0.0) === 0.0)
+  }
+
   test("stats: single run reports stddev 0, not NaN") {
     val st = Main.stats(Seq(0.125))
     assert(!st.exists(_.isNaN))
