@@ -43,6 +43,72 @@ object Bench {
   private[graft] def finite(x: Double): Double =
     if (x.isNaN || x.isInfinite) 0.0 else x
 
+  /** Host /proc/stat cpu counters (ticks): (busy = user+nice+system,
+    * steal, total incl. idle/iowait). The STEAL channel is the one that
+    * actually catches the inflation regime the round-9 band warnings
+    * documented: measured here, a window with steal bursts at 23-31% of
+    * busy ticks inflated Spark task cpu_s 4.4× while the cache-resident
+    * calibrate() kernel read the SAME 13-14 cpu_s in both regimes —
+    * hypervisor steal lands on sustained memory-heavy phases, not on a
+    * 0.5 s in-cache sort. None on non-Linux. */
+  private[graft] def procStat(): Option[(Long, Long, Long)] =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal
+      Some((l(0) + l(1) + l(2), if (l.length > 7) l(7) else 0L, l.sum))
+    } catch { case _: Exception => None }
+
+  /** Box-noise calibration sentinel. Round 9 documented a window where
+    * task/cpu seconds inflated uniformly ~3.7× with wall flat — a
+    * regime that poisons any single-window per-query cpu diff. This is
+    * a FIXED pure-JVM micro-kernel (each of `threads` workers
+    * xorshift-fills and sorts a private 2M-long array, `reps` times —
+    * no Spark, no allocation churn beyond the arrays) timed with
+    * per-thread CPU time: per-query cpu_s DIVIDED by the sentinel's
+    * cpu_s compares across windows; the raw channel alone does not.
+    * Returns (wall_s, total_cpu_s). */
+  def calibrate(threads: Int, reps: Int = 2, n: Int = 2 << 20)
+      : (Double, Double) = {
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+    val cpu = new java.util.concurrent.atomic.AtomicLong
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    def pass(timed: Boolean): Double = {
+      val t0 = System.nanoTime()
+      val futs = (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val c0 = mx.getCurrentThreadCpuTime
+            val a = new Array[Long](n)
+            var rep = 0
+            while (rep < reps) {
+              var x = 0x9E3779B97F4A7C15L + t + rep.toLong * threads
+              var i = 0
+              while (i < n) {
+                x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+                a(i) = x; i += 1
+              }
+              java.util.Arrays.sort(a)
+              rep += 1
+            }
+            if (timed) cpu.addAndGet(mx.getCurrentThreadCpuTime - c0)
+          }
+        })
+      }
+      futs.foreach(_.get())
+      (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      // untimed full warm pass: the FIRST calibrate() of a JVM otherwise
+      // times its own JIT + pool spin-up (measured: pre 27.7 cpu_s vs
+      // post 12.3 at equal regime) — the sentinel must measure the box,
+      // not C2
+      pass(timed = false)
+      val wall = pass(timed = true)
+      (wall, cpu.get / 1e9)
+    } finally pool.shutdown()
+  }
+
   final class WorkMeter(sc: org.apache.spark.SparkContext) {
     private val a = Array.fill(8)(new java.util.concurrent.atomic.AtomicLong)
     sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -106,14 +172,29 @@ object Bench {
         }
       }
     })
-    /** Drain the async listener bus, then snapshot every group. */
+    /** Drain the async listener bus, then snapshot every group: poll
+      * until two consecutive snapshots agree (bounded ~6 s) — a loaded
+      * box can lag the bus past any fixed sleep, silently
+      * under-attributing work. KNOWN GAP: broadcast-exchange jobs run
+      * on Spark's shared exchange thread pool, whose threads may not
+      * carry the caller's job group — those stages (small scalar
+      * broadcast builds) attribute to no group. */
     def read(): Map[String, Work] = {
-      Thread.sleep(1200)
       import scala.jdk.CollectionConverters._
-      acc.asScala.map { case (g, a) =>
+      def snap(): Map[String, Work] = acc.asScala.map { case (g, a) =>
         g -> Work(a(0).get, a(1).get, a(2).get, a(3).get,
           a(4).get, a(5).get, a(6).get, a(7).get)
       }.toMap
+      var prev = snap()
+      var polls = 0
+      while (polls < 20) {
+        Thread.sleep(300)
+        val cur = snap()
+        if (cur == prev) return cur
+        prev = cur
+        polls += 1
+      }
+      prev
     }
   }
 
@@ -230,6 +311,16 @@ object Bench {
         (err, err)
       }
     }
+
+    // Calibration sentinel PRE: fixed micro-kernel timed before any
+    // Spark work — per-query cpu diffs across windows normalize by it
+    // (see Bench.calibrate). A matching POST run brackets the suite so
+    // a mid-run regime shift is visible in the artifact itself.
+    val calThreads = cpus.toInt
+    val calPre = Bench.calibrate(calThreads)
+    val statPre = Bench.procStat()
+    System.err.println(f"[bench] calibration pre: wall ${calPre._1}%.3f s" +
+      f" cpu ${calPre._2}%.3f s ($calThreads threads)")
 
     // ISOLATED protocol: timed BEFORE the query surface touches the JVM
     // — the quiet-JVM number a SPARK_GRAFT_QUERIES=0 run would record,
@@ -381,7 +472,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       gcSettle()
     }
-    val g500 = if (g500On) {
+    // SPARK_GRAFT_SEQ=0 skips the sequential protocol block alone — at
+    // SCALE 26 a 12+-root sequential run disk-fills the 252 GB scratch
+    // volume (~1 root/JVM of transients); the batched loop below is the
+    // disk-safe multi-root plan there (all roots share one level loop's
+    // shuffle files).
+    val seqOn = g500On && sys.env.getOrElse("SPARK_GRAFT_SEQ", "1") != "0"
+    val g500 = if (seqOn) {
       val r = Some(seqProtocol(nRoots, checkpoint = checkpointEnv))
       lap("g500_seq")
       r
@@ -394,13 +491,38 @@ object Bench {
     val g500b: Option[(String, String)] = if (batchedOn) {
       val r = try {
         val b = bench.Graph500.runBatched(spark, scale, nRoots)
+        // Per-root stat block from the batched run: nedge is EXACT per
+        // root (validateMulti); time is the amortized wall/nRoots — the
+        // batched loop shares one level loop across roots, so no honest
+        // per-root time exists (field names follow the reference key
+        // set, mpi/logfile.h:59-100, like the sequential block's).
+        val perRoot = if (b.perRootNedge.isEmpty) "" else {
+          val amort = b.bfsWall / b.nRoots
+          val stats = bench.Graph500.statBlock(spark,
+            bench.Graph500.Summary(scale, b.nRoots, b.generationTime,
+              b.constructionTime,
+              b.roots.zip(b.perRootNedge).zipWithIndex.map {
+                case ((root, ne), i) => bench.Graph500.RunStat(i.toLong,
+                  root, amort, b.validateWall / b.nRoots, ne.toDouble, 0L)
+              },
+              0.0, b.nedgeGoldenOk)).head()
+          val stat = stats.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+            val v = if (stats.isNullAt(i)) 0.0 else stats.getDouble(i)
+            s""""$f":${fin(v)}"""
+          }.mkString("{", ",", "}")
+          s""","per_root_nedge":${b.perRootNedge.mkString("[", ",", "]")},""" +
+            s""""bfs_amortized_sec_per_root":${fin(b.bfsWall / b.nRoots)},""" +
+            s""""stat_block_amortized":$stat"""
+        }
         val full = s"""{"scale":$scale,"n_roots":$nRoots,""" +
+          s""""generation_sec":${b.generationTime},""" +
+          s""""construction_sec":${b.constructionTime},""" +
           s""""bfs_wall_sec":${b.bfsWall},""" +
           s""""validate_wall_sec":${b.validateWall},""" +
           s""""total_nedge":${b.totalNedge},""" +
           s""""throughput_teps":${fin(b.throughputTeps)},""" +
           s""""nedge_golden_ok":${b.nedgeGoldenOk},""" +
-          s""""validation_errors":${b.errors}}"""
+          s""""validation_errors":${b.errors}$perRoot}"""
         val compact = s"""{"scale":$scale,"teps":${g4(fin(b.throughputTeps))},""" +
           s""""ok":${b.nedgeGoldenOk},"err":${b.errors}}"""
         Some((full, compact))
@@ -441,6 +563,11 @@ object Bench {
       lap(s"g500_spec64_s$spec20Scale")
       r
     }
+    // Calibration sentinel POST: same kernel after the last timed block.
+    val calPost = Bench.calibrate(calThreads)
+    val statPost = Bench.procStat()
+    System.err.println(f"[bench] calibration post: wall ${calPost._1}%.3f s" +
+      f" cpu ${calPost._2}%.3f s")
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results)
@@ -476,9 +603,25 @@ object Bench {
     //    metrics. Printed for the log AND persisted to a file the round
     //    artifacts can carry (the driver's stdout capture truncates to
     //    the last ~2000 chars — a full 163-query record cannot fit).
+    // host steal over the WHOLE bench window: the decisive regime gauge
+    // (see Bench.procStat scaladoc) — steal_pct_of_busy ≳ 2-3% marks an
+    // inflated window whose per-query cpu diffs must not be trusted
+    val hostField = (statPre, statPost) match {
+      case (Some((b0, s0, t0)), Some((b1, s1, t1))) =>
+        val busy = b1 - b0; val steal = s1 - s0
+        s""","host":{"busy_ticks":$busy,"steal_ticks":$steal,""" +
+          s""""total_ticks":${t1 - t0},""" +
+          s""""steal_pct_of_busy":${r3(100.0 * steal / math.max(busy, 1L))}}"""
+      case _ => ""
+    }
+    val calField =
+      s""","calibration":{"pre":{"wall_s":${r3(calPre._1)},"cpu_s":${r3(calPre._2)}},""" +
+        s""""post":{"wall_s":${r3(calPost._1)},"cpu_s":${r3(calPost._2)}},""" +
+        s""""threads":$calThreads,"kernel":"xorshift-fill+sort 2M longs x2"}""" +
+        hostField
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir"$coldField$streamField$warmField""" +
-      blocks(_._1) + workField + qWorkField + "}"
+      blocks(_._1) + workField + qWorkField + calField + "}"
     println(fullJson)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {
@@ -507,6 +650,12 @@ object Bench {
       s""""sf":"$sfDir","full":"$outPath","n_queries":${results.size},""" +
       s""""slowest":$slowest$compactStream""" +
       (if (warmupOn) s""","warmup_sec":${r3(warmupSec)}""" else "") +
+      s""","cal_cpu_s":[${r3(calPre._2)},${r3(calPost._2)}]""" +
+      ((statPre, statPost) match {
+        case (Some((b0, s0, _)), Some((b1, s1, _))) =>
+          s""","steal_pct":${r3(100.0 * (s1 - s0) / math.max(b1 - b0, 1L))}"""
+        case _ => ""
+      }) +
       blocks(_._2) + compactWork + "}"
     if (compact.length > 1950)
       System.err.println(s"[bench] WARNING compact line ${compact.length} chars" +

@@ -1214,24 +1214,25 @@ object SparkEntry {
       etl.EdgeOps.degreeHistogram(
         withCsr(s, dir)(_.degreesDf(s))(degreesOf(s, dir)))),
 
-    // Exact 2-hop reach of the top-20 hubs: TakeOrdered hub table
-    // broadcast, one vertex-keyed hop join, (hub, vertex) distinct.
+    // Exact 2-hop reach of the top-20 hubs. Kernel path: per-hub |V|-bit
+    // set over dense ids (the distinct IS the bitset — the union+distinct
+    // wedge multiset never materializes). Distributed path: TakeOrdered
+    // hub table broadcast, one vertex-keyed hop join, (hub, vertex)
+    // distinct off the shared checkpointed degree table.
     "gr_2hop" -> ((s, dir) =>
-      etl.EdgeOps.twoHopReach(clean(s, dir), 20,
-        handle(s, dir).csr match {
-          case Some(csr) if csr.nVerts > 0 => None // kernel serves hubs
-          case _ => Some(degreesOf(s, dir))
-        })),
+      withCsr(s, dir)(_.twoHopReachDf(s, 20))(
+        etl.EdgeOps.twoHopReach(clean(s, dir), 20,
+          Some(degreesOf(s, dir))))),
 
     // Degree-assortativity moments: exact integer edge-endpoint degree
     // sums (Pearson numerator/denominator pieces, division left to the
     // reader).
+    // Kernel path: one chunked pass over the CSR adjacency (long sums
+    // are associative — bit-identical to the distributed aggregate).
     "gr_assort" -> ((s, dir) =>
-      etl.EdgeOps.assortativityMoments(clean(s, dir),
-        handle(s, dir).csr match {
-          case Some(csr) if csr.nVerts > 0 => None // local graph: joins are tiny
-          case _ => Some(degreesOf(s, dir))
-        })),
+      withCsr(s, dir)(_.assortMomentsDf(s))(
+        etl.EdgeOps.assortativityMoments(clean(s, dir),
+          Some(degreesOf(s, dir))))),
 
     // Double-sweep diameter lower bound: eccentricity from the
     // canonical root (read off the EXISTING q7 tree — no new

@@ -41,28 +41,66 @@ object Graph500 {
   // LogFileFormat + read_log_file, mpi/benchmark_helper.hpp:530-604,
   // mpi/logfile.h:109-124 — here a line-per-run text file). ----
 
-  def writeCheckpoint(path: String, runs: Seq[RunStat]): Unit = {
-    val lines = runs.map(r =>
+  /** Header line pinning the run parameters: the reference's
+    * LogFileFormat stores scale/edge_factor/mpi_size and read_log_file
+    * aborts on a mismatch (mpi/benchmark_helper.hpp:530-544) — without
+    * it, reusing one checkpoint path across a scale/edgeFactor/nRoots
+    * change would silently merge stale RunStats into the summary. */
+  private def ckptHeader(scale: Int, edgeFactor: Long, nRoots: Int): String =
+    s"#graft-ckpt scale=$scale edgeFactor=$edgeFactor nRoots=$nRoots"
+
+  def writeCheckpoint(path: String, runs: Seq[RunStat],
+                      scale: Int, edgeFactor: Long, nRoots: Int): Unit = {
+    val lines = ckptHeader(scale, edgeFactor, nRoots) +: runs.map(r =>
       s"${r.run},${r.root},${r.bfs_time},${r.validate_time},${r.nedge},${r.errors}")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       lines.mkString("", "\n", "\n").getBytes("UTF-8"))
   }
 
-  /** Completed runs recorded in `path`; empty if absent/corrupt. */
-  def readCheckpoint(path: String): Seq[RunStat] = {
+  /** Completed runs recorded in `path` for THIS run's parameters.
+    * Absent/empty file = fresh start. A header that mismatches (or a
+    * headerless pre-format file of unknown provenance) fails loudly —
+    * resuming someone else's runs is never the right summary. Corrupt
+    * run rows under a matching header degrade to a fresh start. */
+  def readCheckpoint(path: String, scale: Int, edgeFactor: Long,
+                     nRoots: Int): Seq[RunStat] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) Seq.empty
-    else try {
-      scala.jdk.CollectionConverters.ListHasAsScala(
+    else {
+      val lines = scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(p)).asScala.toSeq
         .filter(_.nonEmpty)
-        .map { l =>
-          val f = l.split(",")
-          RunStat(f(0).toLong, f(1).toLong, f(2).toDouble, f(3).toDouble,
-            f(4).toDouble, f(5).toLong)
-        }
-    } catch { case _: Exception => Seq.empty }
+      if (lines.isEmpty) Seq.empty
+      else {
+        val expect = ckptHeader(scale, edgeFactor, nRoots)
+        if (lines.head != expect)
+          throw new IllegalStateException(
+            s"checkpoint $path header '${lines.head.take(120)}' does not " +
+              s"match this run's parameters '$expect' - delete the file " +
+              "or point SPARK_GRAFT_CHECKPOINT at a fresh path")
+        try parseRuns(lines.tail) catch { case _: Exception => Seq.empty }
+      }
+    }
   }
+
+  /** Every run row in `path`, header-UNVERIFIED — log-reader tooling
+    * that inspects a checkpoint without knowing its parameters. */
+  def readCheckpointAny(path: String): Seq[RunStat] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else try parseRuns(
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        .filter(l => l.nonEmpty && !l.startsWith("#")))
+    catch { case _: Exception => Seq.empty }
+  }
+
+  private def parseRuns(lines: Seq[String]): Seq[RunStat] =
+    lines.map { l =>
+      val f = l.split(",")
+      RunStat(f(0).toLong, f(1).toLong, f(2).toDouble, f(3).toDouble,
+        f(4).toDouble, f(5).toLong)
+    }
 
   def run(spark: SparkSession, scale: Int, nRoots: Int = 16,
           validate: Boolean = true,
@@ -110,7 +148,9 @@ object Graph500 {
     val localMode = g.totalEdges <= Bfs.localBfsMaxEdges(spark)
     // Resume state first: a pure-resume invocation (checkpoint already has
     // all nRoots runs) needs neither a validator nor a warm-up.
-    val prior = checkpointPath.map(readCheckpoint).getOrElse(Seq.empty)
+    val prior = checkpointPath
+      .map(readCheckpoint(_, scale, edgeFactor, nRoots))
+      .getOrElse(Seq.empty)
       .take(nRoots)
     val nRemaining = nRoots - prior.size
     val localV =
@@ -212,7 +252,8 @@ object Graph500 {
       val (bfsTime, valTime, nedge, errors) = runOne(root)
       val stat = RunStat(i.toLong, root, bfsTime, valTime, nedge.toDouble, errors)
       completed += stat
-      checkpointPath.foreach(p => writeCheckpoint(p, completed.toSeq))
+      checkpointPath.foreach(p =>
+        writeCheckpoint(p, completed.toSeq, scale, edgeFactor, nRoots))
       // Distributed multi-root disk lifecycle: local-mode shuffle files
       // are deleted only when the ContextCleaner sees their RDDs GC'd,
       // and a ~100 GB heap may not GC for HOURS — per-run level-loop
@@ -245,7 +286,13 @@ object Graph500 {
                                   constructionTime: Double,
                                   bfsWall: Double, validateWall: Double,
                                   totalNedge: Long, throughputTeps: Double,
-                                  errors: Long, nedgeGoldenOk: Boolean)
+                                  errors: Long, nedgeGoldenOk: Boolean,
+                                  // per-root detail (aligned): batched
+                                  // roots share ONE level loop, so
+                                  // per-root TIME is only amortized
+                                  // wall/nRoots — nedge is exact per root
+                                  roots: Seq[Long] = Seq.empty,
+                                  perRootNedge: Seq[Long] = Seq.empty)
 
   /**
    * Batched protocol: all roots in one multi-source BFS
@@ -335,6 +382,9 @@ object Graph500 {
           .map { case (r, i) => (i.toLong, r) }.toSeq.toDF("run", "root")
         val rows = Validator
           .validateMulti(spark, raw, trees, rootsDf, maxV + 1).collect()
+          // align per-root fields with `roots`: collect() order follows
+          // the shuffle, not the run index
+          .sortBy(r => r.getLong(r.fieldIndex("run")))
         val vw = (System.nanoTime() - v0) / 1e9
 
         val ne = rows.map(r => r.getLong(r.fieldIndex("edge_visit_count")))
@@ -351,7 +401,8 @@ object Graph500 {
     val totalNedge = nedges.sum
     BatchedSummary(scale, nRoots, tGen, tCon, bfsWall, valWall, totalNedge,
       if (bfsWall > 0) totalNedge / bfsWall else 0.0, errors,
-      PfNedge.get(scale).forall(exp => nedges.max == exp))
+      PfNedge.get(scale).forall(exp => nedges.max == exp),
+      roots.toSeq, nedges)
   }
 
   /** The per-run stats as a DataFrame in Teps.statBlock's input schema. */

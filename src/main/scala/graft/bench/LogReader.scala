@@ -33,7 +33,7 @@ object LogReader {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: LogReader <checkpoint-file>")
-    val runs = Graph500.readCheckpoint(args(0))
+    val runs = Graph500.readCheckpointAny(args(0))
     if (runs.isEmpty) println(s"no runs recorded in ${args(0)}")
     else print(format(runs))
   }

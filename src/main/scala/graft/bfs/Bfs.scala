@@ -228,25 +228,28 @@ object Bfs {
         if (est <= BigInt(gate) * 4 && est <= BigInt(64L << 20)) -1L
         else raw.count()
       }
-    def distributed(): (PreparedGraph, Option[Long]) = {
+    def distributed(nRawForGate: Long): (PreparedGraph, Option[Long]) = {
       // pre-flight: the construction sort's transient spill at large
       // scales can exceed the scratch volume (SCALE 26 peaked at 99% of
       // 252 GB) — fail fast with the measured requirement instead of an
       // opaque mid-sort disk-full crash (no-op when the count is
       // unknown or the need is small)
-      graft.etl.ScratchGate.check(spark, nRawKnown)
+      graft.etl.ScratchGate.check(spark, nRawForGate)
       val g = prepare(graft.etl.EdgeOps.cleanEdges(raw), bySrc = true)
       val root =
         if (needRoot) Some(raw.agg(min(col("src"))).head().getLong(0)) else None
       (g, root)
     }
-    if (nRawKnown >= 0L && nRawKnown * 2 > gate) distributed()
+    if (nRawKnown >= 0L && nRawKnown * 2 > gate) distributed(nRawKnown)
     else {
       // ONE primitive collect of the raw list; loop-drop, symmetrize and
       // duplicate-merge happen in-kernel (the reference's construction
       // order — sortEdges then merge, graph_constructor.hpp:1363-1412)
       val flat = LocalCsr.collectPairs(raw)
-      if (flat.length > gate) distributed() // stats under-estimated
+      // stats under-estimated: the raw count is now KNOWN (flat holds
+      // src,dst pairs) — exactly the borderline graphs that surprised
+      // the estimator must still get the scratch pre-flight
+      if (flat.length > gate) distributed(flat.length / 2L)
       else {
         val csr = LocalCsr.buildFromRawPairs(flat)
         val root =

@@ -129,6 +129,101 @@ final class LocalCsr(val ids: Array[Long], val rowStarts: Array[Int],
       .toDF("non_isolated_vertices", "max_used_vertex", "undirected_edge_count")
   }
 
+  /** Exact 2-hop reach of the top-k hubs ≡ EdgeOps.twoHopReach(clean, k):
+    * one |V|-bit set per hub over DENSE ids — each wedge costs a single
+    * bit-set instead of a hashed (hub, vertex) row, and the distinct IS
+    * the bitset, so the union+distinct multiset never materializes.
+    * Hubs run in parallel on the common pool (k independent bitsets,
+    * k·|V| bits total — 20 hubs × 32M verts = 80 MB worst case under
+    * the kernel gate). Ties at the k-th degree break to the smaller
+    * original id, matching the distributed orderBy(degree desc, src). */
+  def twoHopReachDf(spark: org.apache.spark.sql.SparkSession,
+                    k: Int): DataFrame = {
+    import spark.implicits._
+    val nV = nVerts
+    val kk = math.min(k, nV)
+    // Dense index order IS ascending original-id order, so scanning v
+    // upward and replacing only on STRICTLY greater degree realizes the
+    // (degree desc, id asc) tie-break with a k-slot insertion list.
+    val hub = new Array[Int](kk)
+    var filled = 0
+    var v = 0
+    while (v < nV) {
+      val d = rowStarts(v + 1) - rowStarts(v)
+      if (filled < kk) {
+        var i = filled
+        while (i > 0 && (rowStarts(hub(i - 1) + 1) - rowStarts(hub(i - 1))) < d) {
+          hub(i) = hub(i - 1); i -= 1
+        }
+        hub(i) = v; filled += 1
+      } else if (d > rowStarts(hub(kk - 1) + 1) - rowStarts(hub(kk - 1))) {
+        var i = kk - 1
+        while (i > 0 && (rowStarts(hub(i - 1) + 1) - rowStarts(hub(i - 1))) < d) {
+          hub(i) = hub(i - 1); i -= 1
+        }
+        hub(i) = v
+      }
+      v += 1
+    }
+    val rows = new Array[(Long, Long, Long)](filled)
+    java.util.stream.IntStream.range(0, filled).parallel().forEach { i =>
+      val h = hub(i)
+      val seen = new java.util.BitSet(nV)
+      var p = rowStarts(h)
+      val pe = rowStarts(h + 1)
+      while (p < pe) {
+        val u = nbrs(p)
+        seen.set(u)
+        var q = rowStarts(u)
+        val qe = rowStarts(u + 1)
+        while (q < qe) { seen.set(nbrs(q)); q += 1 }
+        p += 1
+      }
+      seen.clear(h)
+      rows(i) = (ids(h), (pe - rowStarts(h)).toLong, seen.cardinality().toLong)
+    }
+    rows.toSeq.toDF("vertex", "degree", "reach_2hop")
+  }
+
+  /** Degree-assortativity moments ≡ EdgeOps.assortativityMoments: exact
+    * long sums (n, Σdeg(src), Σdeg(src)², Σdeg(src)·deg(dst)) over every
+    * directed adjacency entry — one pass over the CSR neighbor array,
+    * chunked across the common pool; long addition is associative so the
+    * chunked fold is bit-identical to the sequential sum. */
+  def assortMomentsDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val nV = nVerts
+    val nChunks = math.min(LocalCsr.Threads * 4, math.max(1, nV))
+    val acc = new Array[Array[Long]](nChunks)
+    java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+      val from = (nV.toLong * c / nChunks).toInt
+      val to = (nV.toLong * (c + 1) / nChunks).toInt
+      var sd = 0L; var sd2 = 0L; var sxy = 0L
+      var u = from
+      while (u < to) {
+        val du = (rowStarts(u + 1) - rowStarts(u)).toLong
+        sd += du * du // u appears deg(u) times as src, deg(u) each
+        sd2 += du * du * du
+        var p = rowStarts(u)
+        val pe = rowStarts(u + 1)
+        while (p < pe) {
+          val w = nbrs(p)
+          sxy += du * (rowStarts(w + 1) - rowStarts(w))
+          p += 1
+        }
+        u += 1
+      }
+      acc(c) = Array(sd, sd2, sxy)
+    }
+    var sd = 0L; var sd2 = 0L; var sxy = 0L
+    var c = 0
+    while (c < nChunks) {
+      sd += acc(c)(0); sd2 += acc(c)(1); sxy += acc(c)(2); c += 1
+    }
+    Seq((nbrs.length.toLong, sd, sd2, sxy))
+      .toDF("n_edges", "sum_d", "sum_d2", "sum_dxdy")
+  }
+
   /** Work (frontier out-edges / unvisited rows) above which a level runs
     * on the common ForkJoin pool instead of one thread. Fork/join +
     * CAS overhead beats the speedup below ~1M edge-work per level

@@ -212,7 +212,7 @@ object PageRank {
             if (i >= 0) next(i) = base + row.getLong(1)
           }
           r = next
-        } finally bcC.unpersist(blocking = false)
+        } finally bcC.destroy() // per-iteration |V|-bounded: no driver copy left to GC
         it += 1
       }
       graft.functions.Ship.df(spark, "vertex" -> ids, "rank_fp" -> r)

@@ -64,19 +64,34 @@ object ScratchGate {
     * reservation and on a heavily-reserved volume under-reports by
     * 100+ GB (this box: 256 GB free vs 85 GB "available" to non-root).
     * Distinct dirs may share one filesystem, so space is deduplicated by
-    * totalSpace+freeSpace fingerprint (good enough to avoid
-    * double-counting one device mounted twice); -1 if nothing could be
-    * stat'd. */
+    * DEVICE identity (`unix:dev`, falling back to the FileStore's
+    * name:type) — a size fingerprint would collapse two distinct
+    * same-sized volumes with equal free bytes, or double-count one
+    * device whose free bytes moved between stats. Dirs Spark has not
+    * created yet stat their nearest existing ancestor (same volume);
+    * -1 if nothing could be stat'd. */
   private[graft] def freeScratchBytes(spark: SparkSession): Long = {
     val isRoot = System.getProperty("user.name") == "root"
+    @annotation.tailrec
+    def existing(f: java.io.File): java.io.File =
+      if (f.exists() || f.getParentFile == null) f else existing(f.getParentFile)
     val stats = scratchDirs(spark)
-      .map { f =>
-        try ((f.getTotalSpace,
-          if (isRoot) f.getFreeSpace else f.getUsableSpace))
-        catch { case _: Exception => (0L, -1L) }
+      .flatMap { d =>
+        try {
+          val f = existing(d.getAbsoluteFile)
+          val key: AnyRef =
+            try java.nio.file.Files.getAttribute(f.toPath, "unix:dev")
+            catch {
+              case _: Exception =>
+                val fs = java.nio.file.Files.getFileStore(f.toPath)
+                s"${fs.name}:${fs.`type`}"
+            }
+          val free = if (isRoot) f.getFreeSpace else f.getUsableSpace
+          if (free >= 0) Some(key -> free) else None
+        } catch { case _: Exception => None }
       }
-      .filter(_._2 >= 0)
-    if (stats.isEmpty) -1L else stats.distinct.map(_._2).sum
+    if (stats.isEmpty) -1L
+    else stats.groupBy(_._1).values.map(_.head._2).sum
   }
 
   /** Fail fast (IllegalStateException with the measured requirement) if

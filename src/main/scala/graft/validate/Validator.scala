@@ -68,6 +68,11 @@ object Validator {
       .map(_.toLong)
       .getOrElse(autoBroadcastVerts(
         spark.conf.getOption("spark.executor.memory")
+          // local mode IGNORES spark.executor.memory — a shared config
+          // carrying executor.memory=4g on a 128 GiB local JVM must not
+          // drop the cap to the floor and push SCALE 25-26 validation
+          // back to shuffle joins
+          .filter(_ => !spark.sparkContext.isLocal)
           .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
           .getOrElse(Runtime.getRuntime.maxMemory)))
 

@@ -93,7 +93,8 @@ class RobustnessSpec extends SparkSpec {
     val runs = Seq(
       Graph500.RunStat(0, 5L, 0.01, 0.02, 100.0, 0),
       Graph500.RunStat(1, 9L, 0.03, 0.04, 100.0, 0))
-    Graph500.writeCheckpoint(tmp.toString, runs)
+    Graph500.writeCheckpoint(tmp.toString, runs, scale = 8,
+      edgeFactor = graft.gen.Kronecker.DefaultEdgeFactor, nRoots = 2)
     val sum = Graph500.run(spark, scale = 8, nRoots = 2,
       checkpointPath = Some(tmp.toString))
     assert(sum.runs === runs)

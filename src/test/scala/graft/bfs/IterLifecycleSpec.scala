@@ -111,6 +111,42 @@ class IterLifecycleSpec extends SparkSpec {
     }
   }
 
+  /** Live broadcast BLOCKS in the block manager (reflection: the
+    * BlockManagerMaster query is private[spark] = public bytecode).
+    * Includes Spark's own taskBinary broadcasts, which linger until the
+    * ContextCleaner sees them GC'd — callers must gc+poll and compare
+    * against a baseline rather than expect an absolute zero. */
+  private def broadcastBlockCount: Int = {
+    val bm = org.apache.spark.SparkEnv.get.blockManager
+    val master = bm.getClass.getMethod("master").invoke(bm)
+    val m = master.getClass.getMethods
+      .find(_.getName == "getMatchingBlockIds").get
+    val filter: org.apache.spark.storage.BlockId => Boolean = _.isBroadcast
+    m.invoke(master, filter, java.lang.Boolean.TRUE)
+      .asInstanceOf[Seq[_]].size
+  }
+
+  test("repeat pagerank invocations leave zero lingering broadcast blocks") {
+    val g = cleanGraph.localCheckpoint(true)
+    PageRank.pagerank(spark, g, 3).collect() // warm the code paths
+    System.gc()
+    Thread.sleep(500)
+    val baseline = broadcastBlockCount
+    for (_ <- 1 to 5) PageRank.pagerank(spark, g, 4).collect()
+    // per-iteration bcC and per-invocation bcIds/bcIdx/bcDegs are
+    // destroy()ed eagerly; taskBinary broadcasts drain via gc +
+    // ContextCleaner — poll back down to the pre-run baseline
+    val deadline = System.nanoTime() + 30000000000L
+    var n = broadcastBlockCount
+    while (n > baseline && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(300)
+      n = broadcastBlockCount
+    }
+    assert(n <= baseline,
+      s"broadcast blocks lingered after 5 pagerank runs: $n > baseline $baseline")
+  }
+
   test("asymmetric input: driver-state matches the shuffle path's sink handling") {
     val s = spark; import s.implicits._
     // dst=99 never appears as src — outside pagerank's documented

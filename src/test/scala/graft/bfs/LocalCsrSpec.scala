@@ -133,6 +133,13 @@ class LocalCsrSpec extends SparkSpec {
           s"reorderDf mode $mode")
       same(csr.graphCountsDf(spark), EdgeOps.graphCounts(clean),
         "graphCountsDf")
+      // k larger than the distinct-degree plateau so the k-th slot has
+      // degree ties — pins the (degree desc, id asc) tie-break.
+      for (k <- Seq(3, 20, 1000))
+        same(csr.twoHopReachDf(spark, k), EdgeOps.twoHopReach(clean, k),
+          s"twoHopReachDf k=$k")
+      same(csr.assortMomentsDf(spark), EdgeOps.assortativityMoments(clean),
+        "assortMomentsDf")
     } finally clean.unpersist()
   }
 

@@ -58,9 +58,25 @@ class GeneratorsSpec extends SparkSpec {
     val runs = Seq(
       Graph500.RunStat(0, 5, 1.5, 0.5, 100.0, 0),
       Graph500.RunStat(1, 7, 2.5, 0.25, 100.0, 0))
-    Graph500.writeCheckpoint(path, runs)
-    assert(Graph500.readCheckpoint(path) === runs)
-    assert(Graph500.readCheckpoint("/nonexistent/ck") === Seq.empty)
+    Graph500.writeCheckpoint(path, runs, scale = 8,
+      edgeFactor = Kronecker.DefaultEdgeFactor, nRoots = 4)
+    assert(Graph500.readCheckpoint(path, 8,
+      Kronecker.DefaultEdgeFactor, 4) === runs)
+    assert(Graph500.readCheckpointAny(path) === runs)
+    assert(Graph500.readCheckpoint("/nonexistent/ck", 8,
+      Kronecker.DefaultEdgeFactor, 4) === Seq.empty)
+    // parameter mismatch must fail loudly, never merge stale runs
+    // (reference read_log_file aborts, mpi/benchmark_helper.hpp:530-544)
+    for ((sc, ef, nr) <- Seq((9, 16L, 4), (8, 8L, 4), (8, 16L, 2)))
+      intercept[IllegalStateException](
+        Graph500.readCheckpoint(path, sc, ef, nr))
+    // headerless pre-format file: provenance unknown, fail loudly too
+    val legacy = java.nio.file.Files.createTempFile("g500legacy", ".txt")
+    java.nio.file.Files.write(legacy, "0,5,1.5,0.5,100.0,0\n".getBytes)
+    intercept[IllegalStateException](
+      Graph500.readCheckpoint(legacy.toString, 8,
+        Kronecker.DefaultEdgeFactor, 4))
+    java.nio.file.Files.deleteIfExists(legacy)
     // resume: a scale-8 benchmark with 2 of 4 runs checkpointed reuses them
     val s = Graph500.run(spark, 8, nRoots = 4, validate = true,
       checkpointPath = Some(path))
