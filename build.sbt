@@ -59,4 +59,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 2-3× a SCALE-20 BFS run; a 50 ms target trades it for shorter, more
   // frequent pauses that the per-run timings absorb.
   "-XX:MaxGCPauseMillis=50",
+  // The engine's explicit System.gc() calls (between protocol roots,
+  // per-level in the capacity batched loop, gcSettle) exist to feed the
+  // ContextCleaner so lineage-truncated shuffle files get deleted — NOT
+  // to compact. On an 80 GB heap a stop-the-world full GC took >120 s,
+  // the driver missed executor heartbeats (timeout 120 s), Spark
+  // deregistered the local executor and every in-flight SCALE-26 task
+  // died on vanished block-manager files. A concurrent G1 cycle feeds
+  // the same reference queue without the fatal pause.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

@@ -50,6 +50,14 @@ object Bfs {
     * reference's DEMON_BOTTOMUP_TO_TOPDOWN-style ratio (parameters.h:88). */
   val Beta = 8L
 
+  /** Edge count above which the multi-root level loop GCs the driver
+    * after each level so the ContextCleaner can delete the previous
+    * level's (lineage-truncated) shuffle files before the next level
+    * writes its own — a peak SCALE-26 level's shuffle is tens of GB
+    * and a handful of uncollected levels disk-fill a one-box scratch
+    * volume. Below this the per-level GC is pure overhead. */
+  val GcPerLevelEdgeThreshold = 1L << 30
+
   final case class Result(tree: DataFrame, levelSizes: Seq[(Int, Long)])
 
   /** Edge-row count at or below which BFS runs on the in-memory CSR
@@ -556,11 +564,23 @@ object Bfs {
     import spark.implicits._
     val edges = g.edges
 
+    // Per-level checkpoints store SERIALIZED (MEMORY_AND_DISK_SER):
+    // the default deserialized level keeps every level's UnsafeRow
+    // OBJECTS live across the whole loop (the final tree assembly
+    // unions all levels), and at 16 roots × SCALE 26 the concurrent
+    // 32-task deserialized unroll of a peak level OOMed an 80 GB heap
+    // (GCLocker retry storm → exit 52) while 422 GB spilled. Serialized
+    // blocks unroll incrementally as compact buffers, evict to disk
+    // cleanly, and the ser/deser cost is per-level-linear — the
+    // multi-root loop is the capacity protocol, so it takes the
+    // capacity-safe storage; the single-source loop keeps the
+    // deserialized default that its S26 sequential runs are proven on.
+    val levelStorage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val runsDf0 = roots.indices.map(_.toLong).toDF("run")
     val levels0 = roots.zipWithIndex
       .map { case (r, i) => (i.toLong, r, r, 0) }
       .toDF("run", "vertex", "pred", "depth")
-      .localCheckpoint(eager = true)
+      .localCheckpoint(true, levelStorage)
     val levelDfs = scala.collection.mutable.ArrayBuffer(levels0)
     val levelCounts = scala.collection.mutable.ArrayBuffer(roots.size.toLong)
     def visited: DataFrame = levelDfs.reduce(_ union _)
@@ -622,7 +642,7 @@ object Bfs {
       val next = discovered
         .groupBy("run", "vertex").agg(min("pred").as("pred"))
         .withColumn("depth", lit(level))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(false, levelStorage)
       frontierSize = next.count()
       if (frontierSize > 0) {
         visitedTotal += frontierSize
@@ -630,6 +650,16 @@ object Bfs {
         levelCounts += frontierSize
         frontier = next.select("run", "vertex")
       }
+      // Capacity-scale disk lifecycle: the count() above truncates the
+      // level's lineage (checkpoint materialized), so the level's
+      // groupBy shuffle files are garbage — but the ContextCleaner only
+      // deletes them after a driver GC. At SCALE 26 × 16 roots a peak
+      // level writes tens of GB of shuffle; 2-3 uncollected levels
+      // disk-filled the 252 GB scratch volume (round-10 finding, same
+      // failure mode the r9 BETWEEN-ROOT GC fixed for the sequential
+      // protocol). Gated to capacity graphs so small-scale level loops
+      // don't pay a GC per level.
+      if (g.totalEdges > GcPerLevelEdgeThreshold) System.gc()
     }
 
     val runsDf = runsDf0

@@ -162,12 +162,25 @@ object Dedup {
     * struct rows on one executor, never C(S,2) shuffled join rows; the
     * rollup shuffle moves at most O(sources²) groups per partition.
     * (Replaces the earlier shingle self-join: one exchange fewer and no
-    * unguarded per-shingle join fan-out.) */
+    * unguarded per-shingle join fan-out.)
+    *
+    * The shingle generation is a NARROW map straight off the (source,
+    * text) row into the collect_set partial aggregation: per-document
+    * shingle dedup is unnecessary (the set dedups occurrences), so the
+    * per-(doc_id, shingle) `distinct()` exchange an earlier version
+    * paid — plus the doc-keyed join re-attaching `source` — is gone;
+    * the ONLY occurrence-sized data movement left is the map-side
+    * hash-agg insert. Input must carry (source, text). */
   def sourceShingleSimilarity(docs: DataFrame): DataFrame = {
     // two consumers (sizes + pairs) — materialize the per-shingle
     // source-set table once (shingle TYPES rows, not occurrences)
-    val sets = TextOps.shingles(docs.select("doc_id", "text"), 3)
-      .join(docs.select("doc_id", "source"), "doc_id")
+    val n = 3
+    val sets = docs
+      .select(col("source"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("source"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("shingle"))
       .groupBy("shingle")
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .localCheckpoint(true)
@@ -175,16 +188,21 @@ object Dedup {
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
     // all ordered pairs (a < b) of each sorted set, built from array
     // builtins so the generation stays inside codegen
+    // sizes is O(sources) rows but sits above a localCheckpoint, so the
+    // planner has no size estimate and would pick a sort-merge join
+    // (2 exchanges + 2 sorts per join, measured in the plan audit);
+    // broadcast is the right strategy at ANY corpus size — the table is
+    // bounded by the source count, not the data volume.
     sets.select(explode(flatten(transform(col("srcs"), (x, i) =>
         transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("source").as("source_a"), col("n").as("na")),
-        "source_a")
-      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")),
-        "source_b")
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("nb"))), "source_b")
       .select(col("source_a"), col("source_b"), col("n_common"),
         col("na"), col("nb"),
         round(col("n_common").cast("double") /
@@ -494,8 +512,11 @@ object Dedup {
     graft.functions.Ship.df(docs.sparkSession,
       "doc_id" -> r.map(_._1).toArray, "simhash" -> r.map(_._2).toArray)
   } {
+    // per-doc token dedup map-side (doc_id unique per row) — the
+    // (doc_id, tok) distinct() this replaces paid a full exchange of
+    // every token occurrence before the signature aggregation
     val toks = TextOps.tokenized(docs)
-      .select(col("doc_id"), explode(col("tk")).as("tok")).distinct()
+      .select(col("doc_id"), explode(array_distinct(col("tk"))).as("tok"))
       .select(col("doc_id"), hash64(col("tok")).as("h"))
     val bitSums = (0 until 60).map { j =>
       sum(when(expr(s"shiftright(h, $j) % 2 = 1"), 1L).otherwise(-1L)).as(s"s$j")

@@ -23,14 +23,19 @@ object TextOps {
   def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("tk"))
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingle). */
+  /** Distinct word n-gram shingles per document: (doc_id, shingle).
+    * Per-document dedup happens MAP-SIDE (`array_distinct` on the
+    * generated shingle array) — doc_id is unique per input row, so this
+    * is exactly the (doc_id, shingle) `distinct()` an earlier version
+    * paid a full exchange for, at zero shuffles; every consumer
+    * (minhash, n-gram Jaccard, winnowing, decontamination) starts one
+    * exchange shallower. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     tokenized(docs)
       .select(col("doc_id"),
-        explode(transform(
+        explode(array_distinct(transform(
           sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))),
-          i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("shingle"))
-      .distinct()
+          i => concat_ws(" ", slice(col("tk"), i, lit(n)))))).as("shingle"))
 
   /** Language-marker scores. The heuristic is deterministic and mirrored
     * 1:1 in the DuckDB oracle: per-language stopword hit counts + a CJK

@@ -143,6 +143,38 @@ class LocalCsrSpec extends SparkSpec {
     } finally clean.unpersist()
   }
 
+  test("multi-root distributed loop: serialized level checkpoints, kernel-equal trees") {
+    val clean = EdgeOps.cleanEdges(
+      EdgeOps.edgesFromLineitem(spark, "/root/testdata/sf0.001"))
+    val g = Bfs.prepare(clean)
+    try {
+      val roots = clean.select("src").distinct().orderBy("src")
+        .limit(2).collect().map(_.getLong(0)).toSeq
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val multi = Bfs.bfsMinParentMultiDistributed(spark, g, roots)
+      multi.count()
+      // the per-level checkpoints must store SERIALIZED — the
+      // deserialized default OOMed the 16-root SCALE-26 capacity run
+      // (round-10 finding). Before the fix the loop registered ZERO
+      // serialized persists (every checkpoint was the deserialized
+      // default); after it, every level (root level + one per BFS
+      // depth) is MEMORY_AND_DISK_SER. g.all's lazily-registered
+      // InMemoryRelation cache stays deserialized — fine, |V|-bounded.
+      val serLevels = spark.sparkContext.getPersistentRDDs
+        .count { case (id, r) => !before(id) && r.getStorageLevel ==
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER }
+      assert(serLevels >= 2,
+        s"expected the loop's level checkpoints serialized, saw $serLevels")
+      roots.zipWithIndex.foreach { case (r, i) =>
+        val single = Bfs.bfsMinParent(spark, g, r).tree
+        val slice = multi.filter(col("run") === i.toLong)
+          .select("vertex", "pred", "depth")
+        assert(slice.exceptAll(single).isEmpty &&
+          single.exceptAll(slice).isEmpty, s"run $i root $r")
+      }
+    } finally g.unpersist()
+  }
+
   test("multi-root local path equals per-root local trees") {
     val clean = EdgeOps.cleanEdges(
       EdgeOps.edgesFromLineitem(spark, "/root/testdata/sf0.001"))
