@@ -378,13 +378,42 @@ object Graph500 {
         val bw = (System.nanoTime() - b0) / 1e9
 
         val v0 = System.nanoTime()
-        val rootsDf = roots.zipWithIndex
-          .map { case (r, i) => (i.toLong, r) }.toSeq.toDF("run", "root")
-        val rows = Validator
-          .validateMulti(spark, raw, trees, rootsDf, maxV + 1).collect()
-          // align per-root fields with `roots`: collect() order follows
-          // the shuffle, not the run index
-          .sortBy(r => r.getLong(r.fieldIndex("run")))
+        // Validate in bounded ROOT CHUNKS, not all runs at once: the
+        // multi-run validation joins (trees ⋈ raw endpoints, tree
+        // self-join) carry transients proportional to the run count,
+        // and at SCALE 26 an 8-run single-shot validation disk-filled
+        // the 252 GB scratch volume AFTER the batched BFS itself
+        // completed (round-10 finding; 3 runs at a time is the volume's
+        // proven size from the r9 SPEC3 block). Chunking changes no
+        // result — every validation predicate is per-run — and between
+        // chunks a (concurrent) GC lets the ContextCleaner release the
+        // previous chunk's shuffle files before the next one writes.
+        val valChunk = math.max(1,
+          spark.conf.getOption("spark.graft.validateRunsPerChunk")
+            .map(_.toInt).getOrElse(
+              if (g.totalEdges > graft.bfs.Bfs.GcPerLevelEdgeThreshold) 3
+              else Int.MaxValue))
+        // Each chunk's runs are REMAPPED to 0..k-1 for the validation
+        // call (validateMulti derives per-run array positions from
+        // collect_list order, so run ids must be dense from 0) and the
+        // per-root rows are re-aligned by emitting chunks in root order
+        // with a chunk-local sort — collect() order follows the
+        // shuffle, not the run index.
+        val rows = roots.indices.grouped(valChunk).flatMap { chunk =>
+          val base = chunk.head
+          val rootsDf = chunk
+            .map(i => ((i - base).toLong, roots(i))).toDF("run", "root")
+          val sub =
+            if (chunk.size == roots.length) trees
+            else trees
+              .filter(col("run") >= base.toLong && col("run") <= chunk.last.toLong)
+              .withColumn("run", col("run") - base.toLong)
+          val part = Validator
+            .validateMulti(spark, raw, sub, rootsDf, maxV + 1).collect()
+            .sortBy(r => r.getLong(r.fieldIndex("run")))
+          if (chunk.size != roots.length) System.gc()
+          part
+        }.toArray
         val vw = (System.nanoTime() - v0) / 1e9
 
         val ne = rows.map(r => r.getLong(r.fieldIndex("edge_visit_count")))
