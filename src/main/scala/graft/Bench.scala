@@ -362,9 +362,16 @@ object Bench {
       // SparkSession is thread-safe, the shared per-dir caches are
       // computeIfAbsent-atomic, and the point is JIT/codegen coverage,
       // not timing. Cuts ~15 s of sequential sf0.001 wall to ~5 s.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
+      // BOUNDED pool (not the global EC): launching all 163 queries at
+      // once floods the scheduler with hundreds of concurrent jobs —
+      // the r10 driver window recorded warmup task_s 5651 vs cpu_s 96
+      // (tasks descheduled 59:1 under oversubscription). A few jobs in
+      // flight fill the executor tail just as well (guide §2.6).
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
+      val warmPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val warmEc: ExecutionContext =
+        ExecutionContext.fromExecutor(warmPool)
       // a failed warm-up is a diagnostic (its first real execution lands
       // in the timed number), and a hung one must not stall the bench —
       // log and bound, degrade to proceeding without full warm-up
@@ -381,7 +388,7 @@ object Bench {
         // with the timed pass and skew every recorded number
         spark.sparkContext.cancelAllJobs()
         System.err.println("[bench] warm-up timed out; proceeding unwarmed")
-      }
+      } finally warmPool.shutdown()
       val w = (System.nanoTime() - w0) / 1e9
       lap("warmup")
       w
@@ -623,11 +630,21 @@ object Bench {
       s""""queries":$qs,"sf":"$sfDir"$coldField$streamField$warmField""" +
       blocks(_._1) + workField + qWorkField + calField + "}"
     println(fullJson)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // Default output name is PER-CORE-COUNT: the driver benches the same
+    // code at two core counts back-to-back, and a fixed name lets the
+    // second (scaling) run overwrite the first run's per-query record —
+    // r10's scaling diff came back empty for exactly that reason. The
+    // legacy fixed name is still written as a copy for old consumers;
+    // the compact tail line's "full" key names the authoritative file.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_FULL_c$cpus.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] full result written to $outPath")
+      if (outPath != "BENCH_FULL.json")
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+          fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }

@@ -1217,12 +1217,15 @@ object SparkEntry {
     // Exact 2-hop reach of the top-20 hubs. Kernel path: per-hub |V|-bit
     // set over dense ids (the distinct IS the bitset — the union+distinct
     // wedge multiset never materializes). Distributed path: TakeOrdered
-    // hub table broadcast, one vertex-keyed hop join, (hub, vertex)
-    // distinct off the shared checkpointed degree table.
+    // hub table broadcast, one vertex-keyed hop join, then the SAME
+    // bitset idea distributedly — a hub-keyed `bitset_distinct`
+    // aggregation over the wedge stream (domain bound = the max used
+    // vertex id), which kills the (hub, vertex) distinct exchange; the
+    // distinct() plan remains as the unbounded-domain fallback.
     "gr_2hop" -> ((s, dir) =>
       withCsr(s, dir)(_.twoHopReachDf(s, 20))(
         etl.EdgeOps.twoHopReach(clean(s, dir), 20,
-          Some(degreesOf(s, dir))))),
+          Some(degreesOf(s, dir)), Some(maxVertexOf(s, dir))))),
 
     // Degree-assortativity moments: exact integer edge-endpoint degree
     // sums (Pearson numerator/denominator pieces, division left to the

@@ -388,9 +388,12 @@ object Graph500 {
         // result — every validation predicate is per-run — and between
         // chunks a (concurrent) GC lets the ContextCleaner release the
         // previous chunk's shuffle files before the next one writes.
+        // (toIntOption: a malformed override must not throw AFTER the
+        // batched BFS has already completed — fall back to the
+        // edge-count-derived default instead)
         val valChunk = math.max(1,
           spark.conf.getOption("spark.graft.validateRunsPerChunk")
-            .map(_.toInt).getOrElse(
+            .flatMap(_.toIntOption).getOrElse(
               if (g.totalEdges > graft.bfs.Bfs.GcPerLevelEdgeThreshold) 3
               else Int.MaxValue))
         // Each chunk's runs are REMAPPED to 0..k-1 for the validation
@@ -408,8 +411,12 @@ object Graph500 {
             else trees
               .filter(col("run") >= base.toLong && col("run") <= chunk.last.toLong)
               .withColumn("run", col("run") - base.toLong)
+          // run ids in the returned rows are GLOBAL (chunk-local ids are
+          // mapped back to base+local here) so any field-wise consumer of
+          // `rows` sees the true run index, not a chunk offset
           val part = Validator
-            .validateMulti(spark, raw, sub, rootsDf, maxV + 1).collect()
+            .validateMulti(spark, raw, sub, rootsDf, maxV + 1)
+            .withColumn("run", col("run") + base.toLong).collect()
             .sortBy(r => r.getLong(r.fieldIndex("run")))
           if (chunk.size != roots.length) System.gc()
           part

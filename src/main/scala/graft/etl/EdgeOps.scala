@@ -85,10 +85,22 @@ object EdgeOps {
     * scan of the edge list; hop 2 is one vertex-keyed equi-join whose
     * fan-out is the hubs' combined 2-hop wedge mass — the inherent
     * cost of the exact answer, spread across the cluster by the join
-    * key; the distinct + count are hash-partitioned on (hub, vertex).
+    * key. The dedup+count is, when the vertex-id domain is bounded
+    * (`maxVertex` known and k·(maxVertex+1) ≤
+    * `spark.graft.twoHopBitsetMaxBits`, default 2^31 total bits = 256 MB
+    * of bitset per whole task), ONE hub-keyed `bitset_distinct`
+    * aggregation — the distributed twin of the CSR kernel's per-hub
+    * BitSet: partial aggregation collapses each map partition's wedge
+    * mass into k fixed-width buffers, so the exchange carries
+    * O(k × partitions) buffers instead of the hubs' entire distinct
+    * reach set, and the (hub, vertex) distinct exchange disappears
+    * from the plan. Above the bound (or with no maxVertex) it falls
+    * back to the distinct() + count plan, whose shuffle is the reach
+    * set itself. Bit-identical either way — the bitset is exact.
     * Output: (vertex, degree, reach_2hop). */
   def twoHopReach(clean: DataFrame, k: Int,
-                  precomputedDegrees: Option[DataFrame] = None): DataFrame = {
+                  precomputedDegrees: Option[DataFrame] = None,
+                  maxVertex: Option[Long] = None): DataFrame = {
     val hubs = precomputedDegrees
       .map(_.select(col("vertex").as("src"), col("degree")))
       .getOrElse(clean.groupBy(col("src")).agg(count(lit(1)).as("degree")))
@@ -100,10 +112,20 @@ object EdgeOps {
     val h2 = h1
       .join(clean.select(col("src").as("v"), col("dst").as("v2")), "v")
       .select(col("h"), col("v2").as("v"))
-    h1.union(h2)
-      .where(col("v") =!= col("h"))
-      .distinct()
-      .groupBy("h").agg(count(lit(1)).as("reach_2hop"))
+    val wedges = h1.union(h2).where(col("v") =!= col("h"))
+    val bitsetBudget = clean.sparkSession.conf
+      .getOption("spark.graft.twoHopBitsetMaxBits")
+      .flatMap(_.toLongOption).getOrElse(1L << 31)
+    val reach = maxVertex match {
+      case Some(mv) if (mv + 1) * k.toLong <= bitsetBudget && mv >= 0 =>
+        wedges.groupBy("h").agg(
+          graft.functions.BitsetDistinct.of(col("v"), mv + 1)
+            .as("reach_2hop"))
+      case _ =>
+        wedges.distinct()
+          .groupBy("h").agg(count(lit(1)).as("reach_2hop"))
+    }
+    reach
       .join(broadcast(hubs), "h")
       .select(col("h").as("vertex"), col("degree"), col("reach_2hop"))
   }
@@ -147,16 +169,16 @@ object EdgeOps {
    * reference's sort is unstable; any tie order is spec-valid).
    *
    * Scale note: dense-id assignment is a RANGE-PARTITIONED global sort
-   * (orderBy — parallel sample-based range exchange) followed by
-   * zipWithIndex (one pass for per-partition counts, one to add offsets).
-   * A windowed row_number with no partition key would instead move the
-   * whole vertex table through a single partition — the classic
-   * global-window bottleneck this implementation exists to avoid.
+   * (orderBy — parallel sample-based range exchange) followed by the
+   * two-pass per-partition-offset scheme of [[denseIds]] (one tiny
+   * count aggregation, then a map pass that never leaves Tungsten
+   * rows). A windowed row_number with no partition key would instead
+   * move the whole vertex table through a single partition — the
+   * classic global-window bottleneck this implementation exists to
+   * avoid.
    */
   def reorderMap(clean: DataFrame, mode: Int,
                  precomputedDegrees: Option[DataFrame] = None): DataFrame = {
-    val spark = clean.sparkSession
-    import spark.implicits._
     val deg = precomputedDegrees.getOrElse(degrees(clean))
     val order: Seq[Column] = mode match {
       case 0 => Seq(col("vertex").asc)
@@ -164,15 +186,46 @@ object EdgeOps {
       case 2 => Seq(col("degree").desc, col("vertex").asc)
       case _ => throw new IllegalArgumentException(s"reorder mode $mode")
     }
-    // zipWithIndex is TWO passes over the sorted relation (per-partition
-    // counts, then the offset map): lazily checkpoint the sort so the
-    // count pass materializes it once and the map pass re-reads the
-    // cache instead of re-running degrees + the range exchange
-    val sorted = deg.orderBy(order: _*).select(col("vertex")).as[Long]
-      .localCheckpoint(eager = false)
-    spark.createDataset(
-        sorted.rdd.zipWithIndex.map { case (v, i) => (v, i) })
-      .toDF("vertex", "new_id")
+    denseIds(deg.orderBy(order: _*).select(col("vertex")))
+  }
+
+  /** Dense 0-based ids over an already-ordered single-column relation:
+    * (vertex, new_id) with new_id = global row position.
+    *
+    * Two jobs over one lazily-checkpointed materialization of the sort
+    * — per-partition row counts (an O(partitions)-row aggregation),
+    * then a map pass computing
+    * `new_id = offset(partition) + position-in-partition` from
+    * `monotonically_increasing_id()` (= pid·2^33 + position, so the
+    * position is recovered by subtracting the partition base). Same
+    * pass structure as the previous `rdd.zipWithIndex` formulation but
+    * WITHOUT leaving the Tungsten row format: zipWithIndex deserialized
+    * every row into JVM objects and `createDataset` re-encoded them —
+    * a full object ser/deser of the vertex table that exists in no
+    * other step of the pipeline (guide step 2, per-task work). The
+    * checkpoint pins partitioning, so partition ids and in-partition
+    * order are identical across the two jobs. */
+  private[graft] def denseIds(sorted0: DataFrame): DataFrame = {
+    val spark = sorted0.sparkSession
+    val sorted = sorted0.localCheckpoint(eager = false)
+    val counts = sorted
+      .groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val nParts = if (counts.isEmpty) 0 else counts.map(_._1).max + 1
+    val offsets = new Array[Long](nParts)
+    counts.foreach { case (pid, n) => offsets(pid) = n }
+    var acc = 0L
+    var p = 0
+    while (p < nParts) { val n = offsets(p); offsets(p) = acc; acc += n; p += 1 }
+    if (nParts == 0) {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("vertex", "new_id")
+    } else
+      sorted.select(col("vertex"),
+        (element_at(typedLit(offsets.toSeq), spark_partition_id() + 1) +
+          (monotonically_increasing_id() -
+            shiftleft(spark_partition_id().cast("long"), 33)))
+          .as("new_id"))
   }
 
   /** Mode-1 isolated-last reorder over the FULL vertex universe
@@ -186,24 +239,20 @@ object EdgeOps {
     *
     * Scale shape: the universe is a narrow `range()` scan (nothing
     * materialized), degrees attach via one left equi-join, and dense
-    * ids come from the same range-partitioned sort + zipWithIndex as
+    * ids come from the same range-partitioned sort + [[denseIds]] as
     * [[reorderMap]] — never a partition-less window. */
   def reorderMapIsolatedLast(clean: DataFrame, nVertices: Long,
                              precomputedDegrees: Option[DataFrame] = None)
       : DataFrame = {
     val spark = clean.sparkSession
-    import spark.implicits._
     val deg = precomputedDegrees.getOrElse(degrees(clean))
-    // same two-pass zipWithIndex shape as [[reorderMap]]: checkpoint the
-    // sort so the universe join + range exchange run once, not twice
-    val sorted = spark.range(nVertices).toDF("vertex")
+    // same two-pass [[denseIds]] shape as [[reorderMap]]: the lazy
+    // checkpoint inside it materializes the universe join + range
+    // exchange once, not twice
+    denseIds(spark.range(nVertices).toDF("vertex")
       .join(deg, Seq("vertex"), "left_outer")
       .orderBy(col("degree").isNull.asc, col("vertex").asc)
-      .select(col("vertex")).as[Long]
-      .localCheckpoint(eager = false)
-    spark.createDataset(
-        sorted.rdd.zipWithIndex.map { case (v, i) => (v, i) })
-      .toDF("vertex", "new_id")
+      .select(col("vertex")))
   }
 
   /** Graph summary: non-isolated vertex count, max used vertex, undirected

@@ -172,22 +172,44 @@ object Dedup {
     * the ONLY occurrence-sized data movement left is the map-side
     * hash-agg insert. Input must carry (source, text). */
   def sourceShingleSimilarity(docs: DataFrame): DataFrame = {
-    // two consumers (sizes + pairs) — materialize the per-shingle
-    // source-set table once (shingle TYPES rows, not occurrences)
     val n = 3
+    // Source names are O(100) whatever the corpus size: encode them as
+    // INTEGER codes up front (codes assigned in sorted-string order, so
+    // code order ≡ string order and every a < b comparison below is
+    // unchanged), and decode only the final O(sources²) rows. The heavy
+    // middle of the pipeline — 10⁵-10⁹ collect_set elements, pair
+    // structs and pair group keys — previously carried the source
+    // STRING through every hash, compare and copy; per guide §2.3
+    // ("narrower types") the same exact computation runs on ints, and
+    // the pair key packs into ONE long. The dictionary pass is a
+    // narrow column scan with partial aggregation (≪ the shingle scan
+    // that follows), and the decode is a literal array lookup on the
+    // final rollup only.
+    val srcNames = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val codeOf = typedLit(srcNames.zipWithIndex.toMap)
+    val nameOf = typedLit(srcNames.toSeq)
+    // two consumers (sizes + pairs) — materialize the per-shingle
+    // source-set table once (shingle TYPES rows, not occurrences); the
+    // shingle key itself is dropped before the checkpoint, only the
+    // encoded set survives
     val sets = docs
-      .select(col("source"), TextOps.tokens(col("text")).as("tk"))
-      .select(col("source"),
+      .select(element_at(codeOf, col("source")).as("sc"),
+        TextOps.tokens(col("text")).as("tk"))
+      .select(col("sc"),
         explode(transform(
           sequence(lit(1), greatest(size(col("tk")) - (n - 1), lit(1))),
           i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("shingle"))
       .groupBy("shingle")
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .agg(sort_array(collect_set(col("sc"))).as("srcs"))
+      .select(col("srcs"))
       .localCheckpoint(true)
-    val sizes = sets.select(explode(col("srcs")).as("source"))
-      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val sizes = sets.select(explode(col("srcs")).as("sc"))
+      .groupBy(col("sc")).agg(count(lit(1)).as("n"))
     // all ordered pairs (a < b) of each sorted set, built from array
-    // builtins so the generation stays inside codegen
+    // builtins so the generation stays inside codegen; the pair is one
+    // packed long (a·2³² + b — codes are dense ints), so the rollup
+    // hashes and compares single longs, not string pairs
     // sizes is O(sources) rows but sits above a localCheckpoint, so the
     // planner has no size estimate and would pick a sort-merge join
     // (2 exchanges + 2 sorts per join, measured in the plan audit);
@@ -195,16 +217,20 @@ object Dedup {
     // bounded by the source count, not the data volume.
     sets.select(explode(flatten(transform(col("srcs"), (x, i) =>
         transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("source_a"), col("p.b").as("source_b"))
-      .groupBy("source_a", "source_b")
+          y => shiftleft(x.cast("long"), 32) + y.cast("long"))))).as("pk"))
+      .groupBy("pk")
       .agg(count(lit(1)).as("n_common"))
-      .join(broadcast(sizes.select(col("source").as("source_a"),
-        col("n").as("na"))), "source_a")
-      .join(broadcast(sizes.select(col("source").as("source_b"),
-        col("n").as("nb"))), "source_b")
-      .select(col("source_a"), col("source_b"), col("n_common"),
-        col("na"), col("nb"),
+      .select(shiftright(col("pk"), 32).cast("int").as("ca"),
+        col("pk").bitwiseAND(lit(0xffffffffL)).cast("int").as("cb"),
+        col("n_common"))
+      .join(broadcast(sizes.select(col("sc").as("ca"),
+        col("n").as("na"))), "ca")
+      .join(broadcast(sizes.select(col("sc").as("cb"),
+        col("n").as("nb"))), "cb")
+      .select(
+        element_at(nameOf, col("ca") + 1).as("source_a"),
+        element_at(nameOf, col("cb") + 1).as("source_b"),
+        col("n_common"), col("na"), col("nb"),
         round(col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"), 6)
           .as("jaccard"))

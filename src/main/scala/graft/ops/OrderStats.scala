@@ -36,6 +36,11 @@ import org.apache.spark.storage.StorageLevel
  */
 object OrderStats {
 
+  /** Per-key scalar moments computed for free during pass 1 (the runs
+    * are value-sorted, so a run's min is its first element and its max
+    * its last; only the sum needs per-row work). */
+  final case class KeyStats(n: Long, min: Long, max: Long, sum: Long)
+
   /** For each key, the values at `targets(n)` (0-based ranks into the
     * key's ascending value sort, n = the key's row count; duplicate
     * ranks emit duplicate rows). Returns (key, rnk, value), eagerly
@@ -45,7 +50,28 @@ object OrderStats {
   def selectRanks[V: Ordering : ClassTag : TypeTag](
       spark: SparkSession,
       rows: RDD[(String, V)],
-      targets: Long => Seq[Long]): DataFrame = {
+      targets: Long => Seq[Long]): DataFrame =
+    core[V](spark, rows, targets, withStats = false,
+      toLong = null)._1
+
+  /** [[selectRanks]] for Long values, additionally returning each key's
+    * exact (n, min, max, sum) — accumulated inside pass 1, which was
+    * already streaming every row to count runs. Callers that used to
+    * run a SEPARATE reduceByKey pass over the same data for these
+    * scalars (gap stats, quality quartiles' stratum counts) get them
+    * here at zero extra passes and zero extra shuffles. */
+  def selectRanksWithStats(
+      spark: SparkSession,
+      rows: RDD[(String, Long)],
+      targets: Long => Seq[Long]): (DataFrame, Map[String, KeyStats]) =
+    core[Long](spark, rows, targets, withStats = true, toLong = identity)
+
+  private def core[V: Ordering : ClassTag : TypeTag](
+      spark: SparkSession,
+      rows: RDD[(String, V)],
+      targets: Long => Seq[Long],
+      withStats: Boolean,
+      toLong: V => Long): (DataFrame, Map[String, KeyStats]) = {
     import spark.implicits._
     implicit val keyOrd: Ordering[(String, V)] =
       Ordering.Tuple2(Ordering.String, implicitly[Ordering[V]])
@@ -54,29 +80,42 @@ object OrderStats {
     val sorted = keyed
       .repartitionAndSortWithinPartitions(new RangePartitioner(numParts, keyed))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-(partition, key) run lengths
-    val counts: Array[(Int, String, Long)] =
+    // pass 1: per-(partition, key) run lengths (+ min/max/sum moments
+    // when requested — the run is value-sorted, so min/max are its
+    // first/last element)
+    val counts: Array[(Int, String, Long, Long, Long, Long)] =
       sorted.mapPartitionsWithIndex { (pid, it) =>
-        val runs =
-          scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+        val runs = scala.collection.mutable
+          .ArrayBuffer.empty[(Int, String, Long, Long, Long, Long)]
         var cur: String = null
         var n = 0L
-        it.foreach { case ((k, _), _) =>
+        var mn = 0L; var mx = 0L; var sm = 0L
+        it.foreach { case ((k, v), _) =>
           if (k != cur) {
-            if (cur != null) runs += ((pid, cur, n))
-            cur = k; n = 0L
+            if (cur != null) runs += ((pid, cur, n, mn, mx, sm))
+            cur = k; n = 0L; sm = 0L
+            if (withStats) { mn = toLong(v) }
           }
           n += 1L
+          if (withStats) { val lv = toLong(v); mx = lv; sm += lv }
         }
-        if (cur != null) runs += ((pid, cur, n))
+        if (cur != null) runs += ((pid, cur, n, mn, mx, sm))
         runs.iterator
       }.collect()
     // driver: exclusive scan in partition order → start ranks + totals
+    // (+ cross-partition moment merge)
     val baseB = Map.newBuilder[(Int, String), Long]
     val totals = scala.collection.mutable.HashMap.empty[String, Long]
-    counts.sortBy(_._1).foreach { case (pid, k, n) =>
+    val moments =
+      scala.collection.mutable.HashMap.empty[String, (Long, Long, Long)]
+    counts.sortBy(_._1).foreach { case (pid, k, n, mn, mx, sm) =>
       baseB += ((pid, k) -> totals.getOrElse(k, 0L))
       totals(k) = totals.getOrElse(k, 0L) + n
+      if (withStats) moments.get(k) match {
+        case Some((pmn, pmx, psm)) =>
+          moments(k) = (math.min(pmn, mn), math.max(pmx, mx), psm + sm)
+        case None => moments(k) = (mn, mx, sm)
+      }
     }
     val targetsByKey: Map[String, Array[Long]] =
       totals.iterator.map { case (k, n) =>
@@ -110,6 +149,12 @@ object OrderStats {
       }.toDF("key", "rnk", "value")
       .localCheckpoint(true) // ≤ Σ|targets| rows; frees the sort
     sorted.unpersist(blocking = false)
-    out
+    val stats =
+      if (!withStats) Map.empty[String, KeyStats]
+      else totals.iterator.map { case (k, n) =>
+        val (mn, mx, sm) = moments(k)
+        k -> KeyStats(n, mn, mx, sm)
+      }.toMap
+    (out, stats)
   }
 }

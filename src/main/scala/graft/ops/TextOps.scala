@@ -25,11 +25,16 @@ object TextOps {
 
   /** Distinct word n-gram shingles per document: (doc_id, shingle).
     * Per-document dedup happens MAP-SIDE (`array_distinct` on the
-    * generated shingle array) — doc_id is unique per input row, so this
-    * is exactly the (doc_id, shingle) `distinct()` an earlier version
-    * paid a full exchange for, at zero shuffles; every consumer
+    * generated shingle array) — at zero shuffles; every consumer
     * (minhash, n-gram Jaccard, winnowing, decontamination) starts one
-    * exchange shallower. */
+    * exchange shallower.
+    *
+    * PRECONDITION: `doc_id` must be unique per input row (one row per
+    * document, the `documents` table contract). Only then is map-side
+    * `array_distinct` equivalent to a global (doc_id, shingle)
+    * `distinct()`; a caller passing duplicated doc_id rows (e.g. the
+    * output of a join) would get duplicate (doc_id, shingle) pairs and
+    * skew every count-based consumer. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     tokenized(docs)
       .select(col("doc_id"),
@@ -216,20 +221,22 @@ object TextOps {
       .join(strata, "doc_id")
       .select(col("stratum"),
         round(col("quality_score") * lit(1000000d), 0).cast("long").as("qm"))
-    // the regex-heavy scoring pipeline would otherwise run three times
-    // (stratum counts, the range-partitioner sample, the selection
-    // sort) — persist its projection once; both consumers are eager, so
-    // the cache drops before return
+    // the regex-heavy scoring pipeline would otherwise run twice (the
+    // range-partitioner sample, the selection sort) — persist its
+    // projection once; the per-stratum counts ride along inside
+    // selectRanks' pass 1 (selectRanksWithStats), so the separate
+    // count-reduce pass an earlier version paid is gone. Consumers are
+    // eager, so the cache drops before return
     val qRdd = q.as[(String, Long)].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (sel, stats) = try {
-      val s0 = OrderStats.selectRanks[Long](spark, qRdd,
+      val (s0, keyStats) = OrderStats.selectRanksWithStats(spark, qRdd,
         n => (1 to 3).flatMap { k =>
           val h = k * (n - 1)
           Seq(h / 4, h / 4 + (if (h % 4 == 0) 0L else 1L))
         }.distinct)
-      val c0 = qRdd.mapValues(_ => 1L).reduceByKey(_ + _)
-        .collect().toSeq.toDF("stratum", "n_docs")
+      val c0 = keyStats.toSeq.map { case (k, s) => (k, s.n) }
+        .toDF("stratum", "n_docs")
       (s0, c0)
     } finally qRdd.unpersist(blocking = false)
     def lo(k: Int) = expr(s"($k * (n_docs - 1)) div 4")
@@ -287,8 +294,16 @@ object TextOps {
           element_at(col("tk"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val cc = bg.groupBy("w1").agg(count(lit(1)).as("cc"))
-    bg.join(cb, Seq("w1", "w2")).join(cc, Seq("w1"))
+    // the context count is a MARGINAL of the bigram count — cc(w1) =
+    // Σ_w2 cb(w1, w2), every w1 occurrence heads exactly one bigram —
+    // so it aggregates the TYPE table (≪ occurrences), not a second
+    // full tokenize + explode + occurrence-keyed exchange of the
+    // corpus (guide §2.3: aggregate the aggregate). Attaching cc to cb
+    // first also makes the occurrence probe ONE join instead of two.
+    val cbcc = cb
+      .withColumn("cc", sum(col("cb"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+    bg.join(cbcc, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(-sum(log(col("cb").cast("double") / col("cc"))) /

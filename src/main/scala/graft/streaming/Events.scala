@@ -715,13 +715,14 @@ object Events {
         expr("unix_micros(ts)").as("us"))
       .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
       .where(col("gap_us").isNotNull)
-    // The lag window (scan + per-user shuffle) feeds THREE consumers —
-    // the range-partitioner sample, the selection sort, and the scalar
-    // stats. Persist its projection once so the window runs once, and
-    // reduce the scalars from the SAME persisted partitions; both
-    // consumers are eager (selectRanks checkpoints; the stat reduction
-    // collects O(#types) rows), so the cache is dropped before return
-    // and no corpus-sized state outlives the call.
+    // The lag window (scan + per-user shuffle) feeds the
+    // range-partitioner sample and the selection sort. Persist its
+    // projection once so the window runs once. The scalar stats
+    // (n/min/max/sum per type) ride along INSIDE selectRanks' pass 1
+    // (selectRanksWithStats) — the separate reduceByKey pass + shuffle
+    // an earlier version paid for them is gone. Both consumers are
+    // eager, so the cache is dropped before return and no corpus-sized
+    // state outlives the call.
     val gapsRdd = gaps.select(col("event_type"), col("gap_us"))
       .as[(String, Long)].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -729,18 +730,13 @@ object Events {
       // the doubled median v[(n−1)÷2] + v[n÷2]: an odd-n type requests
       // the same rank twice and selectRanks emits it twice, so the sum
       // is already doubled.
-      val med = graft.ops.OrderStats.selectRanks[Long](spark, gapsRdd,
-          n => Seq((n - 1) / 2, n / 2))
+      val (sel, keyStats) = graft.ops.OrderStats.selectRanksWithStats(
+        spark, gapsRdd, n => Seq((n - 1) / 2, n / 2))
+      val med = sel
         .groupBy(col("key").as("event_type"))
         .agg(sum(col("value")).as("p50_x2_gap_us"))
-      val stats = gapsRdd
-        .mapValues(g => (1L, g, g, g))
-        .reduceByKey((a: (Long, Long, Long, Long),
-                      b: (Long, Long, Long, Long)) =>
-          (a._1 + b._1, math.min(a._2, b._2), math.max(a._3, b._3),
-            a._4 + b._4))
-        .collect().toSeq
-        .map { case (t, (n, mn, mx, sm)) => (t, n, mn, mx, sm) }
+      val stats = keyStats.toSeq
+        .map { case (t, s) => (t, s.n, s.min, s.max, s.sum) }
         .toDF("event_type", "n_gaps", "min_gap_us", "max_gap_us",
           "sum_gap_us")
       stats.join(med, "event_type")

@@ -20,8 +20,12 @@ def load(path):
     d = json.load(open(path))
     cal = d.get("calibration")
     if cal:
-        # mean of pre/post: one sentinel value per artifact
+        # mean of pre/post: one sentinel value per artifact; a
+        # non-positive sentinel is treated as absent (raw-cpu fallback)
+        # rather than dividing by zero
         c = (cal["pre"]["cpu_s"] + cal["post"]["cpu_s"]) / 2.0
+        if c <= 0:
+            c = None
     else:
         c = None
     steal = (d.get("host") or {}).get("steal_pct_of_busy")
@@ -50,7 +54,10 @@ def main():
     print(f"{len(common)} common queries; normalized cpu = cpu_s / cal_cpu_s")
     print(f"{'query':24s} {'old_cpu':>8s} {'new_cpu':>8s} "
           f"{'old_norm':>9s} {'new_norm':>9s} {'d_norm':>8s}")
-    shown = rows[:top_n // 2] + rows[-(top_n - top_n // 2):]
+    # head/tail slices would overlap (duplicate rows) when there are
+    # fewer common queries than top_n — show everything in that case
+    shown = (rows if len(rows) <= top_n
+             else rows[:top_n // 2] + rows[-(top_n - top_n // 2):])
     for d, q, o, n, on, nn in shown:
         print(f"{q:24s} {o:8.2f} {n:8.2f} {on:9.4f} {nn:9.4f} {d:+8.4f}")
     tot_o = sum(oqw[q]["cpu_s"] for q in common)
